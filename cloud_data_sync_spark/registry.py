@@ -1,0 +1,57 @@
+"""Query registry: single source of truth behind ``__spark_entry__.py``.
+
+Every operator in the engine registers a ``QuerySpec`` — a Spark query
+builder ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the
+equivalent DuckDB oracle SQL. The driver's correctness gate runs both and
+compares row-count + schema + order-insensitive value-hash, so:
+
+- every computed column is aliased identically on both sides;
+- floating-point aggregates are rounded identically on both sides;
+- double→integer conversions go through ``floor``/``cast`` identically
+  (DuckDB CAST rounds, Spark CAST truncates — never rely on bare CAST of a
+  fractional double to an integer type).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None for non-SQL-expressible ops
+    doc: str = ""
+
+
+def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect modules that register queries.
+    from cloud_data_sync_spark import sync  # noqa: F401
+    from cloud_data_sync_spark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
+    from cloud_data_sync_spark.streaming import windows  # noqa: F401
+
+    return dict(_REGISTRY)

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM), but every
+default here is chosen for a multi-executor cluster at ~100 TB scale:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic join-strategy switching replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the *pre-AQE upper bound*; AQE
+  coalesces down using ``advisoryPartitionSizeInBytes``.
+- Dynamic partition overwrite so state-table upserts rewrite only the
+  partitions they touch (SURVEY.md §7 item 4).
+- Arrow enabled for the (rare) Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return f"local[{cpus}]" if cpus else "local[*]"
+
+
+def get_spark(
+    app_name: str = "cloud-data-sync-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions
+        if shuffle_partitions is not None
+        else int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

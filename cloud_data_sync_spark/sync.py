@@ -1,0 +1,219 @@
+"""Sync reconciliation as a declarative Spark plan.
+
+The reference's per-mapping pipeline (``/root/reference/internal/sync/sync.go:56-176``)
+lists source and target buckets, point-looks-up each source object in a SQLite
+state table (``database.go:319-344``), classifies it via the change predicate
+(``sync.go:111-128``: skip iff stored LastModified == src AND stored ETag == src
+AND sync_status == 'success'), copies what changed, and finally deletes every
+target object missing from the source (``sync.go:199-234``).
+
+Here that whole loop is ONE logical plan:
+
+    src ⟕ state  → CASE classify (copy|skip)       [left join + when]
+    tgt ▷ src    → delete                           [left-anti join]
+    union all    → action plan
+
+At 100 TB scale the classification never touches object payloads — it joins
+*listings* (metadata only). The copy stage downstream reads bytes only for
+rows where ``action='copy'`` (see ``executor.py``). Joins are key-equality on
+``(mapping_id, object_name)``; the state table is partitioned by
+``mapping_id`` so partition pruning keeps each mapping's diff local, and AQE
+picks broadcast-hash when one side is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.tables import load_table
+
+MAPPING_ID = "demo:src-bucket->demo:tgt-bucket"
+
+ACTION_COPY = "copy"
+ACTION_SKIP = "skip"
+ACTION_DELETE = "delete"
+
+STATUS_SUCCESS = "success"
+STATUS_FAILED_GET = "failed_get"
+STATUS_FAILED_UPLOAD = "failed_upload"
+
+
+def sync_diff(src: DataFrame, tgt: DataFrame, state: DataFrame) -> DataFrame:
+    """Classify every object into copy | skip | delete.
+
+    ``src``/``tgt`` are catalog listings with columns
+    ``(mapping_id, object_name, size, etag, last_modified)``;
+    ``state`` carries ``(mapping_id, object_name, etag, last_modified,
+    sync_status)``. Mirrors sync.go:101-128 (copy/skip) + sync.go:199-234
+    (delete). The reason column is diagnostic, ordered by the same predicate
+    priority the reference short-circuits in.
+    """
+    keys = ["mapping_id", "object_name"]
+    st = state.select(
+        *keys,
+        F.col("etag").alias("st_etag"),
+        F.col("last_modified").alias("st_last_modified"),
+        F.col("sync_status").alias("st_sync_status"),
+    )
+
+    reason = (
+        F.when(F.col("st_sync_status").isNull(), F.lit("new"))
+        .when(F.col("st_etag") != F.col("etag"), F.lit("etag_changed"))
+        .when(F.col("st_last_modified") != F.col("last_modified"), F.lit("mtime_changed"))
+        .when(F.col("st_sync_status") != F.lit(STATUS_SUCCESS), F.lit("status_retry"))
+        .otherwise(F.lit("unchanged"))
+    )
+    upserts = (
+        src.join(st, on=keys, how="left")
+        .withColumn("reason", reason)
+        .select(
+            *keys,
+            F.when(F.col("reason") == "unchanged", F.lit(ACTION_SKIP))
+            .otherwise(F.lit(ACTION_COPY))
+            .alias("action"),
+            "reason",
+            "size",
+            "etag",
+        )
+    )
+    deletes = tgt.join(src, on=keys, how="left_anti").select(
+        *keys,
+        F.lit(ACTION_DELETE).alias("action"),
+        F.lit("removed_from_source").alias("reason"),
+        "size",
+        "etag",
+    )
+    return upserts.unionByName(deletes)
+
+
+def sync_counts(plan: DataFrame) -> DataFrame:
+    """Per-mapping run report — the reference's counters (sync.go:97-99,166-170)."""
+    return (
+        plan.groupBy("mapping_id", "action")
+        .agg(F.count("*").alias("n_objects"), F.sum("size").alias("total_bytes"))
+        .orderBy("mapping_id", "action")
+    )
+
+
+# --------------------------------------------------------------------------
+# Synthetic catalogs: deterministic object listings derived from `orders` so
+# the reconciliation is oracle-checkable in DuckDB on the same parquet.
+# --------------------------------------------------------------------------
+
+
+def _base_catalog(orders: DataFrame) -> DataFrame:
+    k = F.col("o_orderkey")
+    return orders.select(
+        k.alias("k"),
+        F.lit(MAPPING_ID).alias("mapping_id"),
+        F.concat(F.lit("obj_"), k.cast("string")).alias("object_name"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("size"),
+        F.md5(k.cast("string")).alias("etag"),
+        F.col("o_orderdate").alias("last_modified"),
+    )
+
+
+def synthetic_catalogs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(src, tgt, state) listings with deterministic drift:
+
+    - source is missing every 50th object (deleted upstream)
+    - target is missing every 3rd-ish object (never copied / behind)
+    - state covers 4/5 of objects; every 7th has a stale etag, every 13th a
+      drifted mtime, every 11th a failed_upload status (retry per sync.go:114)
+    """
+    base = _base_catalog(load_table(spark, sf_dir, "orders"))
+    k = F.col("k")
+    src = base.filter(k % 50 != 0).drop("k")
+    tgt = base.filter(k % 3 != 1).drop("k")
+    state = (
+        base.filter(k % 5 != 4)
+        .select(
+            "mapping_id",
+            "object_name",
+            F.when(k % 7 == 0, F.md5(F.concat(k.cast("string"), F.lit("_stale"))))
+            .otherwise(F.col("etag"))
+            .alias("etag"),
+            F.when(k % 13 == 0, F.col("last_modified") + F.expr("INTERVAL 1 HOUR"))
+            .otherwise(F.col("last_modified"))
+            .alias("last_modified"),
+            F.when(k % 11 == 0, F.lit(STATUS_FAILED_UPLOAD))
+            .otherwise(F.lit(STATUS_SUCCESS))
+            .alias("sync_status"),
+        )
+    )
+    return src, tgt, state
+
+
+_ORACLE_CTES = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         '{MAPPING_ID}' AS mapping_id,
+         'obj_' || CAST(o_orderkey AS VARCHAR) AS object_name,
+         CAST(floor(o_totalprice) AS BIGINT) AS size,
+         md5(CAST(o_orderkey AS VARCHAR)) AS etag,
+         o_orderdate AS last_modified
+  FROM orders
+),
+src AS (SELECT * EXCLUDE (k) FROM base WHERE k % 50 <> 0),
+tgt AS (SELECT * EXCLUDE (k) FROM base WHERE k % 3 <> 1),
+state AS (
+  SELECT mapping_id, object_name,
+         CASE WHEN k % 7 = 0 THEN md5(CAST(k AS VARCHAR) || '_stale') ELSE etag END AS etag,
+         CASE WHEN k % 13 = 0 THEN last_modified + INTERVAL 1 HOUR ELSE last_modified END AS last_modified,
+         CASE WHEN k % 11 = 0 THEN '{STATUS_FAILED_UPLOAD}' ELSE '{STATUS_SUCCESS}' END AS sync_status
+  FROM base WHERE k % 5 <> 4
+),
+plan AS (
+  SELECT s.mapping_id, s.object_name,
+         CASE WHEN st.object_name IS NULL OR st.etag <> s.etag
+                   OR st.last_modified <> s.last_modified
+                   OR st.sync_status <> '{STATUS_SUCCESS}'
+              THEN '{ACTION_COPY}' ELSE '{ACTION_SKIP}' END AS action,
+         CASE WHEN st.object_name IS NULL THEN 'new'
+              WHEN st.etag <> s.etag THEN 'etag_changed'
+              WHEN st.last_modified <> s.last_modified THEN 'mtime_changed'
+              WHEN st.sync_status <> '{STATUS_SUCCESS}' THEN 'status_retry'
+              ELSE 'unchanged' END AS reason,
+         s.size, s.etag
+  FROM src s
+  LEFT JOIN state st
+    ON st.mapping_id = s.mapping_id AND st.object_name = s.object_name
+  UNION ALL
+  SELECT t.mapping_id, t.object_name, '{ACTION_DELETE}', 'removed_from_source',
+         t.size, t.etag
+  FROM tgt t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM src s
+    WHERE s.mapping_id = t.mapping_id AND s.object_name = t.object_name
+  )
+)
+"""
+
+
+@register(
+    "q_sync_diff",
+    oracle=_ORACLE_CTES + "SELECT * FROM plan",
+    doc="Flagship: full reconciliation diff (copy|skip|delete) — sync.go:56-234 as one plan.",
+)
+def q_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, tgt, state = synthetic_catalogs(spark, sf_dir)
+    return sync_diff(src, tgt, state)
+
+
+@register(
+    "q_sync_counts",
+    oracle=_ORACLE_CTES
+    + """
+SELECT mapping_id, action,
+       CAST(count(*) AS BIGINT) AS n_objects,
+       CAST(sum(size) AS BIGINT) AS total_bytes
+FROM plan GROUP BY mapping_id, action ORDER BY mapping_id, action""",
+    doc="Run report: per-action object counts + bytes — sync.go:97-99,166-170.",
+)
+def q_sync_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, tgt, state = synthetic_catalogs(spark, sf_dir)
+    return sync_counts(sync_diff(src, tgt, state))

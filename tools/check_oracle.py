@@ -1,0 +1,120 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB at a given
+sf dir, then compares row-count, sorted column names, and an
+order-insensitive value hash. Use while iterating:
+
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+
+Exit code 1 if any query mismatches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from cloud_data_sync_spark.registry import all_queries  # noqa: E402
+from cloud_data_sync_spark.session import get_spark  # noqa: E402
+from cloud_data_sync_spark.tables import TABLE_NAMES, table_path  # noqa: E402
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted("|".join(_canon_cell(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def value_hash(lines: list[str]) -> str:
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    specs = all_queries()
+    if only:
+        specs = {k: v for k, v in specs.items() if k in only}
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    failures = 0
+    for name, spec in sorted(specs.items()):
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            print(f"ok*   {name}: rows-only (no oracle) rows={len(srows)}")
+            if len(srows) == 0:
+                print(f"WARN  {name}: zero rows")
+            continue
+        try:
+            orel = con.execute(spec.oracle)
+            ocols = [d[0] for d in orel.description]
+            orows = orel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+
+        sc, slines = canon_rows(scols, srows)
+        oc, olines = canon_rows(ocols, orows)
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} vs {len(orows)}")
+        if sc != oc:
+            problems.append(f"cols {sc} vs {oc}")
+        if not problems and value_hash(slines) != value_hash(olines):
+            problems.append("value-hash mismatch")
+            for a, b in list(zip(slines, olines))[:2000]:
+                if a != b:
+                    problems.append(f"  first diff:\n    spark:  {a}\n    duckdb: {b}")
+                    break
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(p)
+        else:
+            print(f"ok    {name}: rows={len(srows)}")
+    print(f"\n{len(specs) - failures}/{len(specs)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
