@@ -1,1 +1,469 @@
-"""Placeholder — queries registered incrementally."""
+"""Relational operator inventory (SURVEY.md §2.B).
+
+Each query is a thin declarative DataFrame plan — Catalyst handles pushdown,
+pruning, join strategy (broadcast for dims / sort-merge for facts) and AQE
+handles skew + partition coalescing. Cross-engine determinism rules:
+
+- money aggregates: ``round(sum(x), 2)``; ratios/averages: ``round(, 6)``
+  (double accumulation order differs between engines at ~1e-12 relative —
+  rounding removes it; raw column values pass through bit-exact);
+- every top-k / window rank breaks ties on a unique key;
+- aliases match the oracle SQL exactly (driver sorts columns by name).
+
+Reference parity notes are cited per-query (files under /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.tables import load_table
+
+
+# -- scan / filter / project -------------------------------------------------
+
+
+@register(
+    "q_scan_filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-03-15 00:00:00' AND l_discount > 0.05
+""",
+    doc="Scan + predicate + projection; filters/columns reach the parquet scan.",
+)
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+    )
+
+
+# -- joins (reference analogs: state lookup #11, anti-delete #14, config RI #25)
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, n.n_name, o.o_totalprice
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_totalprice > 150000
+""",
+    doc="Fact⋈dim⋈dim inner join; dims broadcast (state point-lookup analog, database.go:319-344).",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "c_name", "n_name", "o_totalprice")
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+    doc="Left outer join preserving customers with zero orders.",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+    doc="Left-semi join: customers having at least one finished order.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, orders.o_custkey == customer.c_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+    doc="Left-anti join — the delete-phase membership test (sync.go:212-214).",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# -- aggregation -------------------------------------------------------------
+
+
+@register(
+    "q_agg_hash",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-style hash aggregate; map-side partial agg then final merge (run-counter analog, sync.go:166-170).",
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact distinct aggregation (expand + two-phase agg under the hood).",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_rollup_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="Grouping sets via ROLLUP with grouping_id disambiguating NULL groups.",
+)
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+    )
+
+
+# -- windows / top-k ---------------------------------------------------------
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders) WHERE rn <= 3
+""",
+    doc="Per-group top-3 via row_number; ties broken on o_orderkey.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_window_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3,
+       round(coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
+FROM orders
+""",
+    doc="Frame analytics: running sum, 3-row moving average, lag.",
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg_3"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    doc="Global top-k: TakeOrderedAndProject (no full sort, per-partition heaps).",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# -- set operations ----------------------------------------------------------
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+SELECT 'both' AS op, c_custkey FROM
+  (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+   INTERSECT
+   SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT 'only_f' AS op, c_custkey FROM
+  (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+   EXCEPT
+   SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT 'any' AS op, c_custkey FROM
+  (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+   UNION
+   SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""",
+    doc="UNION / INTERSECT / EXCEPT tagged into one result.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "c_custkey")  # noqa: E731
+    return (
+        tag(f.intersect(o), "both")
+        .unionByName(tag(f.exceptAll(o).distinct(), "only_f"))
+        .unionByName(tag(f.union(o).distinct(), "any"))
+    )
+
+
+# -- scalar functions --------------------------------------------------------
+
+
+@register(
+    "q_scalar_string_date_math",
+    oracle="""
+SELECT o_orderkey,
+       'default:' || o_orderpriority || '->default:' || o_orderstatus AS mapping_id,
+       upper(substring(o_orderpriority, 1, 3)) AS prio_code,
+       length(o_orderpriority) AS prio_len,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS days_since_1995,
+       round(abs(o_totalprice - 100000.0), 2) AS price_dist,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+       round(sqrt(o_totalprice), 6) AS price_sqrt
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+    doc="Scalar string/date/math surface incl. the reference's '||' key builder (database.go:242-250, sync.go:93-95).",
+)
+def q_scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("default:"), F.col("o_orderpriority"), F.lit("->default:"), F.col("o_orderstatus")
+        ).alias("mapping_id"),
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio_code"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1995-01-01")))
+        .cast("long")
+        .alias("days_since_1995"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("price_dist"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_bucket"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+    )
+
+
+@register(
+    "q_json_props",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+    doc="JSON extraction on events.props (semi-structured metadata, interfaces/provider.go:16 analog).",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "q_array_map_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+       CAST(label AS BIGINT) AS label
+FROM embeddings WHERE vec_id % 5 = 0
+""",
+    doc="Array higher-order functions over embeddings (size/element_at/transform/aggregate).",
+)
+def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vec_sum = F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+    sq_sum = F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(as_double, 1), 6).alias("first_elem"),
+        F.round(vec_sum, 4).alias("vec_sum"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+# -- upsert as a deterministic query (database.go:346-364 rewrite) -----------
+
+
+@register(
+    "q_upsert_state",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS etag,
+         o_orderdate AS last_synced, 'success' AS sync_status
+  FROM orders
+),
+updates AS (
+  SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR) || '_v2') AS etag,
+         o_orderdate + INTERVAL 1 DAY AS last_synced, 'success' AS sync_status
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+merged AS (
+  SELECT *, row_number() OVER (PARTITION BY k
+            ORDER BY last_synced DESC, etag) AS rn
+  FROM (SELECT * FROM updates UNION ALL SELECT * FROM old)
+)
+SELECT k, etag, last_synced, sync_status FROM merged WHERE rn = 1
+""",
+    doc="Latest-wins upsert rewrite of INSERT..ON CONFLICT DO UPDATE (database.go:346-364): union + window-dedup.",
+)
+def q_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.select(
+        k.alias("k"),
+        F.md5(k.cast("string")).alias("etag"),
+        F.col("o_orderdate").alias("last_synced"),
+        F.lit("success").alias("sync_status"),
+    )
+    updates = orders.filter(k % 4 == 0).select(
+        k.alias("k"),
+        F.md5(F.concat(k.cast("string"), F.lit("_v2"))).alias("etag"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("last_synced"),
+        F.lit("success").alias("sync_status"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("last_synced"), F.asc("etag"))
+    return (
+        updates.unionByName(old)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
