@@ -1,1 +1,435 @@
-"""Placeholder — queries registered incrementally."""
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over ``documents`` / ``embeddings``:
+
+- exact (hash-groupBy on normalized content)
+- token-set near-dup (order-insensitive content hash)
+- MinHash + LSH banding (shingle → 16-perm signature → 4 bands → bucket join)
+- SimHash (64-bit per-nibble majority fingerprint)
+- embedding-cosine near-dup (label-blocked pairwise)
+
+Everything is built-in-function Spark (codegen'd, no Python UDFs). The
+corpus is augmented with deterministic exact/near/reordered copies so the
+operators provably find clusters; the oracle builds the identical corpus.
+
+Scale design (100 TB): every stage is a groupBy/join on bounded keys —
+shingle explosion is the widest point and is O(tokens) per doc with
+map-side distinct; LSH banding turns the quadratic all-pairs problem into
+per-bucket joins (bucket size ~ N / 16^4 per band); nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.tables import load_table
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+# -- augmented corpus (identical construction in Spark and oracle SQL) -------
+
+
+def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (id+2M, %7) ∪ near copies with appended
+    tokens (id+1M, %10) ∪ token-sorted reorderings (id+3M, %9)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing tokens appended")).alias("text"),
+    )
+    reorder = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.array_sort(F.split(F.trim(F.col("text")), r"\s+")), " ").alias(
+            "text"
+        ),
+    )
+    return docs.unionByName(exact).unionByName(near).unionByName(reorder)
+
+
+_AUG_SQL = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing tokens appended'
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' ')
+  FROM documents WHERE doc_id % 9 = 0
+)
+"""
+
+
+# -- exact + token-set dedup -------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+WITH {_AUG_SQL},
+hashed AS (SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM aug)
+SELECT doc_id, content_hash,
+       CAST(min(doc_id) OVER (PARTITION BY content_hash) AS BIGINT) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS n_copies
+FROM hashed
+""",
+    doc="Exact dedup: hash-groupBy canonicalization; keep = (doc_id == canonical_id).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = augmented_documents(spark, sf_dir).select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("n_copies"),
+    )
+
+
+@register(
+    "q_dedup_tokenset",
+    oracle=f"""
+WITH {_AUG_SQL},
+hashed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS tokenset_hash
+  FROM aug
+),
+grouped AS (
+  SELECT doc_id, tokenset_hash,
+         CAST(min(doc_id) OVER (PARTITION BY tokenset_hash) AS BIGINT) AS canonical_id,
+         CAST(count(*) OVER (PARTITION BY tokenset_hash) AS BIGINT) AS group_size
+  FROM hashed
+)
+SELECT * FROM grouped WHERE group_size > 1
+""",
+    doc="Near-dup via order-insensitive token-set hash (catches reorderings).",
+)
+def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    low_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    hashed = augmented_documents(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(low_toks)), " ")).alias(
+            "tokenset_hash"
+        ),
+    )
+    w = Window.partitionBy("tokenset_hash")
+    return (
+        hashed.select(
+            "doc_id",
+            "tokenset_hash",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count("*").over(w).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def _shingles_col() -> Column:
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s15): per-permutation min of md5('<i>|' || shingle).
+
+    One explode + one groupBy; the min() aggregates combine map-side so the
+    shuffle carries only one row per (doc, 16 mins) — scale-safe.
+    """
+    sh = docs.select("doc_id", F.explode(_shingles_col()).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"s{i}")
+        for i in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature and self-join per band → candidate pairs."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bd")).select(
+        "doc_id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || sh)) AS s{i}" for i in range(N_PERM)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig".format(
+            b=b,
+            cols=" || ',' || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+    )
+    return f"""
+WITH {_AUG_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM aug
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(({matches}) / 16.0, 4) AS est_jaccard
+FROM cand c
+JOIN sig x ON x.doc_id = c.doc_a
+JOIN sig y ON y.doc_id = c.doc_b
+WHERE ({matches}) / 16.0 >= 0.5
+"""
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=_minhash_oracle(),
+    doc=(
+        "MinHash(16)+LSH(4 bands): shingle → signature → band-bucket join → "
+        "candidate pairs with estimated Jaccard ≥ 0.5. The scale path for "
+        "near-dedup: avoids all-pairs entirely."
+    ),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = augmented_documents(spark, sf_dir)
+    sig = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sig)
+    x = sig.alias("x")
+    y = sig.alias("y")
+    matches = sum(
+        F.when(F.col(f"x.s{i}") == F.col(f"y.s{i}"), 1).otherwise(0) for i in range(N_PERM)
+    )
+    return (
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(16.0), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+  FROM documents
+),
+nib AS (
+  SELECT t.doc_id, p.p,
+         instr('{_HEX}', substr(md5(t.tok), CAST(p.p AS INTEGER), 1)) - 1 AS v
+  FROM toks t, range(1, 17) p(p)
+),
+votes AS (
+  SELECT doc_id, p,
+         sum(2 * ((v // 1) % 2) - 1) AS v0,
+         sum(2 * ((v // 2) % 2) - 1) AS v1,
+         sum(2 * ((v // 4) % 2) - 1) AS v2,
+         sum(2 * ((v // 8) % 2) - 1) AS v3
+  FROM nib GROUP BY doc_id, p
+),
+nibble AS (
+  SELECT doc_id, p,
+         (CASE WHEN v0 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN v1 > 0 THEN 2 ELSE 0 END
+          + CASE WHEN v2 > 0 THEN 4 ELSE 0 END
+          + CASE WHEN v3 > 0 THEN 8 ELSE 0 END) AS nv
+  FROM votes
+)
+SELECT doc_id,
+       string_agg(substr('{_HEX}', CAST(nv + 1 AS INTEGER), 1), '' ORDER BY p)
+         AS simhash
+FROM nibble GROUP BY doc_id
+""",
+    doc=(
+        "SimHash-64: per-nibble majority vote over md5(token) — near-dup "
+        "fingerprint robust to small edits; Hamming-close fingerprints ⇒ similar docs."
+    ),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    nib = toks.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("p"), "h"
+    ).select(
+        "doc_id",
+        "p",
+        (F.expr(f"instr('{_HEX}', substring(h, p, 1))") - 1).alias("v"),
+    )
+    v = F.col("v")
+    votes = nib.groupBy("doc_id", "p").agg(
+        F.sum(2 * (v % 2) - 1).alias("v0"),
+        F.sum(2 * ((v / 2).cast("long") % 2) - 1).alias("v1"),
+        F.sum(2 * ((v / 4).cast("long") % 2) - 1).alias("v2"),
+        F.sum(2 * ((v / 8).cast("long") % 2) - 1).alias("v3"),
+    )
+    nv = (
+        F.when(F.col("v0") > 0, 1).otherwise(0)
+        + F.when(F.col("v1") > 0, 2).otherwise(0)
+        + F.when(F.col("v2") > 0, 4).otherwise(0)
+        + F.when(F.col("v3") > 0, 8).otherwise(0)
+    )
+    nibble = votes.select(
+        "doc_id", "p", F.substring(F.lit(_HEX), 1, 16).substr(nv + 1, F.lit(1)).alias("ch")
+    )
+    return (
+        nibble.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "ch"))), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+
+
+# -- embedding-cosine near-dup ----------------------------------------------
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(a.label AS BIGINT) AS label,
+       round(list_sum(list_transform(range(1, len(a.v) + 1),
+             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.4
+""",
+    doc=(
+        "Embedding near-dup: label-blocked pairwise cosine ≥ 0.4. Blocking "
+        "column bounds the join (per-label pairs, not whole-corpus all-pairs)."
+    ),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    emb = emb.withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").cast("long").alias("label"),
+            F.round(cos, 6).alias("cos_sim"),
+            cos.alias("_raw"),
+        )
+        .filter(F.col("_raw") >= 0.4)
+        .drop("_raw")
+    )

@@ -1,1 +1,136 @@
-"""Placeholder — queries registered incrementally."""
+"""Multimodal-column pipeline: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: payloads live as a ``binary``
+column (or as object-store paths for >2 GB blobs), metadata as typed
+columns; decode / feature-extraction runs in Arrow-batched ``mapInPandas``
+so each Python worker sees a columnar batch, never a row at a time.
+
+The container has no image/audio codecs, so ``decode_payload`` STUBS the
+real decode behind an import-guard (NotImplementedError) and the default
+"codec" is a deterministic fake — but the Spark-side plumbing (binary
+column, schema, batch shape, partition parallelism) is real and oracle-
+checked where SQL-expressible.
+
+Payloads are synthesized from ``documents.text`` (utf-8 bytes) so the
+oracle can rebuild the identical binary column with DuckDB's encode().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.tables import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id long, byte_len long, n_frames long, head_checksum long, codec string"
+)
+
+
+def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, content BINARY, media_type, n_chars) — the
+    multimodal storage shape (payload + typed metadata columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("media_type"),
+        "n_chars",
+    )
+
+
+def decode_payload(content: bytes, media_type: str) -> dict:
+    """Decode stub. Real codecs (PIL/librosa/ffmpeg) are not in this
+    container; when they are, replace the fake branch per media_type.
+    The fake is deterministic: frame count and checksum derive only from
+    the bytes."""
+    try:  # pragma: no cover - codec libs absent by design
+        import PIL  # noqa: F401
+
+        raise NotImplementedError("real image decode path not wired in this container")
+    except ImportError:
+        pass
+    head = content[:8]
+    return {
+        "byte_len": len(content),
+        "n_frames": len(content) // 100 + 1,
+        "head_checksum": sum(head),
+        "codec": f"fake-{media_type.split('/', 1)[0]}",
+    }
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas: one Python worker per partition, columnar batches in/out —
+    the scalable shape for per-payload Python work (vs. per-row UDFs)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_payload(c, m) for c, m in zip(pdf["content"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [f["byte_len"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                    "head_checksum": [f["head_checksum"] for f in feats],
+                    "codec": [f["codec"] for f in feats],
+                }
+            )
+
+    return binary_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type
+FROM documents
+""",
+    doc="Metadata pass over binary payloads: sizes + checksums, no decode.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bt = binary_table(spark, sf_dir)
+    return bt.select(
+        "doc_id",
+        F.octet_length("content").cast("long").alias("byte_len"),
+        F.md5("content").alias("content_md5"),
+        "media_type",
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames,
+       CAST(list_sum(list_transform(range(1, least(octet_length(encode(text)), 8) + 1),
+            i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS head_checksum,
+       'fake-' || CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS codec
+FROM documents
+""",
+    doc=(
+        "mapInPandas feature extraction over binary payloads (deterministic "
+        "fake decode; oracle recomputes the same features in SQL). Texts are "
+        "ASCII so byte[i] == codepoint(char[i]) holds on both sides."
+    ),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(binary_table(spark, sf_dir))

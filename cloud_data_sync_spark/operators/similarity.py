@@ -1,1 +1,211 @@
-"""Placeholder — queries registered incrementally."""
+"""Similarity search over the ``embeddings`` table.
+
+Two paths, as a 100 TB design requires:
+
+- **Brute-force cosine top-k** (``q_sim_topk``): the exactness baseline.
+  Queries are broadcast; every executor scans its partition of the corpus
+  once — O(corpus × queries) FLOPs but a single pass, no shuffle of the
+  corpus itself, no driver collect. Right answer for small query sets.
+- **LSH-bucketed ANN** (``q_sim_ann_lsh``): random-hyperplane signatures
+  (deterministic ±1 weights from md5) bucket the corpus; candidate scan is
+  only the query's bucket (~N/2^planes of the corpus). The scale path.
+
+Ranking is by *rounded* cosine (6 dp) with vec_id tiebreak so both engines
+rank identical values — full-precision cross-engine float accumulation is
+not bit-stable, rounded values are.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.tables import load_table
+
+N_PLANES = 8
+DIM = 64
+TOP_K = 5
+QUERY_MOD = 100  # vec_id % 100 == 0 → query set
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    return emb.withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+
+
+def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (na * nb)
+
+
+_ORACLE_VECS = """
+vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM vecs
+)
+"""
+
+
+@register(
+    "q_sim_topk",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         round(list_sum(list_transform(range(1, len(q.v) + 1),
+               i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM n q JOIN n c ON q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="Brute-force cosine top-k: broadcast queries × one corpus pass.",
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = vecs.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _plane_weights(spark: SparkSession) -> DataFrame:
+    """Deterministic ±1 hyperplane weights from md5 parity — reproducible on
+    any engine (the oracle recomputes the same md5s in SQL)."""
+    rows = []
+    for j in range(N_PLANES):
+        for d in range(DIM):
+            nib = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[0], 16)
+            rows.append((j, d, 1.0 if nib % 2 == 0 else -1.0))
+    return spark.createDataFrame(rows, "j int, d int, w double")
+
+
+def _signatures(vecs: DataFrame, weights: DataFrame) -> DataFrame:
+    """8-bit '01' bucket string per vector: bit_j = [Σ_d w_jd·x_d > 0]."""
+    comp = vecs.select(
+        "vec_id", F.posexplode("v").alias("d", "x")
+    ).join(F.broadcast(weights), "d")
+    bits = comp.groupBy("vec_id", "j").agg(
+        F.when(F.sum(F.col("w") * F.col("x")) > 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        .alias("bit")
+    )
+    return bits.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "bit"))), lambda s: s["bit"]
+            ),
+            "",
+        ).alias("bucket")
+    )
+
+
+_ORACLE_SIG = f"""
+weights AS (
+  SELECT CAST(j.j AS INTEGER) AS j, CAST(d.d AS INTEGER) AS d,
+         CASE WHEN (instr('0123456789abcdef',
+              substr(md5(CAST(j.j AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 1))
+              - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
+  FROM range(0, {N_PLANES}) j(j), range(0, {DIM}) d(d)
+),
+comp AS (
+  SELECT n.vec_id, w.j, w.w * n.v[w.d + 1] AS t
+  FROM n, weights w
+),
+bits AS (
+  SELECT vec_id, j, CASE WHEN sum(t) > 0 THEN '1' ELSE '0' END AS bit
+  FROM comp GROUP BY vec_id, j
+),
+sig AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
+  FROM bits GROUP BY vec_id
+)
+"""
+
+
+@register(
+    "q_sim_ann_lsh",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+{_ORACLE_SIG},
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         round(list_sum(list_transform(range(1, len(qn.v) + 1),
+               i -> qn.v[i] * cn.v[i])) / (qn.nrm * cn.nrm), 6) AS cos_sim
+  FROM sig q
+  JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  JOIN n qn ON qn.vec_id = q.vec_id
+  JOIN n cn ON cn.vec_id = c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc=(
+        "ANN via random-hyperplane LSH: signature bucket join shrinks the "
+        "candidate set ~2^planes-fold; approximate recall, scale-linear cost."
+    ),
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    sig = _signatures(vecs, _plane_weights(spark))
+    with_sig = vecs.join(sig, "vec_id")
+    q = with_sig.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    cand = with_sig.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -1,1 +1,232 @@
-"""Placeholder — queries registered incrementally."""
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline primitives: token counting, per-language corpus
+stats, stopword-lexicon language ID, quality scoring, and document
+fingerprinting. All pure ``pyspark.sql.functions`` — no Python UDFs in the
+hot path, so everything stays inside whole-stage codegen and scales by
+partition count alone (no driver-side state, no collects).
+
+Tokenization contract (shared with every oracle): ``split(trim(text), '\\s+')``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.tables import load_table
+
+# Tiny embedded stopword lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic and identical in the oracle SQL.
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       round(avg(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)), 6)
+         AS avg_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents GROUP BY lang
+""",
+    doc="Per-language corpus stats: doc/token/char counts.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens_col())
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@register(
+    "q_text_term_freq",
+    oracle="""
+SELECT term, n_term FROM (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_term,
+         row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents)
+  GROUP BY term
+) WHERE rn <= 20
+""",
+    doc="Corpus term frequency, top-20 (explode → groupBy; partial agg map-side).",
+)
+def q_text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    counted = terms.groupBy("term").agg(F.count("*").alias("n_term"))
+    w = Window.orderBy(F.desc("n_term"), F.asc("term"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("term", "n_term")
+    )
+
+
+def _lexicon_df(spark: SparkSession) -> DataFrame:
+    rows = [(lang, w) for lang, words in LANG_LEXICON.items() for w in words]
+    return spark.createDataFrame(rows, "cand_lang string, word string")
+
+
+def _lexicon_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, words in LANG_LEXICON.items() for w in words
+    )
+    return f"(VALUES {rows}) lex(cand_lang, word)"
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+scores AS (
+  SELECT t.doc_id, t.lang, lex.cand_lang,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM toks t JOIN {_lexicon_values_sql()} ON t.word = lex.word
+  GROUP BY t.doc_id, t.lang, lex.cand_lang
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY n_hits DESC, cand_lang) AS rn
+  FROM scores
+)
+SELECT doc_id, lang, cand_lang AS pred_lang, n_hits
+FROM ranked WHERE rn = 1
+""",
+    doc="Stopword-lexicon language ID: argmax over broadcast lexicon hits per doc.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    )
+    scores = (
+        toks.join(F.broadcast(_lexicon_df(spark)), "word")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("cand_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cand_lang").alias("pred_lang"), "n_hits")
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_len,
+         CAST(length(text) - length(replace(replace(replace(text, '.', ''),
+              ',', ''), '!', '')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_punct,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       round(CAST(n_punct AS DOUBLE) / n_len, 6) AS punct_ratio,
+       round(least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+             + least(CAST(n_stop AS DOUBLE) / n_tokens * 10.0, 1.0) * 0.5, 6)
+         AS quality_score
+FROM feats
+""",
+    doc="Quality scoring: length/punct/stopword-ratio features + composite score.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop = list(LANG_LEXICON["en"])
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    low_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_stop = F.size(F.filter(low_toks, lambda w: w.isin(stop))).cast("long")
+    n_punct = (
+        F.length("text")
+        - F.length(
+            F.replace(
+                F.replace(F.replace(F.col("text"), F.lit("."), F.lit("")), F.lit(","), F.lit("")),
+                F.lit("!"),
+                F.lit(""),
+            )
+        )
+    ).cast("long")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_len"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+    )
+    tok_d = F.col("n_tokens").cast("double")
+    stop_d = F.col("n_stop").cast("double")
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_punct",
+        F.round(stop_d / tok_d, 6).alias("stopword_ratio"),
+        F.round(F.col("n_punct").cast("double") / F.col("n_len"), 6).alias("punct_ratio"),
+        F.round(
+            F.least(tok_d / 64.0, F.lit(1.0)) * 0.5
+            + F.least(stop_d / tok_d * 10.0, F.lit(1.0)) * 0.5,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(text))) AS content_hash,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS tokenset_hash,
+       CAST(length(text) AS BIGINT) AS n_len
+FROM documents
+""",
+    doc="Document fingerprints: content hash + order-insensitive token-set hash.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(low_toks)), " ")).alias(
+            "tokenset_hash"
+        ),
+        F.length("text").cast("long").alias("n_len"),
+    )

@@ -1,1 +1,131 @@
-"""Placeholder — queries registered incrementally."""
+"""Event-time windowing over the ``events`` table.
+
+These are the *batch-checkable twins* of the Structured Streaming pipeline in
+``streaming/runner.py`` (same ``F.window`` / ``session_window`` expressions
+run there under ``readStream`` + watermark). Spark's batch and streaming
+window semantics are identical by construction, so the DuckDB oracle verifies
+the streaming aggregation logic too — the reference's only "streaming" was a
+wall-clock ticker (main.go:85-115); event-time windows + watermarks are the
+Spark-native upgrade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.tables import load_table
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    doc="Tumbling 1-hour event-time windows per event_type.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+WITH expanded AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+           AS window_start,
+         value
+  FROM events
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM expanded GROUP BY 1
+""",
+    doc="Sliding windows (1h long, 30m slide): each event lands in 2 windows.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sessions GROUP BY user_id, session_id
+""",
+    doc=(
+        "Sessionization with 30-minute inactivity gap (lag-gap form — the "
+        "deterministic batch twin of session_window; runner.py runs the real "
+        "session_window under a watermark)."
+    ),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w_order)
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = gaps.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
