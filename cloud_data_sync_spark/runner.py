@@ -1,0 +1,161 @@
+"""Sync orchestration: SyncAll / SyncBuckets / continuous mode — the
+reference's main loop (sync.go:32-53, main.go:74-115) on Spark.
+
+Per mapping (SyncBuckets, sync.go:56-176):
+  1. list source + target (metadata-only catalog DataFrames)
+  2. diff against the state partition → action plan (one declarative join)
+  3. execute copies/deletes on executors (streamed, continue-on-error)
+  4. upsert result rows into the state table; drop state rows for deletes
+  5. return the per-action report (the reference's logged counters)
+
+Unlike the reference — sequential over mappings AND objects (sync.go:33,
+101; parallelism is on its roadmap, README.md:345-347) — every per-object
+step here is cluster-parallel for free, and per-mapping plans are
+independent jobs.
+
+Continuous mode ≙ main.go:85-115's ticker: repeated one-shot runs. The
+state table *is* the checkpoint, so each tick is incremental; a stop-file
+takes the role of SIGTERM (main.go:108-113).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_data_sync_spark import state as state_mod
+from cloud_data_sync_spark.config import BucketMapping, Config
+from cloud_data_sync_spark.executor import (
+    STATUS_SUCCESS,
+    execute_plan,
+)
+from cloud_data_sync_spark.sources.listing import list_objects
+from cloud_data_sync_spark.sync import ACTION_COPY, ACTION_DELETE, sync_diff
+
+
+@dataclass
+class SyncReport:
+    mapping_id: str
+    counts: dict[str, int]
+
+    @property
+    def synced(self) -> int:
+        return self.counts.get("copy_success", 0)
+
+    @property
+    def errors(self) -> int:
+        return sum(v for k, v in self.counts.items() if k.endswith("_failed"))
+
+
+def _bucket_root(cfg: Config, provider_id: str, bucket: str) -> str:
+    """Resolve a (provider, bucket) pair to a URI root. Local/minio endpoints
+    map to file: paths for tests; real deployments point at s3a://gs://abfss
+    URIs — same code path (factory.go:24-77 collapses to this lookup)."""
+    for p in cfg.providers:
+        if p.get("id") == provider_id:
+            for key in ("minioConfig", "awsConfig", "gcsConfig", "azureConfig"):
+                endpoint = (p.get(key) or {}).get("endpoint")
+                if endpoint:
+                    return f"{endpoint.rstrip('/')}/{bucket}"
+    return bucket
+
+
+def sync_buckets(
+    spark: SparkSession,
+    cfg: Config,
+    mapping: BucketMapping,
+    state_path: str,
+) -> SyncReport:
+    mid = mapping.mapping_id
+    src_root = _bucket_root(cfg, mapping.source_provider_id, mapping.source_bucket)
+    tgt_root = _bucket_root(cfg, mapping.target_provider_id, mapping.target_bucket)
+
+    # 1. catalogs (metadata only — no payload reads)
+    src = list_objects(spark, src_root, mid)
+    tgt = list_objects(spark, tgt_root, mid)
+
+    # ensure target root exists (EnsureBucketExists, sync.go:88-91)
+    os.makedirs(tgt_root.replace("file://", ""), exist_ok=True)
+
+    # 2. diff against this mapping's state partition (pruned scan).
+    # localCheckpoint() freezes plan/results: the state parquet at
+    # ``state_path`` is overwritten below, and a lazy plan would silently
+    # recompute the diff against the NEW state (read-overwrite hazard).
+    full_state = state_mod.load_state(spark, state_path)
+    st = state_mod.state_for_mapping(full_state, mid)
+    plan = sync_diff(src, tgt, st).localCheckpoint()
+
+    # 3. execute (copies + deletes), one status row per object —
+    # checkpoint materializes the side effects exactly once
+    results = execute_plan(plan, src_root, tgt_root).localCheckpoint()
+
+    # 4. state maintenance: upsert copy results, remove deleted keys
+    copy_rows = results.filter(F.col("action") == ACTION_COPY).select(
+        "mapping_id",
+        "object_name",
+        "size",
+        "last_modified",
+        "etag",
+        F.lit(None).cast("string").alias("content_type"),
+        "last_synced",
+        F.col("status").alias("sync_status"),
+    )
+    deleted_keys = results.filter(
+        (F.col("action") == ACTION_DELETE) & (F.col("status") == STATUS_SUCCESS)
+    )
+    # checkpoint the merged state BEFORE overwriting the path it reads from
+    new_state = state_mod.delete_keys(
+        state_mod.upsert(full_state, copy_rows), deleted_keys
+    ).localCheckpoint()
+
+    # 5. report (the counters the reference logs, sync.go:166-170, 231-233)
+    counts = {
+        f"{r['action']}_{'success' if r['status'] == STATUS_SUCCESS else 'failed'}": r[
+            "n"
+        ]
+        for r in results.groupBy("action", "status").agg(F.count("*").alias("n")).collect()
+    }
+    skipped = plan.filter(F.col("action") == "skip").count()
+    if skipped:
+        counts["skip"] = skipped
+
+    state_mod.save_state(new_state, state_path)
+    return SyncReport(mapping_id=mid, counts=counts)
+
+
+def sync_all(spark: SparkSession, cfg: Config, state_path: str) -> list[SyncReport]:
+    """FOREACH mapping, continue-on-error (sync.go:32-53)."""
+    reports = []
+    for mapping in cfg.mappings:
+        try:
+            reports.append(sync_buckets(spark, cfg, mapping, state_path))
+        except Exception as e:  # noqa: BLE001 - per-mapping isolation
+            reports.append(
+                SyncReport(mapping_id=mapping.mapping_id, counts={"mapping_failed": 1})
+            )
+            print(f"sync failed for {mapping.mapping_id}: {e}")
+    return reports
+
+
+def run_continuous(
+    spark: SparkSession,
+    cfg: Config,
+    state_path: str,
+    interval_sec: int = 300,
+    max_ticks: int | None = None,
+    stop_file: str | None = None,
+) -> list[list[SyncReport]]:
+    """main.go:85-115: initial run + fixed-interval re-runs until stopped."""
+    all_reports = [sync_all(spark, cfg, state_path)]
+    ticks = 1
+    while (max_ticks is None or ticks < max_ticks) and not (
+        stop_file and os.path.exists(stop_file)
+    ):
+        time.sleep(interval_sec)
+        all_reports.append(sync_all(spark, cfg, state_path))
+        ticks += 1
+    return all_reports

@@ -1,0 +1,155 @@
+"""Object-catalog sources: listings as DataFrames.
+
+The reference's four provider clients (gcp/aws/azure/minio ``ListObjects``)
+collapse into URI schemes handled by Hadoop FileSystem connectors — the
+same code lists ``file:``, ``s3a://``, ``gs://``, ``abfss://`` buckets;
+credentials/endpoints are *configuration* (``spark.hadoop.fs.*``), not code
+(storage/factory.go:24-77 becomes ``provider_conf`` below).
+
+Two listing paths:
+
+- ``list_objects``: driver-side Hadoop ``FileSystem.listFiles`` (recursive,
+  remote-iterator) → DataFrame. Metadata only — never reads payloads. Fine
+  into the millions of objects; the iterator is streamed, not materialized
+  twice.
+- ``list_objects_binaryfile``: Spark's ``binaryFile`` source, whose
+  InMemoryFileIndex parallelizes listing across the cluster when a
+  directory has many children — the very-large-bucket path, and the one
+  that also carries payload bytes (``content`` column) for copy-through-
+  DataFrame mode.
+
+Catalog schema matches interfaces/provider.go:9-17 (ObjectInfo).
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CATALOG_SCHEMA = StructType(
+    [
+        StructField("mapping_id", StringType(), False),
+        StructField("object_name", StringType(), False),
+        StructField("bucket", StringType(), True),
+        StructField("size", LongType(), True),
+        StructField("last_modified", TimestampType(), True),
+        StructField("etag", StringType(), True),
+        StructField("content_type", StringType(), True),
+    ]
+)
+
+
+def provider_conf(spark: SparkSession, provider: dict) -> None:
+    """Map a reference-style provider config onto Hadoop FS settings.
+
+    E.g. a minio provider (config.go:55-60) becomes per-bucket s3a endpoint
+    configuration; GCS/Azure analogous. No client objects — connectors are
+    session-level conf."""
+    ptype = provider.get("type")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if ptype in ("aws", "minio"):
+        cfg = provider.get("minioConfig") or provider.get("awsConfig") or {}
+        if cfg.get("endpoint"):
+            conf.set("fs.s3a.endpoint", cfg["endpoint"])
+        if cfg.get("accessKey"):
+            conf.set("fs.s3a.access.key", cfg["accessKey"])
+        if cfg.get("secretKey"):
+            conf.set("fs.s3a.secret.key", cfg["secretKey"])
+        conf.set("fs.s3a.path.style.access", "true")
+    elif ptype == "azure":
+        cfg = provider.get("azureConfig") or {}
+        if cfg.get("accountName") and cfg.get("accountKey"):
+            conf.set(
+                f"fs.azure.account.key.{cfg['accountName']}.blob.core.windows.net",
+                cfg["accountKey"],
+            )
+    # gcs: fs.gs.* via service-account json keyfile conf; nothing to do for file:
+
+
+def list_objects(
+    spark: SparkSession, root_uri: str, mapping_id: str = ""
+) -> DataFrame:
+    """Recursive listing of ``root_uri`` → catalog DataFrame (metadata only).
+
+    Driver-side Hadoop FileSystem remote-iterator (streams entries; no
+    payload reads — GetObject's N+1 HeadObject anti-pattern in
+    aws/client.go:95-116 has no analog here)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root_uri)
+    fs = path.getFileSystem(hconf)
+    rows = []
+    if fs.exists(path):
+        it = fs.listFiles(path, True)
+        root = path.toUri().getPath().rstrip("/")
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toUri().getPath()
+            name = p[len(root) + 1 :] if p.startswith(root + "/") else p
+            rows.append(
+                (
+                    mapping_id,
+                    name,
+                    root_uri,
+                    st.getLen(),
+                    st.getModificationTime(),  # epoch millis
+                    f"{st.getLen()}-{st.getModificationTime()}",  # etag proxy
+                    None,
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "mapping_id string, object_name string, bucket string, size long, "
+        "mtime_ms long, etag string, content_type string",
+    )
+    return df.select(
+        "mapping_id",
+        "object_name",
+        "bucket",
+        "size",
+        F.timestamp_millis(F.col("mtime_ms")).alias("last_modified"),
+        "etag",
+        "content_type",
+    )
+
+
+def list_objects_binaryfile(
+    spark: SparkSession, root_uri: str, mapping_id: str = "", with_content: bool = False
+) -> DataFrame:
+    """Cluster-parallel listing via the binaryFile source.
+
+    Column-prunes to metadata unless ``with_content`` — Spark's binaryFile
+    reader only materializes ``content`` when the column is referenced, so
+    the metadata-only plan never reads payload bytes."""
+    df = spark.read.format("binaryFile").option("recursiveFileLookup", "true").load(
+        root_uri
+    )
+    root = root_uri.rstrip("/")
+    name = F.regexp_replace(F.col("path"), f"^.*?{root.split('://')[-1]}/", "")
+    out = df.select(
+        F.lit(mapping_id).alias("mapping_id"),
+        name.alias("object_name"),
+        F.lit(root_uri).alias("bucket"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("last_modified"),
+        F.concat_ws("-", F.col("length"), F.unix_millis(F.col("modificationTime"))).alias(
+            "etag"
+        ),
+        F.lit(None).cast("string").alias("content_type"),
+        *(["content"] if with_content else []),
+    )
+    return out
+
+
+def join_path(root: str, name: str) -> str:
+    return posixpath.join(root.rstrip("/"), name)

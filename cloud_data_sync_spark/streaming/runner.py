@@ -1,0 +1,91 @@
+"""Structured Streaming pipelines.
+
+Two streaming surfaces:
+
+- ``stream_windowed_counts``: the real ``readStream`` version of the batch
+  window queries in ``windows.py`` — file-source stream over the events
+  parquet, 10-minute watermark for late data, tumbling or session windows,
+  ``availableNow`` trigger (process-everything-then-stop, the streaming
+  twin of the reference's one-shot mode, main.go:74-83).
+- The continuous *sync* loop lives in ``runner.run_continuous`` — the
+  reference's ticker (main.go:85-115) is wall-clock scheduling around
+  idempotent batch runs, and the state table is the checkpoint, so a
+  micro-batch stream adds nothing there. Event-time semantics (watermarks,
+  windows) are where Structured Streaming earns its place, and that's what
+  this module exercises.
+
+At scale: the watermark bounds state-store size (late events beyond 10
+minutes are dropped); session windows use Spark's native
+``session_window`` state management; sink is pluggable (memory for tests,
+kafka/parquet in production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ns ts → µs timestamp,
+    same normalization as tables.load_table)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        # file source wants a directory; select just the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_windowed_counts(
+    events: DataFrame,
+    mode: str = "tumbling",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked event-time aggregation on a streaming DataFrame."""
+    ev = events.withWatermark("ts", watermark)
+    if mode == "tumbling":
+        grouped = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+    elif mode == "session":
+        grouped = ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return grouped.agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *(["event_type"] if mode == "tumbling" else ["user_id"]),
+        "n_events",
+        "total_value",
+    )
+
+
+def run_available_now(
+    result: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream with the availableNow trigger into a memory sink;
+    returns the materialized result as a batch DataFrame.
+
+    ``complete`` for tumbling aggregations (full deterministic result —
+    comparable to the batch twin); ``append`` for session windows (the only
+    mode Spark supports there — emits sessions finalized by the watermark)."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

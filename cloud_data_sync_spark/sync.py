@@ -76,6 +76,7 @@ def sync_diff(src: DataFrame, tgt: DataFrame, state: DataFrame) -> DataFrame:
             "reason",
             "size",
             "etag",
+            "last_modified",
         )
     )
     deletes = tgt.join(src, on=keys, how="left_anti").select(
@@ -84,6 +85,7 @@ def sync_diff(src: DataFrame, tgt: DataFrame, state: DataFrame) -> DataFrame:
         F.lit("removed_from_source").alias("reason"),
         "size",
         "etag",
+        "last_modified",
     )
     return upserts.unionByName(deletes)
 
@@ -178,13 +180,13 @@ plan AS (
               WHEN st.last_modified <> s.last_modified THEN 'mtime_changed'
               WHEN st.sync_status <> '{STATUS_SUCCESS}' THEN 'status_retry'
               ELSE 'unchanged' END AS reason,
-         s.size, s.etag
+         s.size, s.etag, s.last_modified
   FROM src s
   LEFT JOIN state st
     ON st.mapping_id = s.mapping_id AND st.object_name = s.object_name
   UNION ALL
   SELECT t.mapping_id, t.object_name, '{ACTION_DELETE}', 'removed_from_source',
-         t.size, t.etag
+         t.size, t.etag, t.last_modified
   FROM tgt t
   WHERE NOT EXISTS (
     SELECT 1 FROM src s
