@@ -31,6 +31,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm-up: JVM JIT, parquet footer reads, Python worker pool — so the
+    # first measured query doesn't absorb session start-up costs
+    from cloud_data_sync_spark.tables import load_tables
+
+    for df in load_tables(spark, sf_dir, register_views=False).values():
+        df.count()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in sorted(all_queries().items()):

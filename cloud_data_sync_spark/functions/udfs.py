@@ -1,0 +1,76 @@
+"""Pandas-UDF surface: the sanctioned escape hatch for logic the built-in
+functions can't express.
+
+Rules this engine follows (and the reference never needed — its extension
+point was a Go interface, interfaces/provider.go:26-34):
+
+- Arrow-batched ``@pandas_udf`` only — never row-at-a-time Python UDFs.
+  A scalar pandas UDF moves whole columnar batches across the
+  Python/JVM boundary (~10-100× less overhead per value).
+- Registered once per module, pure functions of their inputs —
+  deterministic, so Spark may re-execute them freely (speculation, retries).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.tables import load_table
+
+# BPE-ish tokenization: word pieces + standalone punctuation — the
+# pre-tokenizer split most BPE vocabularies assume.
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+
+@F.pandas_udf(LongType())
+def bpe_ish_token_count(texts: pd.Series) -> pd.Series:
+    """Vectorized token counter over an Arrow batch of strings."""
+    return texts.map(lambda t: len(_TOKEN_RE.findall(t or "")))
+
+
+@register(
+    "q_udf_surface",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+""",
+    doc=(
+        "Pandas-UDF token counting (BPE-ish regex pre-tokenizer); the oracle "
+        "recomputes the same regex in SQL — proving the UDF boundary carries "
+        "exact values."
+    ),
+)
+def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "q_agg_approx_distinct",
+    oracle=None,  # approximate by definition — rows-only check
+    doc=(
+        "HyperLogLog++ approximate distinct (the 100 TB cardinality path: "
+        "fixed-size sketch, no expand shuffle). Exact twin lives in "
+        "q_agg_distinct; rsd=0.01 keeps error ~1%."
+    ),
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    )

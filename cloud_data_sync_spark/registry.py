@@ -45,6 +45,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that register queries.
     from cloud_data_sync_spark import sync  # noqa: F401
+    from cloud_data_sync_spark.functions import udfs  # noqa: F401
     from cloud_data_sync_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
