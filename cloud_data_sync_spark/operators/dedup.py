@@ -161,55 +161,85 @@ def _shingles_col() -> Column:
     )
 
 
+def _rot(h: Column, i: int) -> Column:
+    """Rotate a 32-char md5 hex string left by ``i`` chars — the i-th
+    "permutation". One md5 per shingle + 16 cheap substring rotations beats
+    16 md5 invocations per shingle by an order of magnitude, and each
+    rotation induces a distinct lexicographic order, which is all MinHash
+    needs from a permutation family."""
+    if i == 0:
+        return h
+    return F.concat(F.substring(h, i + 1, 32 - i), F.substring(h, 1, i))
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, s0..s15): per-permutation min of md5('<i>|' || shingle).
+    """(doc_id, s0..s15): per-permutation min of rot_i(md5(shingle)).
 
     One explode + one groupBy; the min() aggregates combine map-side so the
     shuffle carries only one row per (doc, 16 mins) — scale-safe.
     """
-    sh = docs.select("doc_id", F.explode(_shingles_col()).alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"s{i}")
-        for i in range(N_PERM)
-    ]
+    sh = docs.select("doc_id", F.explode(_shingles_col()).alias("sh")).withColumn(
+        "h", F.md5("sh")
+    )
+    aggs = [F.min(_rot(F.col("h"), i)).alias(f"s{i}") for i in range(N_PERM)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature and self-join per band → candidate pairs."""
+    """Band the signature and self-join per band → candidate pairs, carrying
+    both full signatures on the pair row.
+
+    The banded relation is ONE subplan shuffled once on (band, bh); Catalyst
+    reuses the exchange for both sides of the self-join, so the expensive
+    shingle→signature aggregation runs a single time. Carrying ``sig`` on the
+    row (128 bytes) avoids two join-backs to recover signatures for the
+    Jaccard estimate — at 100 TB that's two fewer shuffles of the full
+    signature table.
+    """
+    sig_arr = sig.select(
+        "doc_id", F.array(*[F.col(f"s{i}") for i in range(N_PERM)]).alias("sig")
+    )
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        ",", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                        ",",
+                        *[
+                            F.col("sig")[b * ROWS_PER_BAND + r]
+                            for r in range(ROWS_PER_BAND)
+                        ],
                     )
                 ).alias("bh"),
             )
             for b in range(N_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("bd")).select(
-        "doc_id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+    banded = sig_arr.select("doc_id", "sig", F.explode(bands).alias("bd")).select(
+        "doc_id", "sig", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sig").alias("sig_a"),
+        F.col("b.sig").alias("sig_b"),
     )
 
 
 def _minhash_oracle() -> str:
-    mins = ",\n         ".join(
-        f"min(md5('{i}|' || sh)) AS s{i}" for i in range(N_PERM)
-    )
+    def rot(i: int) -> str:
+        if i == 0:
+            return "h"
+        return f"substr(h, {i + 1}, {32 - i}) || substr(h, 1, {i})"
+
+    mins = ",\n         ".join(f"min({rot(i)}) AS s{i}" for i in range(N_PERM))
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig".format(
             b=b,
@@ -233,10 +263,13 @@ sh AS (
                 ELSE CAST([] AS VARCHAR[]) END)) AS sh
   FROM toks
 ),
+hs AS (
+  SELECT doc_id, md5(sh) AS h FROM sh
+),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM hs GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
@@ -266,22 +299,22 @@ WHERE ({matches}) / 16.0 >= 0.5
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = augmented_documents(spark, sf_dir)
-    sig = minhash_signatures(docs)
-    cand = lsh_candidate_pairs(sig)
-    x = sig.alias("x")
-    y = sig.alias("y")
-    matches = sum(
-        F.when(F.col(f"x.s{i}") == F.col(f"y.s{i}"), 1).otherwise(0) for i in range(N_PERM)
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
-        cand.join(x, cand.doc_a == F.col("x.doc_id"))
-        .join(y, cand.doc_b == F.col("y.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches / F.lit(16.0), 4).alias("est_jaccard"),
+        pairs.select(
+            "doc_a", "doc_b", F.round(matches / F.lit(16.0), 4).alias("est_jaccard")
         )
         .filter(F.col("est_jaccard") >= 0.5)
+        .distinct()
     )
 
 
