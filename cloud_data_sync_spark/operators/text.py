@@ -71,7 +71,8 @@ SELECT term, n_term FROM (
   GROUP BY term
 ) WHERE rn <= 20
 """,
-    doc="Corpus term frequency, top-20 (explode → groupBy; partial agg map-side).",
+    doc="Corpus term frequency, top-20 (explode → groupBy; partial agg map-side; "
+    "global top-k via TakeOrderedAndProject, never a single-partition window).",
 )
 def q_text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -79,10 +80,13 @@ def q_text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
     )
     counted = terms.groupBy("term").agg(F.count("*").alias("n_term"))
-    w = Window.orderBy(F.desc("n_term"), F.asc("term"))
+    # orderBy().limit(k) compiles to TakeOrderedAndProject: each partition
+    # keeps its own top-20 and the driver merges 20 rows per partition. A
+    # global row_number() window would funnel the whole term dictionary
+    # (unbounded at corpus scale) through one partition.
     return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        counted.orderBy(F.desc("n_term"), F.asc("term"))
+        .limit(20)
         .select("term", "n_term")
     )
 
