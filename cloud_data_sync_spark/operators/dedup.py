@@ -142,23 +142,30 @@ def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- MinHash + LSH -----------------------------------------------------------
 
 
-def _shingles_col() -> Column:
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """Add an ``sh`` column: distinct word trigrams of the lowercased text.
+
+    The token array is materialized as its own column FIRST and the
+    trigrams are built from slice/zip_with over that attribute. Embedding
+    the split() inside a transform(sequence(...)) lambda re-evaluates the
+    full regex split once per shingle index (O(tokens²) per doc — measured
+    30× slower at sf0.1); CollapseProject keeps a non-cheap alias used three
+    times un-inlined, so here split runs once per row.
+    """
+    toks = F.col("toks")
     n = F.size(toks)
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>")
+    take = F.greatest(n - 2, F.lit(0))
+    pair = F.zip_with(
+        F.slice(toks, 1, take),
+        F.slice(toks, 2, take),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
+    tri = F.zip_with(
+        pair, F.slice(toks, 3, take), lambda p, c: F.concat(p, F.lit(" "), c)
     )
+    return docs.withColumn(
+        "toks", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ).withColumn("sh", F.array_distinct(tri))
 
 
 def _rot(h: Column, i: int) -> Column:
@@ -175,26 +182,30 @@ def _rot(h: Column, i: int) -> Column:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, s0..s15): per-permutation min of rot_i(md5(shingle)).
 
-    One explode + one groupBy; the min() aggregates combine map-side so the
-    shuffle carries only one row per (doc, 16 mins) — scale-safe.
+    Explode + one groupBy with 16 codegen'd min() aggregates: the mins
+    combine map-side, so the shuffle carries one 16-column row per doc.
+    (Measured faster than the zero-shuffle array_min/transform variant —
+    hash-aggregate codegen beats interpreted higher-order functions.)
+    Docs with <3 tokens (no shingles) drop out via explode, matching the
+    oracle's unnest semantics.
     """
-    sh = docs.select("doc_id", F.explode(_shingles_col()).alias("sh")).withColumn(
-        "h", F.md5("sh")
-    )
+    sh = _with_shingles(docs).select(
+        "doc_id", F.explode("sh").alias("s")
+    ).withColumn("h", F.md5("s"))
     aggs = [F.min(_rot(F.col("h"), i)).alias(f"s{i}") for i in range(N_PERM)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature and self-join per band → candidate pairs, carrying
-    both full signatures on the pair row.
+    """Band the signature, bucket by (band, band-hash), expand pairs inside
+    each bucket — candidate pairs carry both full signatures.
 
-    The banded relation is ONE subplan shuffled once on (band, bh); Catalyst
-    reuses the exchange for both sides of the self-join, so the expensive
-    shingle→signature aggregation runs a single time. Carrying ``sig`` on the
-    row (128 bytes) avoids two join-backs to recover signatures for the
-    Jaccard estimate — at 100 TB that's two fewer shuffles of the full
-    signature table.
+    ONE shuffle total (the bucket groupBy); no self-join, so the signature
+    subplan is computed exactly once regardless of exchange-reuse. Pair
+    expansion is per-bucket array work; LSH keeps buckets small by design
+    (a giant bucket means near-identical docs, i.e. the pairs themselves
+    are the answer, not avoidable work). Carrying ``sig`` on the pair row
+    (~128 bytes) avoids two join-backs for the Jaccard estimate.
     """
     sig_arr = sig.select(
         "doc_id", F.array(*[F.col(f"s{i}") for i in range(N_PERM)]).alias("sig")
@@ -219,17 +230,31 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     banded = sig_arr.select("doc_id", "sig", F.explode(bands).alias("bd")).select(
         "doc_id", "sig", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bh") == F.col("b.bh"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.sig").alias("sig_a"),
-        F.col("b.sig").alias("sig_b"),
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("m"))
+        .filter(F.size("m") > 1)
+    )
+    m = F.col("m")
+    pair_arr = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"),
+        F.col("p.doc_b").alias("doc_b"),
+        F.col("p.sig_a").alias("sig_a"),
+        F.col("p.sig_b").alias("sig_b"),
     )
 
 
