@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table
@@ -91,11 +90,6 @@ def q_text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lexicon_df(spark: SparkSession) -> DataFrame:
-    rows = [(lang, w) for lang, words in LANG_LEXICON.items() for w in words]
-    return spark.createDataFrame(rows, "cand_lang string, word string")
-
-
 def _lexicon_values_sql() -> str:
     rows = ", ".join(
         f"('{lang}', '{w}')" for lang, words in LANG_LEXICON.items() for w in words
@@ -125,25 +119,51 @@ ranked AS (
 SELECT doc_id, lang, cand_lang AS pred_lang, n_hits
 FROM ranked WHERE rn = 1
 """,
-    doc="Stopword-lexicon language ID: argmax over broadcast lexicon hits per doc.",
+    doc=(
+        "Stopword-lexicon language ID: per-doc hit counts against each "
+        "language's lexicon, argmax (ties → first language alphabetically). "
+        "Map-only — the lexicon is compiled into the plan, so there is no "
+        "token explode, no shuffle, and no window at any corpus size."
+    ),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     )
-    scores = (
-        toks.join(F.broadcast(_lexicon_df(spark)), "word")
-        .groupBy("doc_id", "lang", "cand_lang")
-        .agg(F.count("*").alias("n_hits"))
+    hits = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.filter(
+                        F.col("toks"), lambda w: w.isin(*LANG_LEXICON[lang])
+                    )
+                ).cast("long").alias("n_hits"),
+                F.lit(lang).alias("cand_lang"),
+            )
+            for lang in sorted(LANG_LEXICON)
+        ]
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("cand_lang"))
+    # argmax by (n_hits DESC, cand_lang ASC) over the 5-element array.
+    best = F.get(
+        F.array_sort(
+            F.filter(hits, lambda h: h["n_hits"] > 0),
+            lambda a, b: F.when(a["n_hits"] > b["n_hits"], -1)
+            .when(a["n_hits"] < b["n_hits"], 1)
+            .when(a["cand_lang"] < b["cand_lang"], -1)
+            .when(a["cand_lang"] > b["cand_lang"], 1)
+            .otherwise(0),
+        ),
+        0,
+    )
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", F.col("cand_lang").alias("pred_lang"), "n_hits")
+        docs.select("doc_id", "lang", best.alias("best"))
+        .filter(F.col("best").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.col("best.cand_lang").alias("pred_lang"),
+            F.col("best.n_hits").alias("n_hits"),
+        )
     )
 
 
