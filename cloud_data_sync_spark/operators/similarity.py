@@ -103,35 +103,39 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_weights(spark: SparkSession) -> DataFrame:
+def _plane_signs() -> list[list[float]]:
     """Deterministic ±1 hyperplane weights from md5 parity — reproducible on
     any engine (the oracle recomputes the same md5s in SQL)."""
-    rows = []
-    for j in range(N_PLANES):
-        for d in range(DIM):
-            nib = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[0], 16)
-            rows.append((j, d, 1.0 if nib % 2 == 0 else -1.0))
-    return spark.createDataFrame(rows, "j int, d int, w double")
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for d in range(DIM)
+        ]
+        for j in range(N_PLANES)
+    ]
 
 
-def _signatures(vecs: DataFrame, weights: DataFrame) -> DataFrame:
-    """8-bit '01' bucket string per vector: bit_j = [Σ_d w_jd·x_d > 0]."""
-    comp = vecs.select(
-        "vec_id", F.posexplode("v").alias("d", "x")
-    ).join(F.broadcast(weights), "d")
-    bits = comp.groupBy("vec_id", "j").agg(
-        F.when(F.sum(F.col("w") * F.col("x")) > 0, F.lit("1"))
-        .otherwise(F.lit("0"))
-        .alias("bit")
-    )
-    return bits.groupBy("vec_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "bit"))), lambda s: s["bit"]
-            ),
-            "",
-        ).alias("bucket")
-    )
+def _bucket_col(v: Column) -> Column:
+    """8-bit '01' bucket string: bit_j = [Σ_d w_jd·x_d > 0].
+
+    The weights are compile-time constants baked in as array literals, so
+    the signature is one map-side projection — no weight table, no
+    posexplode, no join, no shuffle. zip_with/aggregate keeps the
+    expression tree small (a 512-term unrolled sum measured slower: every
+    stage that embeds it pays seconds of codegen compilation). The
+    float-origin doubles have 24-bit mantissas, so a 64-term ±1 sum is
+    exact and summation order can't flip a bit against the oracle's
+    aggregate.
+    """
+    bits = []
+    for signs in _plane_signs():
+        w = F.array(*[F.lit(x) for x in signs])
+        dot = F.aggregate(
+            F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
 
 
 _ORACLE_SIG = f"""
@@ -186,8 +190,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
 )
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
-    sig = _signatures(vecs, _plane_weights(spark))
-    with_sig = vecs.join(sig, "vec_id")
+    with_sig = vecs.withColumn("bucket", _bucket_col(F.col("v")))
     q = with_sig.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
