@@ -343,6 +343,105 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_jaccard_oracle() -> str:
+    def rot(i: int) -> str:
+        if i == 0:
+            return "h"
+        return f"substr(h, {i + 1}, {32 - i}) || substr(h, 1, {i})"
+
+    mins = ",\n         ".join(f"min({rot(i)}) AS s{i}" for i in range(N_PERM))
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig".format(
+            b=b,
+            cols=" || ',' || ".join(
+                f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_AUG_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM aug
+),
+shl AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM toks
+),
+hs AS (
+  SELECT doc_id, md5(unnest(sh)) AS h FROM shl
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
+         AS jaccard
+FROM cand c
+JOIN shl x ON x.doc_id = c.doc_a
+JOIN shl y ON y.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=_ngram_jaccard_oracle(),
+    doc=(
+        "Exact n-gram (trigram-shingle) Jaccard over LSH candidate pairs — "
+        "the verification stage of two-stage near-dedup: MinHash/LSH prunes "
+        "the quadratic pair space, exact set overlap confirms. The candidate "
+        "pair set is small, so it broadcasts against the shingle table; the "
+        "corpus itself is never shuffled for verification."
+    ),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = augmented_documents(spark, sf_dir)
+    shl = _with_shingles(docs).select("doc_id", "sh").filter(F.size("sh") > 0)
+    cand = (
+        lsh_candidate_pairs(minhash_signatures(docs))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x, y = shl.alias("x"), shl.alias("y")
+    half = (
+        x.join(F.broadcast(cand), F.col("x.doc_id") == F.col("doc_a"))
+        .select("doc_a", "doc_b", F.col("x.sh").alias("sh_a"))
+    )
+    # Candidates are a tiny fraction of the corpus by LSH design, so both
+    # probe joins broadcast the candidate side — the shingle table is
+    # scanned twice but never shuffled.
+    paired = y.join(F.broadcast(half), F.col("y.doc_id") == F.col("doc_b")).select(
+        "doc_a", "doc_b", "sh_a", F.col("y.sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        paired.select(
+            "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"),
+            (inter / union).alias("_raw"),
+        )
+        .filter(F.col("_raw") >= 0.5)
+        .drop("_raw")
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 
 _HEX = "0123456789abcdef"

@@ -467,3 +467,130 @@ def q_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+         CASE WHEN event_type = 'click' THEN ts END AS c_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+attributed AS (
+  SELECT event_id, user_id, ts, is_p,
+         last_value(c_id IGNORE NULLS) OVER w AS click_id,
+         last_value(c_ts IGNORE NULLS) OVER w AS click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, click_id, click_ts
+FROM attributed WHERE is_p = 1
+""",
+    doc=(
+        "As-of join (attribution): each purchase matched to the user's most "
+        "recent click at-or-before it. Implemented as the scale-safe "
+        "union-and-sweep: tag both sides, one shuffle on user_id, running "
+        "last_value(ignore nulls) — never a per-row range probe or a "
+        "time-banded join explosion. Ties: clicks sort before purchases at "
+        "the same instant; equal-time clicks resolve to the larger event_id."
+    ),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_attribute(load_table(spark, sf_dir, "events"))
+
+
+def asof_attribute(ev: DataFrame) -> DataFrame:
+    """Union-and-sweep as-of join over an events frame (see q_join_asof)."""
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("click_id", F.last("c_id", ignorenulls=True).over(w))
+        .withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            "click_ts",
+        )
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_F,
+       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_O,
+       CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_F,
+       CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_O
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "Pivot (wide aggregation): status columns from row values. Explicit "
+        "pivot values keep it one pass — no values-discovery job, and the "
+        "agg is still a partial-combine hash aggregate (map-side partials, "
+        "one shuffle of 2x2 cells per group)."
+    ),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_n").alias("n_O"),
+    )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(max(l_extendedprice), 2) AS p_max
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "Exact interpolated percentiles per group (Spark percentile() == "
+        "DuckDB quantile_cont: both linear-interpolate at p*(n-1)). The "
+        "exact form sorts each group's values; the sketch path for true "
+        "100 TB percentiles is approx_percentile (t-digest, fixed-size "
+        "mergeable state) — kept exact here so the oracle can hash-match."
+    ),
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.max("l_extendedprice"), 2).alias("p_max"),
+    )

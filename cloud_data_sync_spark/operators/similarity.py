@@ -30,6 +30,7 @@ N_PLANES = 8
 DIM = 64
 TOP_K = 5
 QUERY_MOD = 100  # vec_id % 100 == 0 → query set
+SEED_MOD = 50  # vec_id % 50 == 1 → IVF coarse centroids ("training-free" seeds)
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,6 +199,119 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     cand = with_sig.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "q_sim_ivf",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+seeds AS (
+  SELECT vec_id AS seed_id, v AS sv, nrm AS snrm
+  FROM n WHERE vec_id % {SEED_MOD} = 1
+),
+assign AS (
+  SELECT n.vec_id, s.seed_id,
+         round(list_sum(list_transform(range(1, len(n.v) + 1),
+               i -> n.v[i] * s.sv[i])) / (n.nrm * s.snrm), 6) AS sim
+  FROM n, seeds s
+),
+cell AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, seed_id) AS rn
+    FROM assign) WHERE rn = 1
+),
+cand AS (
+  SELECT qc.vec_id AS query_id, cc.vec_id,
+         round(list_sum(list_transform(range(1, len(qn.v) + 1),
+               i -> qn.v[i] * cn.v[i])) / (qn.nrm * cn.nrm), 6) AS cos_sim
+  FROM cell qc
+  JOIN cell cc ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id
+  JOIN n qn ON qn.vec_id = qc.vec_id
+  JOIN n cn ON cn.vec_id = cc.vec_id
+  WHERE qc.vec_id % {QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc=(
+        "IVF-style ANN (nprobe=1): every vector is assigned to its nearest "
+        "coarse centroid and queries scan only their own cell. Centroids are "
+        "a deterministic corpus sample (vec_id % SEED_MOD == 1) shipped to "
+        "every executor as ONE broadcast row holding the seed array, so cell "
+        "assignment is a per-row argmax — no explode, no shuffle, no window. "
+        "The assignment sim is rounded to 6 dp before the argmax so both "
+        "engines break ties identically (then by seed_id)."
+    ),
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    seeds_row = (
+        vecs.filter(F.col("vec_id") % SEED_MOD == 1)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("seed_id"),
+                F.col("v").alias("sv"),
+                F.col("nrm").alias("snrm"),
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("seeds"))
+    )
+    v, nrm = F.col("v"), F.col("nrm")
+    scored_seeds = F.transform(
+        F.col("seeds"),
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, s["sv"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (nrm * s["snrm"]),
+                6,
+            ).alias("sim"),
+            s["seed_id"].alias("seed_id"),
+        ),
+    )
+    best = F.get(
+        F.array_sort(
+            scored_seeds,
+            lambda a, b: F.when(a["sim"] > b["sim"], -1)
+            .when(a["sim"] < b["sim"], 1)
+            .when(a["seed_id"] < b["seed_id"], -1)
+            .when(a["seed_id"] > b["seed_id"], 1)
+            .otherwise(0),
+        ),
+        0,
+    )
+    with_cell = vecs.crossJoin(F.broadcast(seeds_row)).withColumn(
+        "cell", best["seed_id"]
+    ).drop("seeds")
+    q = with_cell.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    cand = with_cell.join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
     scored = cand.select(
