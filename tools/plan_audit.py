@@ -1,0 +1,125 @@
+"""Physical-plan audit: assert the scale properties we designed for.
+
+The oracle gate proves values; this proves *plans*. For every registered
+query we render the formatted physical plan and check structural rules:
+
+- no accidental cartesian/nested-loop joins (whitelisted where the
+  non-equi join is the algorithm, e.g. brute-force top-k);
+- dimension joins broadcast instead of shuffling the fact side;
+- global top-k compiles to TakeOrderedAndProject, never a one-partition
+  sort or window;
+- map-only operators stay exchange-free end-to-end;
+- filters on base tables reach the parquet scan (PushedFilters).
+
+Run: ``python tools/plan_audit.py [sf_dir]`` → per-query PASS/FAIL report,
+exit 1 on any FAIL. ``tests/test_plans.py`` runs the same rules in CI.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+# rule table: query -> {"require": [substr...], "forbid": [substr...]}
+# Global forbids apply to every query unless listed in ALLOW.
+GLOBAL_FORBID = ("CartesianProduct",)
+
+# Non-equi joins that ARE the algorithm (broadcast side is provably small):
+# - q_sim_topk / q_sim_ivf / q_dedup_ngram_jaccard: tiny broadcast row/pair
+#   sets against a corpus scan.
+BNLJ_ALLOWED = {"q_sim_topk", "q_sim_ivf"}
+
+RULES: dict[str, dict[str, tuple[str, ...]]] = {
+    # filter + projection must be pushed into the parquet scan
+    "q_scan_filter_project": {"require": ("PushedFilters: [",)},
+    # dim joins broadcast — the orders/lineitem side must not shuffle
+    "q_join_inner": {"require": ("BroadcastHashJoin",)},
+    "q_join_left": {"require": ("BroadcastHashJoin",)},
+    "q_join_semi": {"require": ("BroadcastHashJoin",)},
+    "q_join_anti": {"require": ("BroadcastHashJoin",)},
+    # candidate-verification joins broadcast the candidate side; the
+    # corpus/shingle table must never be shuffled for it
+    "q_dedup_ngram_jaccard": {
+        "require": ("BroadcastHashJoin",),
+        "forbid": ("SortMergeJoin",),
+    },
+    # global top-k must be per-partition top-k + k-row merge
+    "q_topk": {"require": ("TakeOrderedAndProject",)},
+    "q_text_term_freq": {"require": ("TakeOrderedAndProject",)},
+    # map-only operators: zero exchanges end-to-end
+    "q_lang_id": {"forbid": ("Exchange",)},
+    "q_text_quality": {"forbid": ("Exchange",)},
+    "q_udf_surface": {"forbid": ("Exchange",)},
+    "q_doc_fingerprint": {"forbid": ("Exchange",)},
+    "q_multimodal_meta": {"forbid": ("Exchange",)},
+    "q_scalar_string_date_math": {"forbid": ("Exchange",)},
+    "q_array_map_funcs": {"forbid": ("Exchange",)},
+    # one aggregation exchange is the floor for a groupBy — but it must be
+    # preceded by a map-side partial aggregate
+    "q_json_props": {"require": ("partial_count",)},
+}
+
+
+def plan_of(df: DataFrame) -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def audit_one(name: str, df: DataFrame) -> list[str]:
+    """Return a list of violations (empty = pass)."""
+    plan = plan_of(df)
+    bad: list[str] = []
+    for pat in GLOBAL_FORBID:
+        if pat in plan:
+            bad.append(f"forbidden {pat!r} in plan")
+    if name not in BNLJ_ALLOWED and "BroadcastNestedLoopJoin" in plan:
+        bad.append("forbidden 'BroadcastNestedLoopJoin' in plan")
+    rules = RULES.get(name, {})
+    for pat in rules.get("require", ()):
+        if pat not in plan:
+            bad.append(f"missing required {pat!r}")
+    for pat in rules.get("forbid", ()):
+        if pat in plan:
+            bad.append(f"forbidden {pat!r} in plan")
+    # a window with an empty partition spec funnels everything into one
+    # partition — never acceptable
+    if "Window" in plan and ", []" in _window_lines(plan):
+        bad.append("global (unpartitioned) Window in plan")
+    return bad
+
+
+def _window_lines(plan: str) -> str:
+    return "\n".join(line for line in plan.splitlines() if "Window" in line)
+
+
+def main() -> int:
+    from cloud_data_sync_spark.registry import all_queries
+    from cloud_data_sync_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark: SparkSession = get_spark()
+    failures = 0
+    for name, spec in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            bad = audit_one(name, spec.fn(spark, sf_dir))
+        except Exception as exc:  # pragma: no cover - plan build error
+            bad = [f"plan build error: {exc}"]
+        if bad:
+            failures += 1
+            print(f"FAIL  {name}: " + "; ".join(bad))
+        else:
+            print(f"ok    {name}")
+    print(f"\n{'ALL PLANS PASS' if not failures else f'{failures} plan failures'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
