@@ -1,0 +1,41 @@
+"""CLI parity tests (reference: cmd/cloud-data-sync/main.go flags)."""
+
+from __future__ import annotations
+
+import json
+
+from cloud_data_sync_spark.__main__ import main
+
+
+def test_generate_config(tmp_path):
+    path = str(tmp_path / "config.json")
+    assert main(["--generate-config", "--config", path]) == 0
+    cfg = json.loads(open(path).read())
+    assert {"databasePath", "providers", "mappings"} <= set(cfg)
+
+
+def test_once_end_to_end(spark, tmp_path):
+    src = tmp_path / "src" / "bucket-a"
+    src.mkdir(parents=True)
+    (src / "a.txt").write_bytes(b"payload")
+    cfg = {
+        "databasePath": str(tmp_path / "state"),
+        "providers": [
+            {"id": "s", "type": "minio", "minioConfig": {"endpoint": str(tmp_path / "src")}},
+            {"id": "t", "type": "minio", "minioConfig": {"endpoint": str(tmp_path / "tgt")}},
+        ],
+        "mappings": [
+            {
+                "sourceProviderId": "s",
+                "sourceBucket": "bucket-a",
+                "targetProviderId": "t",
+                "targetBucket": "bucket-b",
+            }
+        ],
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main(["--config", str(cfg_path), "--once"]) == 0
+    assert (tmp_path / "tgt" / "bucket-b" / "a.txt").read_bytes() == b"payload"
+    # the --once run must not tear down the embedding caller's session
+    assert spark.range(1).count() == 1
