@@ -594,3 +594,68 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
         F.round(F.max("l_extendedprice"), 2).alias("p_max"),
     )
+
+
+@register(
+    "q_join_skew_salted",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name, round(e.value, 2) AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+    doc=(
+        "Skew-mitigated equi-join: the hot fact keys are salted "
+        "(deterministic hash of the row id mod 8) and the dimension side is "
+        "replicated once per salt, so a single hot key spreads across 8 "
+        "shuffle partitions instead of one straggler task. The join result "
+        "is provably identical to the unsalted join — the oracle IS the "
+        "plain join. (With AQE skew-join this is automatic; explicit "
+        "salting is the portable form and composes with bucketing.)"
+    ),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    )
+    # hint("merge") pins a sort-merge join: at test scale the dimension
+    # would auto-broadcast, and a broadcast join has no skew to mitigate —
+    # the demo is the salted SHUFFLE.
+    return (
+        ev.join(cust.hint("merge"), (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+        .select("event_id", "user_id", "c_name", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+       json_keys(props)[1] AS first_key,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+FROM events WHERE event_id % 100 = 0
+""",
+    doc=(
+        "Map-type functions: JSON props parsed to map<string,bigint> "
+        "(from_json), then map_keys / element access / transform_values — "
+        "the dynamic-metadata shape of the reference's ObjectInfo.Metadata "
+        "map (interfaces/provider.go:16). Pure map-side projection."
+    ),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    return ev.select(
+        "event_id",
+        F.size(m).cast("long").alias("n_keys"),
+        F.get(F.map_keys(m), 0).alias("first_key"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(doubled, "k").alias("k_doubled"),
+    )

@@ -53,6 +53,6 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         text,
     )
-    from cloud_data_sync_spark.streaming import windows  # noqa: F401
+    from cloud_data_sync_spark.streaming import stateful, windows  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Streaming first-seen dedup: one output row per user — the event with the
+lowest ``event_id`` ever observed — maintained incrementally across
+micro-batches in keyed group state. This is the operator family Spark's
+built-ins can't express (``dropDuplicates`` keeps arbitrary first-arrival;
+we need a *deterministic* winner under any batch ordering), hence the
+sanctioned escape hatch: Arrow-batched per-key state with explicit
+get/update, the Structured Streaming analog of the reference's keyed
+SQLite upsert (database.go:346-364).
+
+Scale notes: state is one (min_event_id) long per user key, partitioned by
+the groupBy key across executors; per micro-batch each key sees only its
+new rows (Arrow batches, not Python rows). With event-time semantics a
+watermark + ``GroupStateTimeout.EventTimeTimeout`` would bound the key
+space; keys here are bounded (users), so NoTimeout is correct.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.streaming.runner import (
+    read_events_stream,
+    run_available_now,
+)
+
+OUT_SCHEMA = "user_id long, event_id long, event_type string, value double"
+STATE_SCHEMA = "min_id long"
+
+_name_counter = itertools.count()
+
+
+def _first_event_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if batch.empty:
+        return
+    cand = batch.loc[batch["event_id"].idxmin()]
+    prev = state.get[0] if state.exists else None
+    if prev is None or cand["event_id"] < prev:
+        state.update((int(cand["event_id"]),))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [int(cand["event_id"])],
+                "event_type": [cand["event_type"]],
+                "value": [float(cand["value"])],
+            }
+        )
+
+
+def first_event_per_user(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame → one update row per (user, new minimum)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _first_event_fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "q_stream_stateful_dedup",
+    oracle="""
+SELECT user_id, event_id, event_type, round(value, 2) AS value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc=(
+        "Custom stateful streaming dedup (applyInPandasWithState): first "
+        "event per user by deterministic minimum event_id, state maintained "
+        "per key across micro-batches. The batch query drains the real "
+        "stream with availableNow, then keeps each user's final minimum "
+        "(update mode may emit superseded intermediates across batches)."
+    ),
+)
+def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    out = run_available_now(
+        first_event_per_user(read_events_stream(spark, sf_dir)),
+        f"t_stateful_dedup_{next(_name_counter)}",
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )

@@ -57,6 +57,9 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_multimodal_meta": {"forbid": ("Exchange",)},
     "q_scalar_string_date_math": {"forbid": ("Exchange",)},
     "q_array_map_funcs": {"forbid": ("Exchange",)},
+    "q_map_funcs": {"forbid": ("Exchange",)},
+    # the salting demo must actually shuffle on (key, salt)
+    "q_join_skew_salted": {"require": ("SortMergeJoin",)},
     # one aggregation exchange is the floor for a groupBy — but it must be
     # preceded by a map-side partial aggregate
     "q_json_props": {"require": ("partial_count",)},
