@@ -21,6 +21,8 @@ driver.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -503,10 +505,26 @@ WHERE list_sum(list_transform(range(1, len(a.v) + 1),
 """,
     doc=(
         "Embedding near-dup: label-blocked pairwise cosine ≥ 0.4. Blocking "
-        "column bounds the join (per-label pairs, not whole-corpus all-pairs)."
+        "bounds the join (per-label pairs, not whole-corpus all-pairs); the "
+        "pair volume makes the dot product the hot loop, so it runs as a "
+        "vectorized Arrow pandas UDF (numpy einsum over the batch matrix — "
+        "measured ~5× the interpreted zip_with/aggregate HOF at 200k pairs). "
+        "Products of float-origin doubles are exact; only the 64-term add "
+        "order differs from the oracle's sequential sum, ulp-level noise "
+        "absorbed by the 6 dp rounding."
     ),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def _pair_cosine(
+        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.values)
+        B = np.stack(vb.values)
+        return pd.Series(np.einsum("ij,ij->i", A, B) / (na.values * nb.values))
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -516,12 +534,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     )
     a, b = emb.alias("a"), emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = _pair_cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm"))
     return (
         a.join(
             b,
