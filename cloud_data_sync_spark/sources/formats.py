@@ -1,0 +1,70 @@
+"""Tabular source/sink formats: parquet, ORC, CSV, JSON (+ partitioned
+layouts).
+
+The reference moves opaque byte streams between object stores
+(sync.go:134-152) — it has no tabular formats at all. This engine's
+tabular surface is Spark's DataSource V2 readers/writers behind one
+thin API, so every sink is also a source and schema round-trips are
+testable. Scale rules:
+
+- **Parquet/ORC are the scale formats**: columnar, predicate + projection
+  pushdown, splittable compression. CSV/JSON exist for interchange; both
+  are schema-on-read here (explicit schema, never inferSchema on a 100 TB
+  path — inference is a full extra scan).
+- **Partitioned layouts** (``partitionBy``) turn equality filters on the
+  partition columns into directory pruning — the read never lists, let
+  alone scans, non-matching partitions (PartitionFilters in the scan node).
+- **Writer parallelism** is the DataFrame's partitioning: one file per
+  task per output partition. Repartition by the layout columns before a
+  partitioned write or every task writes into every partition directory
+  (the small-files explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if partition_by:
+        # co-locate rows of each output partition into one task so the
+        # layout produces one file per partition value, not tasks×values
+        df = df.repartition(*[F.col(c) for c in partition_by])
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+) -> DataFrame:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(
+            f"{fmt} requires an explicit schema: inference costs a full "
+            "extra scan and infers types from whatever sample it sees"
+        )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)

@@ -1,0 +1,58 @@
+"""Source/sink format round-trips + partition pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_data_sync_spark.sources.formats import read_table, write_table
+from cloud_data_sync_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_round_trip(spark, tmp_path, fmt):
+    nation = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / fmt)
+    write_table(nation, path, fmt)
+    back = read_table(spark, path, fmt, schema=SCHEMA)
+    assert back.schema == nation.select(*back.columns).schema
+    orig = {tuple(r) for r in nation.collect()}
+    assert {tuple(r) for r in back.select(*nation.columns).collect()} == orig
+
+
+def test_schema_required_for_text_formats(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(tmp_path), "csv")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_by_status")
+    write_table(orders, path, "parquet", partition_by=["status"])
+    # layout: one directory per status value
+    dirs = {d for d in os.listdir(path) if d.startswith("status=")}
+    assert len(dirs) >= 2
+    back = read_table(spark, path, "parquet").filter(F.col("status") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the equality filter must become directory pruning, not a data filter
+    assert "PartitionFilters: [" in plan and "status" in plan.split("PartitionFilters:")[1][:120]
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_partitioned_write_one_file_per_partition(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_compact")
+    write_table(orders, path, "parquet", partition_by=["status"])
+    for d in os.listdir(path):
+        if d.startswith("status="):
+            files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, f"{d}: repartition should yield one file, got {files}"
