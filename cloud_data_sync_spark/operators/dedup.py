@@ -392,6 +392,95 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (v, cluster_id).
+
+    Iterative algorithm, Spark-idiomatic: each round is two distributed
+    joins (pull the min label from neighbors, fold it into the current
+    label); ONLY the convergence flag (a count) comes to the driver.
+    ``localCheckpoint`` truncates the lineage each round — without it the
+    plan doubles per iteration and the job dies on analysis time long
+    before data size matters. Rounds needed = graph diameter, which for
+    near-dup clusters is tiny; ``max_iter`` caps pathological chains.
+    """
+    sym = edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b"))
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("v", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_AUG_SQL},
+{_ORACLE_SIG_CTES},
+dup AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+  WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup
+  UNION
+  SELECT doc_b, doc_a FROM dup
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a
+""",
+    doc=(
+        "Near-dup cluster assignment: connected components over the "
+        "MinHash/LSH duplicate graph via iterative min-label propagation "
+        "(per-round: two joins + an agg; only the convergence count hits "
+        "the driver). cluster_id = min doc_id of the component — the "
+        "canonical survivor every dedup pipeline keeps. Oracle: recursive-"
+        "CTE transitive closure (fine at oracle scale; propagation is the "
+        "form that scales)."
+    ),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_candidate_pairs(minhash_signatures(augmented_documents(spark, sf_dir)))
+    dup = (
+        pairs.select("doc_a", "doc_b", F.round(_est_jaccard(), 4).alias("est"))
+        .filter(F.col("est") >= 0.5)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+    )
+    return connected_components(dup).select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 
 _HEX = "0123456789abcdef"

@@ -12,6 +12,7 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from cloud_data_sync_spark.operators.dedup import (
+    connected_components,
     lsh_candidate_pairs,
     minhash_signatures,
 )
@@ -103,3 +104,14 @@ def test_minhash_signature_identical_for_reordered_shingleless_docs(spark):
     sig = minhash_signatures(docs)
     assert [r.doc_id for r in sig.select("doc_id").collect()] == [2]
     assert sig.filter(F.exists("sig", lambda s: s.isNull())).count() == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (one component, min label 1) + island pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {
+        (r.v, r.label) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
