@@ -685,3 +685,100 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         F.element_at(doubled, "k").alias("k_doubled"),
     )
+
+
+@register(
+    "q_window_analytics",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(coalesce(lead(o_totalprice) OVER w, 0.0), 2) AS next_price
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+    doc=(
+        "Analytic-function breadth: ntile / percent_rank / cume_dist / "
+        "lead over one per-customer window (single shuffle, one sort "
+        "serving all four functions)."
+    ),
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)), 2).alias(
+                "next_price"
+            ),
+        )
+    )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+SELECT c_custkey, c_name,
+       regexp_extract(c_name, '[0-9]+$', 0) AS name_num,
+       CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS edit_dist,
+       regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       upper(substr(c_name, 1, 8)) AS prefix_up
+FROM customer WHERE c_custkey % 25 = 0
+""",
+    doc=(
+        "String-function breadth: regexp_extract / regexp_replace / "
+        "levenshtein / substring / case mapping — all codegen'd map-side."
+    ),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 25 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.regexp_extract("c_name", r"[0-9]+$", 0).alias("name_num"),
+            F.levenshtein("c_name", F.lit("Customer#000000001"))
+            .cast("long")
+            .alias("edit_dist"),
+            F.regexp_replace("c_name", "0+", "0").alias("squeezed"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.upper(F.substring("c_name", 1, 8)).alias("prefix_up"),
+        )
+    )
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+            AS BIGINT) AS bucket16
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 6554
+""",
+    doc=(
+        "Deterministic ~10% sample by key hash (md5 prefix < threshold): "
+        "reproducible on any engine and any run — the sampling primitive a "
+        "training-data pipeline needs (TABLESAMPLE / rand() are neither "
+        "portable nor stable). Map-only, no shuffle."
+    ),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", bucket.alias("bucket16"))
+        .filter(F.col("bucket16") < 6554)
+    )

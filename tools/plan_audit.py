@@ -56,6 +56,8 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_scalar_string_date_math": {"forbid": ("Exchange",)},
     "q_array_map_funcs": {"forbid": ("Exchange",)},
     "q_map_funcs": {"forbid": ("Exchange",)},
+    "q_string_funcs": {"forbid": ("Exchange",)},
+    "q_sample_hash": {"forbid": ("Exchange",)},
     # the salting demo must actually shuffle on (key, salt)
     "q_join_skew_salted": {"require": ("SortMergeJoin",)},
     # one aggregation exchange is the floor for a groupBy — but it must be
