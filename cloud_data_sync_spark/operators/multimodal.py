@@ -134,3 +134,69 @@ FROM documents
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(binary_table(spark, sf_dir))
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_len long, frame_md5 string"
+FRAME_BYTES = 100
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def sample_frames(binary_df: DataFrame) -> DataFrame:
+    """1→N frame sampling via mapInPandas: each payload expands to every
+    FRAME_STRIDE-th fixed-size chunk ("frame") with per-frame metadata.
+
+    This is the video/audio frame-sampling shape: expansion happens
+    executor-side inside the Arrow batch (never a driver loop), output
+    rows carry (doc_id, frame_idx) so downstream per-frame feature UDFs
+    join/partition naturally. With a real codec the chunking is replaced
+    by decoded frames; the Spark plumbing is identical."""
+    import hashlib
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_len": [],
+                "frame_md5": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                n_frames = len(content) // FRAME_BYTES + 1
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    chunk = bytes(content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) // {FRAME_BYTES} + 1 AS n_frames
+  FROM documents
+),
+expanded AS (
+  SELECT doc_id, text, unnest(range(0, n_frames)) AS idx FROM f
+)
+SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+       CAST(length(substr(text, CAST(idx * {FRAME_BYTES} + 1 AS INTEGER),
+                          {FRAME_BYTES})) AS BIGINT) AS frame_len,
+       md5(substr(text, CAST(idx * {FRAME_BYTES} + 1 AS INTEGER),
+                  {FRAME_BYTES})) AS frame_md5
+FROM expanded WHERE idx % {FRAME_STRIDE} = 0
+""",
+    doc=(
+        "Frame sampling over binary payloads: every 4th fixed-size chunk "
+        "as a row with per-frame checksum — the 1→N expansion pattern for "
+        "video/audio, executor-side in Arrow batches. ASCII payloads make "
+        "the byte chunks equal the oracle's substrings."
+    ),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(binary_table(spark, sf_dir))
