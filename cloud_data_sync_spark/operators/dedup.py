@@ -403,7 +403,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     before data size matters. Rounds needed = graph diameter, which for
     near-dup clusters is tiny; ``max_iter`` caps pathological chains.
     """
-    sym = edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b"))
+    # materialize the edge list ONCE — it is re-joined every round, and
+    # leaving it lazy would re-execute the (expensive) upstream plan that
+    # produced the edges on every iteration
+    sym = (
+        edges.selectExpr("a", "b")
+        .union(edges.selectExpr("b AS a", "a AS b"))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("v"))
         .distinct()
