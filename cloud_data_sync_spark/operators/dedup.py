@@ -423,6 +423,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        # lazy checkpoint: the changed-count action below materializes it,
+        # so each round runs ONE job instead of checkpoint+count
         updated = (
             labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
             .select(
@@ -432,7 +434,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("new_label"),
                 "label",
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
         labels = updated.select("v", F.col("new_label").alias("label"))
         if changed == 0:
