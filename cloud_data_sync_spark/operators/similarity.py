@@ -291,16 +291,14 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             s["seed_id"].alias("seed_id"),
         ),
     )
-    best = F.get(
-        F.array_sort(
+    # argmax(sim, tie → min seed) as array_min over (-sim, seed_id): the
+    # natural struct ordering replaces an O(K log K) comparator sort with
+    # one linear min, same tie semantics as the oracle's ORDER BY.
+    best = F.array_min(
+        F.transform(
             scored_seeds,
-            lambda a, b: F.when(a["sim"] > b["sim"], -1)
-            .when(a["sim"] < b["sim"], 1)
-            .when(a["seed_id"] < b["seed_id"], -1)
-            .when(a["seed_id"] > b["seed_id"], 1)
-            .otherwise(0),
-        ),
-        0,
+            lambda s: F.struct((-s["sim"]).alias("nsim"), s["seed_id"].alias("seed_id")),
+        )
     )
     with_cell = vecs.crossJoin(F.broadcast(seeds_row)).withColumn(
         "cell", best["seed_id"]
