@@ -45,6 +45,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    # External harnesses hand us vanilla SparkSessions that never went through
+    # get_spark(), so the two confs correctness depends on are (re)pinned here
+    # at read time — both are runtime-settable:
+    # - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which Spark
+    #   rejects outright without it (read as bigint, normalized below);
+    # - session timeZone: collected timestamps render in session tz, and the
+    #   DuckDB oracle compares against naive-UTC wall times.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong — truncate ns → µs exactly as

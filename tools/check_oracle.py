@@ -4,7 +4,12 @@ Runs every registered query on Spark and its oracle on DuckDB at a given
 sf dir, then compares row-count, sorted column names, and an
 order-insensitive value hash. Use while iterating:
 
-    python tools/check_oracle.py [sf_dir] [query_name ...]
+    python tools/check_oracle.py [--vanilla] [sf_dir] [query_name ...]
+
+``--vanilla`` runs through a bare ``SparkSession.builder.getOrCreate()`` with
+zero engine conf — replicating the driver's harness, which never calls
+``get_spark()``. CI runs this mode so builder-local green predicts driver
+green (round-1 lesson: 7 queries died only under the vanilla session).
 
 Exit code 1 if any query mismatches.
 """
@@ -55,13 +60,22 @@ def value_hash(lines: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     specs = all_queries()
     if only:
         specs = {k: v for k, v in specs.items() if k in only}
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
