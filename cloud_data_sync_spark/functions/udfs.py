@@ -59,20 +59,53 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_RSD = 0.023
+
+
 @register(
     "q_agg_approx_distinct",
-    oracle=None,  # approximate by definition — rows-only check
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS within_tolerance
+FROM lineitem
+GROUP BY l_returnflag
+""",
     doc=(
         "HyperLogLog++ approximate distinct (the 100 TB cardinality path: "
-        "fixed-size sketch, no expand shuffle). Exact twin lives in "
-        "q_agg_distinct. rsd=0.023 → 8k registers/sketch; 0.01 would need "
-        "131k registers per (group, partition) — 16× the sketch bytes on "
-        "the shuffle for 1% vs 2.3% error, a bad trade at scale."
+        "fixed-size sketch, no expand shuffle). rsd=0.023 → 8k "
+        "registers/sketch; 0.01 would need 131k registers per (group, "
+        "partition) — 16× the sketch bytes on the shuffle for 1% vs 2.3% "
+        "error, a bad trade at scale. HLL estimates can't hash-match another "
+        "engine, so the emitted columns are the exact counts plus a "
+        "deterministic within_tolerance boolean (|approx-exact|/exact <= "
+        "3*rsd for both sketches); the oracle computes the exact counts and "
+        "literal TRUE. The sketch still runs — a broken HLL flips the "
+        "boolean and the hash."
     ),
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.023).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.023).alias("approx_supps"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=_HLL_RSD).alias("approx_supps"),
+    )
+    tol = 3 * _HLL_RSD
+    ok = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        / F.col("exact_parts")
+        <= tol
+    ) & (
+        F.abs(F.col("approx_supps") - F.col("exact_supps"))
+        / F.col("exact_supps")
+        <= tol
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        ok.alias("within_tolerance"),
     )
