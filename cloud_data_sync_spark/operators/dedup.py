@@ -581,30 +581,47 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- embedding-cosine near-dup ----------------------------------------------
 
 
-@register(
-    "q_dedup_embedding",
-    oracle="""
-WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+def _embedding_oracle() -> str:
+    # Reuses the similarity module's hyperplane-signature SQL so the oracle
+    # blocks on the exact same LSH bands as the Spark plan.
+    from cloud_data_sync_spark.operators.similarity import _ORACLE_SIG, _ORACLE_VECS
+
+    return f"""
+WITH {_ORACLE_VECS},
+{_ORACLE_SIG},
+bands AS (
+  SELECT vec_id, 0 AS band_id, substr(bucket, 1, 4) AS band_sig FROM sig
+  UNION ALL
+  SELECT vec_id, 1, substr(bucket, 5, 4) FROM sig
 ),
-n AS (
-  SELECT vec_id, label, v,
-         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-  FROM e
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+              AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       CAST(a.label AS BIGINT) AS label,
+SELECT c.vec_a, c.vec_b, CAST(a.label AS BIGINT) AS label,
        round(list_sum(list_transform(range(1, len(a.v) + 1),
              i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos_sim
-FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM cand c
+JOIN n a ON a.vec_id = c.vec_a
+JOIN n b ON b.vec_id = c.vec_b AND b.label = a.label
 WHERE list_sum(list_transform(range(1, len(a.v) + 1),
       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.4
-""",
+"""
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=_embedding_oracle(),
     doc=(
-        "Embedding near-dup: label-blocked pairwise cosine ≥ 0.4. Blocking "
-        "bounds the join (per-label pairs, not whole-corpus all-pairs); the "
-        "pair volume makes the dot product the hot loop, so it runs as a "
+        "Embedding near-dup: cosine ≥ 0.4 over pairs blocked on (label, "
+        "hyperplane-LSH band). Label blocking alone is quadratic within a "
+        "hot label at corpus scale (round-1 verdict); adding the LSH band "
+        "as a second blocking key (2 bands × 4 planes of the similarity "
+        "module's 8-plane signature) bounds bucket size at ~N_label/2^4 per "
+        "band — the standard recall/cost LSH trade, deterministic on both "
+        "engines. The dot product is the hot loop, so it runs as a "
         "vectorized Arrow pandas UDF (numpy einsum over the batch matrix — "
         "measured ~5× the interpreted zip_with/aggregate HOF at 200k pairs). "
         "Products of float-origin doubles are exact; only the 64-term add "
@@ -613,6 +630,8 @@ WHERE list_sum(list_transform(range(1, len(a.v) + 1),
     ),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.operators.similarity import _bucket_col
+
     @F.pandas_udf("double")
     def _pair_cosine(
         va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
@@ -631,18 +650,56 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.withColumn(
         "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = _pair_cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm"))
-    return (
+    bands = (
+        emb.withColumn("bucket", _bucket_col(F.col("v")))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            "nrm",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("band_id"),
+                        F.substring("bucket", 1, 4).alias("band_sig"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("band_id"),
+                        F.substring("bucket", 5, 4).alias("band_sig"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select("vec_id", "label", "v", "nrm", "band.band_id", "band.band_sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").cast("long").alias("label"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        # A pair matching in both bands appears twice with identical payloads;
+        # dedup on the pair key before the (expensive) cosine.
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _pair_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            "label",
             F.round(cos, 6).alias("cos_sim"),
             cos.alias("_raw"),
         )
