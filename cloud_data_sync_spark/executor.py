@@ -23,6 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import mimetypes
 import os
 import shutil
 from collections.abc import Iterator
@@ -36,7 +37,7 @@ from cloud_data_sync_spark.sync import ACTION_COPY, ACTION_DELETE
 RESULT_SCHEMA = (
     "mapping_id string, object_name string, action string, status string, "
     "error string, size long, last_modified timestamp, etag string, "
-    "last_synced timestamp"
+    "content_type string, last_synced timestamp"
 )
 
 CHUNK = 1024 * 1024
@@ -95,10 +96,16 @@ def execute_plan(plan: DataFrame, src_root: str, tgt_root: str, parallelism: int
             for row in pdf.itertuples(index=False):
                 now = datetime.now(timezone.utc).replace(tzinfo=None)
                 name = row.object_name
+                content_type = None
                 if row.action == ACTION_COPY:
                     status, err = _copy_one(
                         os.path.join(src_local, name), os.path.join(tgt_local, name)
                     )
+                    # Reference stores ContentType per object
+                    # (database.go:144-157); for copied rows only, extension
+                    # sniffing is free and avoids the N+1 HEAD the reference
+                    # pays per listing.
+                    content_type = mimetypes.guess_type(name)[0]
                 else:
                     status, err = _delete_one(os.path.join(tgt_local, name))
                 out.append(
@@ -111,6 +118,7 @@ def execute_plan(plan: DataFrame, src_root: str, tgt_root: str, parallelism: int
                         "size": getattr(row, "size", None),
                         "last_modified": getattr(row, "last_modified", None),
                         "etag": getattr(row, "etag", None),
+                        "content_type": content_type,
                         "last_synced": now,
                     }
                 )
@@ -125,6 +133,7 @@ def execute_plan(plan: DataFrame, src_root: str, tgt_root: str, parallelism: int
                     "size",
                     "last_modified",
                     "etag",
+                    "content_type",
                     "last_synced",
                 ],
             )

@@ -20,7 +20,10 @@ takes the role of SIGTERM (main.go:108-113).
 
 from __future__ import annotations
 
+import json
+import logging
 import os
+import signal
 import time
 from dataclasses import dataclass
 
@@ -33,8 +36,24 @@ from cloud_data_sync_spark.executor import (
     STATUS_SUCCESS,
     execute_plan,
 )
-from cloud_data_sync_spark.sources.listing import list_objects
+from cloud_data_sync_spark.sources.listing import (
+    CATALOG_SCHEMA,
+    list_objects,
+    list_objects_binaryfile,
+)
 from cloud_data_sync_spark.sync import ACTION_COPY, ACTION_DELETE, sync_diff
+
+
+# Structured logging: one JSON record per mapping/run — the reference's
+# contextual slog output (main.go:27-28, sync.go:34-39). Handlers/level are
+# the host application's choice; records carry the fields in `extra` AND as
+# a pre-rendered JSON message so any handler prints something parseable.
+log = logging.getLogger("cloud_data_sync_spark")
+
+
+def _log_event(level: int, event: str, **fields: object) -> None:
+    payload = {"event": event, **fields}
+    log.log(level, json.dumps(payload, default=str), extra={"sync": payload})
 
 
 @dataclass
@@ -64,19 +83,47 @@ def _bucket_root(cfg: Config, provider_id: str, bucket: str) -> str:
     return bucket
 
 
+def count_actions(results: DataFrame) -> dict[str, int]:
+    """Fold per-(action, status) result rows into the report counters.
+
+    Accumulate, don't comprehend: failed_get and failed_upload both map to
+    copy_failed and must SUM, not overwrite each other.
+    """
+    counts: dict[str, int] = {}
+    for r in results.groupBy("action", "status").agg(F.count("*").alias("n")).collect():
+        key = f"{r['action']}_{'success' if r['status'] == STATUS_SUCCESS else 'failed'}"
+        counts[key] = counts.get(key, 0) + r["n"]
+    return counts
+
+
+def _catalog(
+    spark: SparkSession, root_uri: str, mapping_id: str, distributed: bool
+) -> DataFrame:
+    """Listing for one bucket root: driver-side remote-iterator by default,
+    or the cluster-parallel binaryFile index for very large buckets
+    (``distributed=True``). Missing roots list as empty either way."""
+    if not distributed:
+        return list_objects(spark, root_uri, mapping_id)
+    try:
+        return list_objects_binaryfile(spark, root_uri, mapping_id)
+    except Exception:  # noqa: BLE001 - path doesn't exist yet (first run)
+        return spark.createDataFrame([], CATALOG_SCHEMA)
+
+
 def sync_buckets(
     spark: SparkSession,
     cfg: Config,
     mapping: BucketMapping,
     state_path: str,
+    distributed_listing: bool = False,
 ) -> SyncReport:
     mid = mapping.mapping_id
     src_root = _bucket_root(cfg, mapping.source_provider_id, mapping.source_bucket)
     tgt_root = _bucket_root(cfg, mapping.target_provider_id, mapping.target_bucket)
 
     # 1. catalogs (metadata only — no payload reads)
-    src = list_objects(spark, src_root, mid)
-    tgt = list_objects(spark, tgt_root, mid)
+    src = _catalog(spark, src_root, mid, distributed_listing)
+    tgt = _catalog(spark, tgt_root, mid, distributed_listing)
 
     # ensure target root exists (EnsureBucketExists, sync.go:88-91)
     os.makedirs(tgt_root.replace("file://", ""), exist_ok=True)
@@ -100,7 +147,7 @@ def sync_buckets(
         "size",
         "last_modified",
         "etag",
-        F.lit(None).cast("string").alias("content_type"),
+        "content_type",
         "last_synced",
         F.col("status").alias("sync_status"),
     )
@@ -113,31 +160,39 @@ def sync_buckets(
     ).localCheckpoint()
 
     # 5. report (the counters the reference logs, sync.go:166-170, 231-233)
-    counts = {
-        f"{r['action']}_{'success' if r['status'] == STATUS_SUCCESS else 'failed'}": r[
-            "n"
-        ]
-        for r in results.groupBy("action", "status").agg(F.count("*").alias("n")).collect()
-    }
+    counts = count_actions(results)
     skipped = plan.filter(F.col("action") == "skip").count()
     if skipped:
         counts["skip"] = skipped
 
     state_mod.save_state(new_state, state_path)
+    _log_event(logging.INFO, "mapping_synced", mapping_id=mid, counts=counts)
     return SyncReport(mapping_id=mid, counts=counts)
 
 
-def sync_all(spark: SparkSession, cfg: Config, state_path: str) -> list[SyncReport]:
+def sync_all(
+    spark: SparkSession,
+    cfg: Config,
+    state_path: str,
+    distributed_listing: bool = False,
+) -> list[SyncReport]:
     """FOREACH mapping, continue-on-error (sync.go:32-53)."""
     reports = []
     for mapping in cfg.mappings:
         try:
-            reports.append(sync_buckets(spark, cfg, mapping, state_path))
+            reports.append(
+                sync_buckets(spark, cfg, mapping, state_path, distributed_listing)
+            )
         except Exception as e:  # noqa: BLE001 - per-mapping isolation
             reports.append(
                 SyncReport(mapping_id=mapping.mapping_id, counts={"mapping_failed": 1})
             )
-            print(f"sync failed for {mapping.mapping_id}: {e}")
+            _log_event(
+                logging.ERROR,
+                "mapping_failed",
+                mapping_id=mapping.mapping_id,
+                error=str(e),
+            )
     return reports
 
 
@@ -149,13 +204,44 @@ def run_continuous(
     max_ticks: int | None = None,
     stop_file: str | None = None,
 ) -> list[list[SyncReport]]:
-    """main.go:85-115: initial run + fixed-interval re-runs until stopped."""
-    all_reports = [sync_all(spark, cfg, state_path)]
-    ticks = 1
-    while (max_ticks is None or ticks < max_ticks) and not (
-        stop_file and os.path.exists(stop_file)
-    ):
-        time.sleep(interval_sec)
-        all_reports.append(sync_all(spark, cfg, state_path))
-        ticks += 1
-    return all_reports
+    """main.go:85-115: initial run + fixed-interval re-runs until stopped.
+
+    Graceful shutdown matches the reference (main.go:71-72, 108-113): SIGINT /
+    SIGTERM finish the in-flight run and exit cleanly between ticks. Handlers
+    install only on the main thread (signal.signal raises elsewhere) and are
+    restored on exit; a stop-file works from any context.
+    """
+    stop_requested = False
+
+    def _request_stop(signum: int, frame: object) -> None:
+        nonlocal stop_requested
+        stop_requested = True
+        _log_event(logging.INFO, "shutdown_requested", signum=signum)
+
+    previous: dict[int, object] = {}
+    try:
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            previous[sig] = signal.signal(sig, _request_stop)
+    except ValueError:  # not the main thread — stop-file still works
+        previous = {}
+
+    try:
+        all_reports = [sync_all(spark, cfg, state_path)]
+        ticks = 1
+        while (
+            (max_ticks is None or ticks < max_ticks)
+            and not stop_requested
+            and not (stop_file and os.path.exists(stop_file))
+        ):
+            # sleep in sub-second slices so a signal ends the wait promptly
+            deadline = time.monotonic() + interval_sec
+            while time.monotonic() < deadline and not stop_requested:
+                time.sleep(min(0.2, max(0.0, deadline - time.monotonic())))
+            if stop_requested or (stop_file and os.path.exists(stop_file)):
+                break
+            all_reports.append(sync_all(spark, cfg, state_path))
+            ticks += 1
+        return all_reports
+    finally:
+        for sig, handler in previous.items():
+            signal.signal(sig, handler)

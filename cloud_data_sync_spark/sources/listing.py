@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -44,6 +45,10 @@ CATALOG_SCHEMA = StructType(
         StructField("last_modified", TimestampType(), True),
         StructField("etag", StringType(), True),
         StructField("content_type", StringType(), True),
+        # ObjectInfo.Metadata map[string]string (interfaces/provider.go:16).
+        # Hadoop FileSystem listings don't surface user metadata — cloud-SDK
+        # listers populate it; file:/Hadoop paths carry an empty map.
+        StructField("metadata", MapType(StringType(), StringType()), True),
     ]
 )
 
@@ -120,6 +125,7 @@ def list_objects(
         F.timestamp_millis(F.col("mtime_ms")).alias("last_modified"),
         "etag",
         "content_type",
+        F.create_map().cast("map<string,string>").alias("metadata"),
     )
 
 
@@ -146,6 +152,7 @@ def list_objects_binaryfile(
             "etag"
         ),
         F.lit(None).cast("string").alias("content_type"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
         *(["content"] if with_content else []),
     )
     return out

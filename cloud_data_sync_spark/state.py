@@ -15,6 +15,9 @@ metadata table: ~100 bytes/object), never payloads.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -41,6 +44,48 @@ STATE_SCHEMA = StructType(
 
 KEYS = ["mapping_id", "object_name"]
 
+# Schema-version marker: the promised replacement for the reference's
+# transactional migration runner (database.go:45-313). Parquet handles
+# additive evolution; the marker catches everything else — a state table
+# written by an incompatible engine version fails loudly instead of being
+# silently misread. Underscore-prefixed, so Spark's parquet reader ignores it.
+STATE_VERSION = 1
+_VERSION_FILE = "_state_version.json"
+
+
+class StateVersionError(RuntimeError):
+    """State table on disk was written by an incompatible schema version."""
+
+
+def _version_path(path: str) -> str:
+    return os.path.join(path.replace("file://", ""), _VERSION_FILE)
+
+
+def check_state_version(path: str) -> None:
+    """Raise StateVersionError if the on-disk marker mismatches.
+
+    A missing marker (pre-versioning table or brand-new path) is accepted —
+    the next save stamps it. Local-path I/O here; a cloud deployment would
+    route through the Hadoop FileSystem API, same one-file protocol.
+    """
+    try:
+        with open(_version_path(path), encoding="utf-8") as f:
+            marker = json.load(f)
+    except (OSError, ValueError):
+        return
+    if marker.get("version") != STATE_VERSION:
+        raise StateVersionError(
+            f"state table at {path} has version {marker.get('version')}, "
+            f"engine expects {STATE_VERSION}; run a migration before syncing"
+        )
+
+
+def _write_state_version(path: str) -> None:
+    with open(_version_path(path), "w", encoding="utf-8") as f:
+        json.dump(
+            {"version": STATE_VERSION, "columns": STATE_SCHEMA.fieldNames()}, f
+        )
+
 
 def empty_state(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], STATE_SCHEMA)
@@ -48,6 +93,7 @@ def empty_state(spark: SparkSession) -> DataFrame:
 
 def load_state(spark: SparkSession, path: str) -> DataFrame:
     """Load the state table, or an empty frame if it doesn't exist yet."""
+    check_state_version(path)
     try:
         return spark.read.schema(STATE_SCHEMA).parquet(path)
     except Exception:  # noqa: BLE001 - missing path on first run
@@ -95,6 +141,7 @@ def save_state(state: DataFrame, path: str) -> None:
         .partitionBy("mapping_id")
         .parquet(path)
     )
+    _write_state_version(path)
 
 
 def state_for_mapping(state: DataFrame, mapping_id: str) -> DataFrame:

@@ -74,7 +74,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle="""
 WITH gaps AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -83,7 +83,7 @@ WITH gaps AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM gaps
@@ -110,6 +110,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "value",
         F.when(
             prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
@@ -117,9 +118,11 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_session"),
     )
+    # event_id tiebreaker matches the lag window's ordering — with tied
+    # timestamps an ORDER BY ts alone makes session_id nondeterministic.
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sessions = gaps.withColumn("session_id", F.sum("new_session").over(w_cum))

@@ -58,10 +58,17 @@ def sync_diff(src: DataFrame, tgt: DataFrame, state: DataFrame) -> DataFrame:
         F.col("sync_status").alias("st_sync_status"),
     )
 
+    # Null-safe comparisons: a state row with NULL etag/last_modified must
+    # classify as changed (the reference resyncs such objects, sync.go:111-114);
+    # plain != yields NULL, falls through every when(), and would mis-land on
+    # 'unchanged' → skip.
     reason = (
         F.when(F.col("st_sync_status").isNull(), F.lit("new"))
-        .when(F.col("st_etag") != F.col("etag"), F.lit("etag_changed"))
-        .when(F.col("st_last_modified") != F.col("last_modified"), F.lit("mtime_changed"))
+        .when(~F.col("st_etag").eqNullSafe(F.col("etag")), F.lit("etag_changed"))
+        .when(
+            ~F.col("st_last_modified").eqNullSafe(F.col("last_modified")),
+            F.lit("mtime_changed"),
+        )
         .when(F.col("st_sync_status") != F.lit(STATUS_SUCCESS), F.lit("status_retry"))
         .otherwise(F.lit("unchanged"))
     )
@@ -171,13 +178,13 @@ state AS (
 ),
 plan AS (
   SELECT s.mapping_id, s.object_name,
-         CASE WHEN st.object_name IS NULL OR st.etag <> s.etag
-                   OR st.last_modified <> s.last_modified
+         CASE WHEN st.object_name IS NULL OR st.etag IS DISTINCT FROM s.etag
+                   OR st.last_modified IS DISTINCT FROM s.last_modified
                    OR st.sync_status <> '{STATUS_SUCCESS}'
               THEN '{ACTION_COPY}' ELSE '{ACTION_SKIP}' END AS action,
          CASE WHEN st.object_name IS NULL THEN 'new'
-              WHEN st.etag <> s.etag THEN 'etag_changed'
-              WHEN st.last_modified <> s.last_modified THEN 'mtime_changed'
+              WHEN st.etag IS DISTINCT FROM s.etag THEN 'etag_changed'
+              WHEN st.last_modified IS DISTINCT FROM s.last_modified THEN 'mtime_changed'
               WHEN st.sync_status <> '{STATUS_SUCCESS}' THEN 'status_retry'
               ELSE 'unchanged' END AS reason,
          s.size, s.etag, s.last_modified

@@ -52,6 +52,18 @@ def test_first_sync_copies_everything(spark, env):
     assert len(st) == 2
 
 
+def test_distributed_listing_syncs_identically(spark, env):
+    """binaryFile-index listing (the very-large-bucket path) drives the same
+    reconciliation: first run copies all, second run skips all."""
+    cfg, src, tgt, state_path = env
+    r1 = sync_all(spark, cfg, state_path, distributed_listing=True)[0]
+    assert r1.counts.get("copy_success") == 2
+    assert (tgt / "a.txt").read_bytes() == b"hello world"
+    r2 = sync_all(spark, cfg, state_path, distributed_listing=True)[0]
+    assert r2.counts.get("skip") == 2
+    assert "copy_success" not in r2.counts
+
+
 def test_second_sync_skips_unchanged(spark, env):
     cfg, src, tgt, state_path = env
     sync_all(spark, cfg, state_path)
@@ -91,6 +103,87 @@ def test_source_read_failure_recorded(spark, env, tmp_path):
     # a.txt no longer listed as a file → delete phase removes it from target
     assert not (tgt / "a.txt").is_file()
     assert r2.counts.get("delete_success") == 1
+
+
+def test_content_type_recorded_for_copies(spark, env):
+    """database.go:144-157 stores ContentType; copied rows get extension-
+    sniffed types, delete rows stay null."""
+    cfg, src, tgt, state_path = env
+    sync_all(spark, cfg, state_path)
+    st = {r["object_name"]: r for r in state_mod.load_state(spark, state_path).collect()}
+    assert st["a.txt"]["content_type"] == "text/plain"
+    assert st["nested/b.txt"]["content_type"] == "text/plain"
+
+
+def test_count_actions_accumulates_failure_variants(spark):
+    """failed_get and failed_upload both fold into copy_failed — they must
+    sum, not overwrite (the reference's counters, sync.go:166-170)."""
+    from cloud_data_sync_spark.runner import count_actions
+
+    results = spark.createDataFrame(
+        [
+            ("m", "o1", "copy", "failed_get"),
+            ("m", "o2", "copy", "failed_upload"),
+            ("m", "o3", "copy", "success"),
+            ("m", "o4", "delete", "failed_delete"),
+        ],
+        "mapping_id string, object_name string, action string, status string",
+    )
+    assert count_actions(results) == {
+        "copy_failed": 2,
+        "copy_success": 1,
+        "delete_failed": 1,
+    }
+
+
+def test_state_version_mismatch_detected(spark, env):
+    """A version bump between runs fails loudly (the migration-runner
+    replacement, database.go:45-313 → marker file)."""
+    import json
+
+    cfg, src, tgt, state_path = env
+    sync_all(spark, cfg, state_path)
+    marker = os.path.join(state_path, "_state_version.json")
+    assert json.load(open(marker))["version"] == state_mod.STATE_VERSION
+    with open(marker, "w") as f:
+        json.dump({"version": state_mod.STATE_VERSION + 99}, f)
+    with pytest.raises(state_mod.StateVersionError):
+        state_mod.load_state(spark, state_path)
+
+
+def test_structured_log_records(spark, env, caplog):
+    """Per-mapping JSON log records — parity with the reference's slog
+    output (main.go:27-28, sync.go:34-39)."""
+    import json
+    import logging
+
+    cfg, src, tgt, state_path = env
+    with caplog.at_level(logging.INFO, logger="cloud_data_sync_spark"):
+        sync_all(spark, cfg, state_path)
+    synced = [r for r in caplog.records if json.loads(r.message)["event"] == "mapping_synced"]
+    assert len(synced) == 1
+    payload = json.loads(synced[0].message)
+    assert payload["mapping_id"] == "s:bucket-a->t:bucket-b"
+    assert payload["counts"]["copy_success"] == 2
+
+
+def test_sigterm_stops_continuous_mode(spark, env):
+    """SIGTERM between ticks exits cleanly (main.go:71-72, 108-113)."""
+    import signal
+    import threading
+    import time as time_mod
+
+    from cloud_data_sync_spark.runner import run_continuous
+
+    cfg, src, tgt, state_path = env
+    pid = os.getpid()
+    threading.Timer(1.0, lambda: os.kill(pid, signal.SIGTERM)).start()
+    t0 = time_mod.monotonic()
+    reports = run_continuous(spark, cfg, state_path, interval_sec=60, max_ticks=None)
+    assert len(reports) == 1  # first run finished, no second tick
+    assert time_mod.monotonic() - t0 < 30  # did not sleep out the interval
+    # original handler restored
+    assert signal.getsignal(signal.SIGTERM) is not run_continuous
 
 
 def test_mapping_failure_isolated(spark, env):
