@@ -38,6 +38,7 @@ from cloud_data_sync_spark.executor import (
 )
 from cloud_data_sync_spark.sources.listing import (
     CATALOG_SCHEMA,
+    ensure_bucket_exists,
     list_objects,
     list_objects_binaryfile,
 )
@@ -125,8 +126,9 @@ def sync_buckets(
     src = _catalog(spark, src_root, mid, distributed_listing)
     tgt = _catalog(spark, tgt_root, mid, distributed_listing)
 
-    # ensure target root exists (EnsureBucketExists, sync.go:88-91)
-    os.makedirs(tgt_root.replace("file://", ""), exist_ok=True)
+    # ensure target root exists (EnsureBucketExists, sync.go:88-91) —
+    # Hadoop FS path, so cloud schemes work, not just file:
+    ensure_bucket_exists(spark, tgt_root)
 
     # 2. diff against this mapping's state partition (pruned scan).
     # localCheckpoint() freezes plan/results: the state parquet at

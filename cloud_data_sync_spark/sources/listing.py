@@ -80,6 +80,31 @@ def provider_conf(spark: SparkSession, provider: dict) -> None:
     # gcs: fs.gs.* via service-account json keyfile conf; nothing to do for file:
 
 
+def ensure_bucket_exists(spark: SparkSession, root_uri: str) -> bool:
+    """Create-if-absent for a bucket/prefix root (EnsureBucketExists,
+    sync.go:88-91). Goes through the Hadoop FileSystem API, so the same call
+    handles file:, s3a://, gs://, abfss:// — for object stores mkdirs on the
+    root is the provider's create-bucket/container analog. Returns True if
+    it had to create."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root_uri)
+    fs = path.getFileSystem(hconf)
+    if fs.exists(path):
+        return False
+    fs.mkdirs(path)
+    return True
+
+
+def path_exists(spark: SparkSession, uri: str) -> bool:
+    """Existence probe through Hadoop FS (the reference's tableExists-style
+    introspection, database.go:319-344 point lookups / catalog checks)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    return bool(path.getFileSystem(hconf).exists(path))
+
+
 def list_objects(
     spark: SparkSession, root_uri: str, mapping_id: str = ""
 ) -> DataFrame:

@@ -91,6 +91,15 @@ def empty_state(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], STATE_SCHEMA)
 
 
+def state_exists(spark: SparkSession, path: str) -> bool:
+    """tableExists-style catalog introspection (the reference checks its
+    SQLite table before reading, database.go:319-344); Hadoop-FS probe so it
+    works for cloud paths too."""
+    from cloud_data_sync_spark.sources.listing import path_exists
+
+    return path_exists(spark, path)
+
+
 def load_state(spark: SparkSession, path: str) -> DataFrame:
     """Load the state table, or an empty frame if it doesn't exist yet."""
     check_state_version(path)

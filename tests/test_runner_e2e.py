@@ -105,6 +105,19 @@ def test_source_read_failure_recorded(spark, env, tmp_path):
     assert r2.counts.get("delete_success") == 1
 
 
+def test_ensure_bucket_and_existence_probes(spark, tmp_path):
+    """Create-if-absent + existence introspection through Hadoop FS
+    (sync.go:88-91; database.go tableExists analog)."""
+    from cloud_data_sync_spark.sources.listing import ensure_bucket_exists, path_exists
+
+    root = str(tmp_path / "new-bucket")
+    assert not path_exists(spark, root)
+    assert ensure_bucket_exists(spark, root) is True
+    assert path_exists(spark, root)
+    assert ensure_bucket_exists(spark, root) is False
+    assert not state_mod.state_exists(spark, str(tmp_path / "no-state"))
+
+
 def test_content_type_recorded_for_copies(spark, env):
     """database.go:144-157 stores ContentType; copied rows get extension-
     sniffed types, delete rows stay null."""
