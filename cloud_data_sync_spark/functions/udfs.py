@@ -87,12 +87,20 @@ GROUP BY l_returnflag
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # Two aggregation branches joined on the (tiny) group key rather than one
+    # mixed agg: two countDistincts + two HLL sketches in a single groupBy
+    # force an Expand that triplicates every input row WITH the HLL buffers
+    # riding along (measured 2-4x slower at sf0.1). Split, each branch keeps
+    # its partial-agg map-side combine; the join is a broadcast over ~3 rows.
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_suppkey").alias("exact_supps"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=_HLL_RSD).alias("approx_supps"),
     )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
     tol = 3 * _HLL_RSD
     ok = (
         F.abs(F.col("approx_parts") - F.col("exact_parts"))
