@@ -782,3 +782,191 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", bucket.alias("bucket16"))
         .filter(F.col("bucket16") < 6554)
     )
+
+
+# -- round-2 breadth: grouping sets, range join, stats aggs, histogram -------
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    doc=(
+        "Explicit GROUPING SETS (finer than rollup/cube: an arbitrary "
+        "subset lattice) + grouping_id disambiguation of NULL-as-group vs "
+        "NULL-as-aggregate. One Expand + one hash aggregate — the same "
+        "single-shuffle shape as a plain groupBy."
+    ),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+def _interval_events(ev: DataFrame, mod: int, id_alias: str) -> DataFrame:
+    """[start, end) intervals from a deterministic event subset: start = ts,
+    end = ts + `value` minutes (integer-micros arithmetic — CAST+floor keeps
+    Spark and DuckDB identical; DuckDB CAST rounds while Spark CAST
+    truncates, so the floor is explicit)."""
+    start_us = F.unix_micros(F.col("ts"))
+    dur_us = F.floor(F.col("value") * 60_000_000).cast("long")
+    return ev.filter(F.col("event_id") % mod == 0).select(
+        F.col("event_id").alias(f"{id_alias}_id"),
+        start_us.alias(f"{id_alias}_s"),
+        (start_us + dur_us).alias(f"{id_alias}_e"),
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "q_join_range",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+         epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS a_e
+  FROM events WHERE event_id % 23 = 0
+),
+b AS (
+  SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+         epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS b_e
+  FROM events WHERE event_id % 29 = 0
+)
+SELECT a_id, b_id,
+       (least(a_e, b_e) - greatest(a_s, b_s)) // 1000000 AS overlap_sec
+FROM a JOIN b ON a_s < b_e AND b_s < a_e
+""",
+    doc=(
+        "Interval-overlap range join. A naive theta-join (a.start < b.end "
+        "AND b.start < a.end) is a broadcast-nested-loop — quadratic and "
+        "un-shardable at 100 TB. Instead each interval explodes into the "
+        "hour buckets it covers (bounded: durations <= ~8 h => <= 10 "
+        "buckets), the join is an EQUI-join on bucket (hash-partitionable, "
+        "AQE-skew-splittable), the exact predicate refines, and distinct "
+        "collapses pairs that share several buckets. This is the standard "
+        "bin-and-refine range-join strategy (cf. Spark's RANGE_JOIN hint on "
+        "Databricks — absent in OSS, hence composed here)."
+    ),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = _interval_events(ev, 23, "a")
+    b = _interval_events(ev, 29, "b")
+
+    def bucketed(df: DataFrame, p: str) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col(f"{p}_s") / _HOUR_US).cast("long"),
+                    (F.col(f"{p}_e") / _HOUR_US).cast("long"),
+                )
+            ),
+        )
+
+    joined = bucketed(a, "a").join(bucketed(b, "b"), "bucket")
+    return (
+        joined.filter(
+            (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                (F.least("a_e", "b_e") - F.greatest("a_s", "b_s"))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("overlap_sec"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+SELECT l_linestatus,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    doc=(
+        "Statistical aggregate family: corr / covar / stddev / variance / "
+        "linear-regression slope+intercept per group. All are single-pass "
+        "co-moment sketches (constant state per group, map-side partial "
+        "merge) — the cheap way to profile feature columns at corpus scale."
+    ),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+       CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000 AS BIGINT)
+         AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY 1, 2
+""",
+    doc=(
+        "Fixed-width histogram (width_bucket equivalent): map-only bin "
+        "assignment + hash aggregate with map-side combine — the profile "
+        "primitive that costs one scan regardless of data size."
+    ),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 25000.0).cast("long")
+    return (
+        o.select(bin_col.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 25000).cast("long").alias("bin_lo"),
+            "n",
+            "avg_price",
+        )
+    )

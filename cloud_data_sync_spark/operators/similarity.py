@@ -342,3 +342,46 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "q_vector_stats",
+    oracle="""
+WITH flat AS (
+  SELECT unnest(range(0, len(embedding))) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(v), 6) AS mean_v,
+       round(stddev_samp(v), 6) AS sd_v,
+       round(min(v), 6) AS min_v,
+       round(max(v), 6) AS max_v
+FROM flat GROUP BY dim
+""",
+    doc=(
+        "Per-dimension embedding profile (mean/sd/min/max over each of the "
+        "64 dims): posexplode + hash aggregate — the fan-out is corpus x "
+        "dims but the aggregate state is 64 tiny co-moment sketches with "
+        "map-side combine, so the shuffle carries only partials. The "
+        "drift-detection / normalization-fitting primitive for embedding "
+        "pipelines."
+    ),
+)
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "vf")
+    ).select("dim", F.col("vf").cast("double").alias("v"))
+    return (
+        flat.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev_samp("v"), 6).alias("sd_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "n", "mean_v", "sd_v", "min_v", "max_v")
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table
@@ -253,4 +254,65 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokenset_hash"
         ),
         F.length("text").cast("long").alias("n_len"),
+    )
+
+
+@register(
+    "q_tfidf",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS n_td FROM terms GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS n_docs_t FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, n_td, score FROM (
+  SELECT tf.doc_id, tf.term, CAST(tf.n_td AS BIGINT) AS n_td,
+         round(tf.n_td * ln(CAST(n.n_docs AS DOUBLE) / df.n_docs_t), 4)
+           AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.n_td * ln(CAST(n.n_docs AS DOUBLE) / df.n_docs_t) DESC,
+                    tf.term
+         ) AS rn
+  FROM tf JOIN df USING (term), n
+  WHERE tf.doc_id % 20 = 0
+) WHERE rn <= 3
+""",
+    doc=(
+        "TF-IDF: top-3 highest-scoring terms per sampled doc. Term "
+        "frequencies and document frequencies are corpus-wide aggregates "
+        "(two hash aggs, map-side combine); the corpus size joins in as a "
+        "broadcast scalar, never a driver collect. The per-doc ranking "
+        "window partitions by doc_id — bounded partitions, no global sort. "
+        "Ties break on term for cross-engine determinism."
+    ),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("n_td"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("n_docs_t"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") % 20 == 0)
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "raw",
+            F.col("n_td")
+            * F.log(F.col("n_docs").cast("double") / F.col("n_docs_t")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "n_td", F.round("raw", 4).alias("score"))
     )
