@@ -170,6 +170,22 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     ).withColumn("sh", F.array_distinct(tri))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's parallelism when the
+    input arrives in fewer splits than there are cores.
+
+    The shingle->md5->16-window signature pipeline is pure per-row compute;
+    its wall time is bounded by input split count, and a small local corpus
+    (one parquet file -> ~4 splits) leaves 28 of 32 cores idle (measured
+    6.4s -> 1.7s at sf0.1). At real scale the scan already yields >= cores
+    splits and this is a no-op — no shuffle is added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _win(h: Column, i: int) -> Column:
     """The i-th "permutation" ordering: the 16-hex-char window h[i:i+16] of
     the 32-char md5. A single substring (no concat, no allocation beyond
@@ -190,7 +206,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     unnest semantics. (An explode + 16-min groupBy variant measured ~2x
     slower end-to-end once the shuffle and re-scan costs are counted.)
     """
-    hs = _with_shingles(docs).withColumn(
+    hs = _with_shingles(_spread(docs)).withColumn(
         "hs", F.transform("sh", F.md5)
     ).filter(F.size("hs") > 0)
     def _min_of_window(i: int) -> Column:
@@ -535,7 +551,7 @@ FROM nibble GROUP BY doc_id
     ),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(
