@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.registry import register
-from cloud_data_sync_spark.tables import load_table
+from cloud_data_sync_spark.tables import load_table, spread as _spread
 
 N_PERM = 16
 N_BANDS = 4
@@ -168,22 +168,6 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     return docs.withColumn(
         "toks", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     ).withColumn("sh", F.array_distinct(tri))
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the cluster's parallelism when the
-    input arrives in fewer splits than there are cores.
-
-    The shingle->md5->16-window signature pipeline is pure per-row compute;
-    its wall time is bounded by input split count, and a small local corpus
-    (one parquet file -> ~4 splits) leaves 28 of 32 cores idle (measured
-    6.4s -> 1.7s at sf0.1). At real scale the scan already yields >= cores
-    splits and this is a no-op — no shuffle is added.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def _win(h: Column, i: int) -> Column:
@@ -658,7 +642,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         B = np.stack(vb.values)
         return pd.Series(np.einsum("ij,ij->i", A, B) / (na.values * nb.values))
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.registry import register
-from cloud_data_sync_spark.tables import load_table
+from cloud_data_sync_spark.tables import load_table, spread
 
 N_PLANES = 8
 DIM = 64
@@ -43,7 +43,7 @@ K_CENTROIDS = 32
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -77,3 +77,19 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's parallelism when the
+    input arrives in fewer splits than there are cores.
+
+    Pure per-row pipelines (shingle/md5/signature, hyperplane buckets) are
+    bounded by input split count; a small local table is one parquet file
+    (1-4 splits), leaving most cores idle (measured 6.4s -> 1.7s on the
+    minhash signature stage at sf0.1). At real scale the scan already
+    yields >= cores splits and this is a no-op — no shuffle is added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
