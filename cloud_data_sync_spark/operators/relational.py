@@ -970,3 +970,41 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price",
         )
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+       round((e.value - s.mu) / s.sd, 4) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.mu) / s.sd) > 2.5
+""",
+    doc=(
+        "Per-group z-score outlier detection: one aggregate pass computes "
+        "per-type co-moments (map-side combine), the tiny stats table "
+        "broadcast-joins back onto the stream of rows, and the filter is "
+        "map-side — the standard two-pass data-quality screen that costs "
+        "two scans and zero wide shuffles at any corpus size."
+    ),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
