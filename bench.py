@@ -49,19 +49,26 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - warm-up is best-effort
                 pass
 
+    # min of two timed runs per query: the box is shared, and a transient
+    # CPU-contention spike during a single measurement would otherwise be
+    # recorded as the query's cost. Min-of-N is the standard steady-state
+    # throughput estimator for microbenchmarks (warm-up already ran above).
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in sorted(all_queries().items()):
-        t0 = time.perf_counter()
-        try:
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            dt = float("nan")
-        timings[name] = round(dt, 3)
-        total += dt if dt == dt else 0.0
+        best = float("nan")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                break
+            best = dt if best != best else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best if best == best else 0.0
 
     print(
         json.dumps(
