@@ -132,3 +132,78 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+""",
+    doc=(
+        "Watermarked stream-stream inner join: purchases joined to the "
+        "clicks that preceded them within 6 hours, per user. Runs as a "
+        "REAL two-stream join (readStream x2, per-side watermarks; the "
+        "event-time range condition lets Spark expire join state past the "
+        "bound — without it, stream-stream join state grows forever). "
+        "Equi-key user_id keeps the join hash-partitioned; the time bound "
+        "is a within-partition filter. Oracle: the equivalent batch "
+        "interval join."
+    ),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+
+    from cloud_data_sync_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    if not hasattr(q_stream_join, "_counter"):
+        q_stream_join._counter = itertools.count()
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("gap_sec"),
+    )
+    return run_available_now(
+        joined,
+        f"t_stream_join_{next(q_stream_join._counter)}",
+        output_mode="append",
+    )

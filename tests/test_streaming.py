@@ -71,3 +71,44 @@ def test_continuous_sync_ticks(spark, tmp_path):
     assert len(reports) == 2
     assert reports[0][0].counts.get("copy_success") == 1
     assert reports[1][0].counts.get("skip") == 1  # second tick incremental
+
+
+def test_stream_join_time_bound_and_direction(spark, tmp_path):
+    from datetime import datetime
+
+    from cloud_data_sync_spark.streaming.windows import q_stream_join
+
+    def us(h, m=0):
+        return int(datetime(2024, 1, 1, h, m).timestamp() * 1_000_000) * 1000
+
+    rows = [
+        # click 10:00 precedes purchase 10:30 → match, gap 1800s
+        (1, us(10), 7, "click", 0.0, "{}"),
+        (2, us(10, 30), 7, "purchase", 5.0, "{}"),
+        # click AFTER the purchase → excluded
+        (3, us(11), 7, "click", 0.0, "{}"),
+        # click more than 6h before purchase → excluded
+        (4, us(1), 8, "click", 0.0, "{}"),
+        (5, us(10), 8, "purchase", 5.0, "{}"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # single FILE named events.parquet (the stream source globs on the
+    # file name, as in the driver's testdata layout)
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.int64()),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = {(r.purchase_id, r.click_id): r.gap_sec for r in q_stream_join(spark, str(tmp_path)).collect()}
+    assert out == {(2, 1): 1800}
