@@ -316,3 +316,87 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "n_td", F.round("raw", 4).alias("score"))
     )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         (CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 5 + 1) / 10.0
+           AS weight,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS INTEGER) AS BIGINT) AS bucket16
+  FROM documents
+)
+SELECT doc_id, source, round(weight, 1) AS weight, bucket16
+FROM w WHERE bucket16 < weight * 65536
+""",
+    doc=(
+        "Stratified corpus mixing: per-source sampling rates applied via "
+        "deterministic key-hash thresholds — the data-mixing primitive for "
+        "assembling a training corpus from weighted sources. Map-only "
+        "(weights are an expression here; in production a broadcast config "
+        "dim), reproducible on any engine/run, and resumable: membership "
+        "depends only on (doc_id, weight), never on rand() or row order."
+    ),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (
+        F.regexp_extract("source", r"[0-9]+", 0).cast("int") % 5 + 1
+    ) / 10.0
+    bucket16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.round(weight, 1).alias("weight"),
+            bucket16.alias("bucket16"),
+        )
+        .filter(F.col("bucket16") < F.col("weight") * 65536)
+    )
+
+
+@register(
+    "q_doc_pack",
+    oracle="""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       cum_before // 4096 AS bin,
+       cum_before % 4096 AS off
+FROM (
+  SELECT doc_id, source, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM documents
+)
+""",
+    doc=(
+        "Sequence packing (concat-then-chunk): per source, documents are "
+        "laid out in deterministic doc_id order and assigned to fixed-size "
+        "4096-char context bins by prefix sum — the packing step every "
+        "pretraining pipeline runs before tokenized shard writing. One "
+        "sort shuffle per source partition; the running sum is a window "
+        "frame, spillable, never a driver loop."
+    ),
+)
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        # cum < 2^53, so double division then truncating cast equals
+        # integer floor-div for these non-negative values
+        (cum / 4096).cast("long").alias("bin"),
+        (cum % 4096).cast("long").alias("off"),
+    )

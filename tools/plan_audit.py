@@ -61,6 +61,9 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_map_funcs": {"forbid": ("Exchange",)},
     "q_string_funcs": {"forbid": ("Exchange",)},
     "q_sample_hash": {"forbid": ("Exchange",)},
+    "q_stratified_sample": {"forbid": ("Exchange",)},
+    # histogram must keep its map-side combine
+    "q_histogram": {"require": ("partial_count",)},
     # the salting demo must actually shuffle on (key, salt)
     "q_join_skew_salted": {"require": ("SortMergeJoin",)},
     # one aggregation exchange is the floor for a groupBy — but it must be
