@@ -1008,3 +1008,49 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@register(
+    "q_integrity_audit",
+    oracle="""
+SELECT 'orders->customer' AS relationship,
+       CAST(count(*) AS BIGINT) AS n_orphans
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem->part',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+""",
+    doc=(
+        "Referential-integrity audit: orphan counts across three foreign-"
+        "key relationships in one result — the pre-ingest data-quality "
+        "gate. Each check is a left-anti join against a broadcast key set "
+        "(dims' keys are small even when dims aren't; only the key column "
+        "ships), so the fact tables stream through map-side."
+    ),
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def orphans(fact: DataFrame, dim: DataFrame, fk: str, pk: str, name: str) -> DataFrame:
+        return (
+            fact.join(F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("relationship"), "n_orphans")
+        )
+
+    return (
+        orphans(orders, customer, "o_custkey", "c_custkey", "orders->customer")
+        .unionByName(orphans(lineitem, orders, "l_orderkey", "o_orderkey", "lineitem->orders"))
+        .unionByName(orphans(lineitem, part, "l_partkey", "p_partkey", "lineitem->part"))
+    )

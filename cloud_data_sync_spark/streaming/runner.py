@@ -53,6 +53,10 @@ def stream_windowed_counts(
     ev = events.withWatermark("ts", watermark)
     if mode == "tumbling":
         grouped = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+    elif mode == "sliding":
+        grouped = ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
     elif mode == "session":
         grouped = ev.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
@@ -64,7 +68,7 @@ def stream_windowed_counts(
     ).select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
-        *(["event_type"] if mode == "tumbling" else ["user_id"]),
+        *(["user_id"] if mode == "session" else ["event_type"]),
         "n_events",
         "total_value",
     )

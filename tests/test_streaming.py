@@ -112,3 +112,25 @@ def test_stream_join_time_bound_and_direction(spark, tmp_path):
     )
     out = {(r.purchase_id, r.click_id): r.gap_sec for r in q_stream_join(spark, str(tmp_path)).collect()}
     assert out == {(2, 1): 1800}
+
+
+def test_streaming_sliding_matches_batch_twin(spark, tmp_path):
+    from cloud_data_sync_spark.streaming.windows import q_stream_sliding
+
+    spark.conf.set("spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt3"))
+    events = read_events_stream(spark, SF_DIR)
+    result = run_available_now(
+        stream_windowed_counts(events, "sliding"), "t_sliding"
+    )
+    # the streaming mode also keys by event_type; the batch twin keys by
+    # window only — roll the stream result up for comparison (per-type
+    # 2dp rounding => small tolerance on the summed totals)
+    got_n, got_tot = {}, {}
+    for r in result.collect():
+        got_n[r["window_start"]] = got_n.get(r["window_start"], 0) + r["n_events"]
+        got_tot[r["window_start"]] = got_tot.get(r["window_start"], 0.0) + r["total_value"]
+    want = {r["window_start"]: r for r in q_stream_sliding(spark, SF_DIR).collect()}
+    assert set(got_n) == set(want) and len(want) > 0
+    for w, row in want.items():
+        assert got_n[w] == row["n_events"]
+        assert abs(got_tot[w] - row["total_value"]) < 0.05
