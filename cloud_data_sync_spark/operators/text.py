@@ -400,3 +400,93 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum / 4096).cast("long").alias("bin"),
         (cum % 4096).cast("long").alias("off"),
     )
+
+
+@register(
+    "q_term_pmi",
+    oracle="""
+WITH docs_n AS (SELECT count(*) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           string_split_regex(trim(lower(text)), '\\s+'))) AS t
+  FROM documents
+),
+tc AS (SELECT t, count(*) AS n_t FROM toks GROUP BY t),
+pairs AS (
+  SELECT a.t AS term_a, b.t AS term_b, count(*) AS n_ab
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab, pmi FROM (
+  SELECT p.term_a, p.term_b, p.n_ab,
+         round(ln(p.n_ab * CAST(n.n_docs AS DOUBLE) / (x.n_t * y.n_t)), 4)
+           AS pmi,
+         row_number() OVER (
+           ORDER BY ln(p.n_ab * CAST(n.n_docs AS DOUBLE) / (x.n_t * y.n_t))
+                    DESC, p.term_a, p.term_b) AS rn
+  FROM pairs p
+  JOIN tc x ON x.t = p.term_a
+  JOIN tc y ON y.t = p.term_b, docs_n n
+  WHERE p.n_ab >= 5
+) WHERE rn <= 20
+""",
+    doc=(
+        "Pointwise mutual information over within-document term pairs: "
+        "pair expansion is JOIN-FREE — each doc's sorted distinct token "
+        "array expands to its i<j pairs in a per-row transform (the LSH "
+        "bucket-pairing pattern), so co-occurrence counting is one hash "
+        "aggregate, never a toks-self-join. Term and corpus counts join "
+        "back as broadcasts. At open-vocabulary scale the expansion is "
+        "bounded by pruning to a top-K vocabulary first; here the corpus "
+        "vocabulary is already tiny. Global top-20 via "
+        "TakeOrderedAndProject with full tie-breaks."
+    ),
+)
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    )
+    m = F.col("m")
+    pair_arr = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(x.alias("term_a"), y.alias("term_b")),
+            ),
+        )
+    )
+    pairs = (
+        docs.select(toks.alias("m"))
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    tc = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n_t"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    raw_pmi = F.log(
+        F.col("n_ab") * F.col("n_docs").cast("double") / (F.col("x_n") * F.col("y_n"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(tc.select(F.col("t").alias("term_a"), F.col("n_t").alias("x_n"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(tc.select(F.col("t").alias("term_b"), F.col("n_t").alias("y_n"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select("term_a", "term_b", "n_ab", raw_pmi.alias("raw"))
+    )
+    return (
+        scored.orderBy(F.desc("raw"), F.asc("term_a"), F.asc("term_b"))
+        .limit(20)
+        .select("term_a", "term_b", "n_ab", F.round("raw", 4).alias("pmi"))
+    )

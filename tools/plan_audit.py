@@ -50,6 +50,7 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # global top-k must be per-partition top-k + k-row merge
     "q_topk": {"require": ("TakeOrderedAndProject",)},
     "q_text_term_freq": {"require": ("TakeOrderedAndProject",)},
+    "q_term_pmi": {"require": ("TakeOrderedAndProject",)},
     # map-only operators: zero exchanges end-to-end
     "q_lang_id": {"forbid": ("Exchange",)},
     "q_text_quality": {"forbid": ("Exchange",)},
