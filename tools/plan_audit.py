@@ -30,10 +30,11 @@ GLOBAL_FORBID = ("CartesianProduct",)
 # Non-equi joins that ARE the algorithm (broadcast side is provably small):
 # - q_sim_topk / q_sim_ivf: tiny broadcast row/pair sets against a corpus
 #   scan.
-# - q_tfidf: the corpus-size scalar (ONE row) cross-joins into the scored
-#   term set — N x 1 is linear; the alternative is a driver-side count()
-#   collected into a literal, which trades a plan edge for a driver action.
-BNLJ_ALLOWED = {"q_sim_topk", "q_sim_ivf", "q_tfidf"}
+# - q_tfidf / q_term_pmi: the corpus-size scalar (ONE row) cross-joins
+#   into the scored set — N x 1 is linear; the alternative is a driver-side
+#   count() collected into a literal, which trades a plan edge for a
+#   driver action.
+BNLJ_ALLOWED = {"q_sim_topk", "q_sim_ivf", "q_tfidf", "q_term_pmi"}
 
 RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # filter + projection must be pushed into the parquet scan
