@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
         help="write a starter config to --config and exit",
     )
     p.add_argument(
+        "--distributed-listing",
+        action="store_true",
+        help="list buckets via the cluster-parallel binaryFile index "
+        "(for very large buckets; default is driver-side listing)",
+    )
+    p.add_argument(
         "--state-path",
         default=None,
         help="state-table directory (default: <config.database_path>.parquet)",
@@ -57,12 +63,18 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("cloud-data-sync")
     try:
         if args.once:
-            reports = sync_all(spark, cfg, state_path)
+            reports = sync_all(
+                spark, cfg, state_path, args.distributed_listing
+            )
         else:
             reports = [
                 r
                 for tick in run_continuous(
-                    spark, cfg, state_path, interval_sec=args.interval
+                    spark,
+                    cfg,
+                    state_path,
+                    interval_sec=args.interval,
+                    distributed_listing=args.distributed_listing,
                 )
                 for r in tick
             ]

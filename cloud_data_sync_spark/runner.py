@@ -105,10 +105,18 @@ def _catalog(
     (``distributed=True``). Missing roots list as empty either way."""
     if not distributed:
         return list_objects(spark, root_uri, mapping_id)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         return list_objects_binaryfile(spark, root_uri, mapping_id)
-    except Exception:  # noqa: BLE001 - path doesn't exist yet (first run)
-        return spark.createDataFrame([], CATALOG_SCHEMA)
+    except AnalysisException as exc:
+        # ONLY a missing root (first run, target not created yet) may list
+        # as empty. Any other failure (auth, network, permissions) must
+        # propagate: an empty catalog from a transient source-listing error
+        # would make the reconciliation plan delete every target object.
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], CATALOG_SCHEMA)
+        raise
 
 
 def sync_buckets(
@@ -205,6 +213,7 @@ def run_continuous(
     interval_sec: int = 300,
     max_ticks: int | None = None,
     stop_file: str | None = None,
+    distributed_listing: bool = False,
 ) -> list[list[SyncReport]]:
     """main.go:85-115: initial run + fixed-interval re-runs until stopped.
 
@@ -228,7 +237,7 @@ def run_continuous(
         previous = {}
 
     try:
-        all_reports = [sync_all(spark, cfg, state_path)]
+        all_reports = [sync_all(spark, cfg, state_path, distributed_listing)]
         ticks = 1
         while (
             (max_ticks is None or ticks < max_ticks)
@@ -241,7 +250,7 @@ def run_continuous(
                 time.sleep(min(0.2, max(0.0, deadline - time.monotonic())))
             if stop_requested or (stop_file and os.path.exists(stop_file)):
                 break
-            all_reports.append(sync_all(spark, cfg, state_path))
+            all_reports.append(sync_all(spark, cfg, state_path, distributed_listing))
             ticks += 1
         return all_reports
     finally:

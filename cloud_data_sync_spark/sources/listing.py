@@ -86,13 +86,12 @@ def ensure_bucket_exists(spark: SparkSession, root_uri: str) -> bool:
     handles file:, s3a://, gs://, abfss:// — for object stores mkdirs on the
     root is the provider's create-bucket/container analog. Returns True if
     it had to create."""
+    if path_exists(spark, root_uri):
+        return False
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(root_uri)
-    fs = path.getFileSystem(hconf)
-    if fs.exists(path):
-        return False
-    fs.mkdirs(path)
+    path.getFileSystem(hconf).mkdirs(path)
     return True
 
 
@@ -166,7 +165,11 @@ def list_objects_binaryfile(
         root_uri
     )
     root = root_uri.rstrip("/")
-    name = F.regexp_replace(F.col("path"), f"^.*?{root.split('://')[-1]}/", "")
+    # \Q...\E: quote the root literally — bucket paths may contain regex
+    # metacharacters ('(', '+', '.', ...) which would otherwise corrupt the
+    # prefix-strip pattern and with it every object_name key in the diff
+    root_part = root.split("://")[-1]
+    name = F.regexp_replace(F.col("path"), f"^.*?\\Q{root_part}\\E/", "")
     out = df.select(
         F.lit(mapping_id).alias("mapping_id"),
         name.alias("object_name"),

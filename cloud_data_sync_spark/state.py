@@ -71,8 +71,16 @@ def check_state_version(path: str) -> None:
     try:
         with open(_version_path(path), encoding="utf-8") as f:
             marker = json.load(f)
-    except (OSError, ValueError):
+    except OSError:
+        # cleanly absent marker: pre-versioning table or brand-new path
         return
+    except ValueError as exc:
+        # a marker that EXISTS but does not parse is a torn write or
+        # corruption — silently passing here would bypass the exact
+        # misread this gate exists to prevent
+        raise StateVersionError(
+            f"state version marker at {path} is unreadable: {exc}"
+        ) from exc
     if marker.get("version") != STATE_VERSION:
         raise StateVersionError(
             f"state table at {path} has version {marker.get('version')}, "

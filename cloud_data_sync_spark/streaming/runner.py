@@ -84,6 +84,10 @@ def run_available_now(
     comparable to the batch twin); ``append`` for session windows (the only
     mode Spark supports there — emits sessions finalized by the watermark)."""
     spark = result.sparkSession
+    # a previous run under the same name leaves its memory-sink view (and
+    # its full result) registered for the session's lifetime — drop it so
+    # repeated invocations hold at most ONE result set per query name
+    spark.catalog.dropTempView(query_name)
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)

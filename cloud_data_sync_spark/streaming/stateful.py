@@ -18,7 +18,6 @@ space; keys here are bounded (users), so NoTimeout is correct.
 
 from __future__ import annotations
 
-import itertools
 from collections.abc import Iterator
 from typing import Any
 
@@ -34,9 +33,6 @@ from cloud_data_sync_spark.streaming.runner import (
 
 OUT_SCHEMA = "user_id long, event_id long, event_type string, value double"
 STATE_SCHEMA = "min_id long"
-
-_name_counter = itertools.count()
-
 
 def _first_event_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -93,7 +89,7 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_available_now(
         first_event_per_user(read_events_stream(spark, sf_dir)),
-        f"t_stateful_dedup_{next(_name_counter)}",
+        "t_stateful_dedup",
         output_mode="update",
     )
     w = Window.partitionBy("user_id").orderBy("event_id")

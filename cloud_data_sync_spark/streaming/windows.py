@@ -157,15 +157,10 @@ JOIN events c
     ),
 )
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import itertools
-
     from cloud_data_sync_spark.streaming.runner import (
         read_events_stream,
         run_available_now,
     )
-
-    if not hasattr(q_stream_join, "_counter"):
-        q_stream_join._counter = itertools.count()
 
     ev = read_events_stream(spark, sf_dir)
     clicks = (
@@ -202,8 +197,4 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_sec"),
     )
-    return run_available_now(
-        joined,
-        f"t_stream_join_{next(q_stream_join._counter)}",
-        output_mode="append",
-    )
+    return run_available_now(joined, "t_stream_join", output_mode="append")

@@ -190,13 +190,14 @@ def test_sigterm_stops_continuous_mode(spark, env):
 
     cfg, src, tgt, state_path = env
     pid = os.getpid()
+    before = signal.getsignal(signal.SIGTERM)
     threading.Timer(1.0, lambda: os.kill(pid, signal.SIGTERM)).start()
     t0 = time_mod.monotonic()
     reports = run_continuous(spark, cfg, state_path, interval_sec=60, max_ticks=None)
     assert len(reports) == 1  # first run finished, no second tick
     assert time_mod.monotonic() - t0 < 30  # did not sleep out the interval
-    # original handler restored
-    assert signal.getsignal(signal.SIGTERM) is not run_continuous
+    # the EXACT pre-call handler is restored (not the leaked closure)
+    assert signal.getsignal(signal.SIGTERM) is before
 
 
 def test_mapping_failure_isolated(spark, env):
@@ -213,3 +214,38 @@ def test_mapping_failure_isolated(spark, env):
     reports = sync_all(spark, cfg, state_path)
     assert len(reports) == 2  # continue-on-error (sync.go:43-47)
     assert reports[1].counts.get("copy_success") == 2
+
+
+def test_corrupt_state_version_marker_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from cloud_data_sync_spark.state import (
+        StateVersionError,
+        check_state_version,
+        _version_path,
+    )
+
+    state_dir = tmp_path / "state.parquet"
+    state_dir.mkdir()
+    # cleanly absent marker: accepted
+    check_state_version(str(state_dir))
+    # torn/corrupt marker: must fail loudly, not silently bypass the gate
+    with open(_version_path(str(state_dir)), "w") as f:
+        f.write('{"version": 1')  # truncated JSON
+    with _pytest.raises(StateVersionError):
+        check_state_version(str(state_dir))
+
+
+def test_binaryfile_listing_strips_regex_metachar_roots(spark, tmp_path):
+    from cloud_data_sync_spark.sources.listing import list_objects_binaryfile
+
+    root = tmp_path / "archive (2024)" / "bucket+a"
+    root.mkdir(parents=True)
+    (root / "obj.bin").write_bytes(b"x")
+    (root / "sub").mkdir()
+    (root / "sub" / "deep.bin").write_bytes(b"y")
+    rows = {
+        r.object_name
+        for r in list_objects_binaryfile(spark, f"file://{root}", "m").collect()
+    }
+    assert rows == {"obj.bin", "sub/deep.bin"}
