@@ -714,3 +714,52 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_raw") >= 0.4)
         .drop("_raw")
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+WITH {_AUG_SQL},
+{_ORACLE_SIG_CTES}
+SELECT DISTINCT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh), 4)
+         AS cont_a,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh), 4)
+         AS cont_b
+FROM cand c
+JOIN shl x ON x.doc_id = c.doc_a
+JOIN shl y ON y.doc_id = c.doc_b
+WHERE greatest(
+        CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh),
+        CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh)) >= 0.8
+""",
+    doc=(
+        "Shingle containment |A∩B|/|A| over LSH candidate pairs — catches "
+        "sub-document duplication (a doc wholly contained in a larger one "
+        "has high containment but low Jaccard). Shingles ride the same "
+        "single bucket shuffle as the signatures: zero extra joins. Honest "
+        "recall caveat: candidates come from Jaccard-tuned minhash bands, "
+        "so extreme-size-ratio containment pairs can be missed; a "
+        "production containment search would band over the smaller side's "
+        "shingle sample instead."
+    ),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(augmented_documents(spark, sf_dir)), carry_shingles=True
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont_a = inter / F.size("sh_a")
+    cont_b = inter / F.size("sh_b")
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(cont_a, 4).alias("cont_a"),
+            F.round(cont_b, 4).alias("cont_b"),
+            F.greatest(cont_a, cont_b).alias("_m"),
+        )
+        .filter(F.col("_m") >= 0.8)
+        .drop("_m")
+        .distinct()
+    )

@@ -47,6 +47,7 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # the two-stage dedup pipeline is join-free: shingles and signatures
     # ride ONE bucket shuffle; verification never re-joins the corpus
     "q_dedup_ngram_jaccard": {"forbid": ("SortMergeJoin", "BroadcastHashJoin")},
+    "q_dedup_containment": {"forbid": ("SortMergeJoin", "BroadcastHashJoin")},
     "q_dedup_minhash": {"forbid": ("SortMergeJoin", "BroadcastHashJoin")},
     # global top-k must be per-partition top-k + k-row merge
     "q_topk": {"require": ("TakeOrderedAndProject",)},
