@@ -40,6 +40,9 @@ QUERY_CAP = 1000
 # size keeps the seed broadcast bounded; production would use 256-4096 with
 # k-means refinement, same plan shape.
 K_CENTROIDS = 32
+# cells each QUERY probes (its own + next-nearest): the standard IVF
+# recall/cost lever. Corpus vectors still index into exactly one cell.
+N_PROBE = 2
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,15 +252,21 @@ cell AS (
               ORDER BY sim DESC, seed_id) AS rn
     FROM assign) WHERE rn = 1
 ),
+qprobe AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, seed_id) AS rn
+    FROM assign WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}
+  ) WHERE rn <= {N_PROBE}
+),
 cand AS (
   SELECT qc.vec_id AS query_id, cc.vec_id,
          round(list_sum(list_transform(range(1, len(qn.v) + 1),
                i -> qn.v[i] * cn.v[i])) / (qn.nrm * cn.nrm), 6) AS cos_sim
-  FROM cell qc
+  FROM qprobe qc
   JOIN cell cc ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id
   JOIN n qn ON qn.vec_id = qc.vec_id
   JOIN n cn ON cn.vec_id = cc.vec_id
-  WHERE qc.vec_id % {QUERY_MOD} = 0 AND qc.vec_id < {QUERY_CAP}
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -267,8 +276,9 @@ ranked AS (
 SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
 """,
     doc=(
-        "IVF-style ANN (nprobe=1): every vector is assigned to its nearest "
-        "coarse centroid and queries scan only their own cell. Centroids are "
+        "IVF-style ANN (nprobe=2): every vector indexes into its nearest "
+        "coarse centroid; queries probe their TWO nearest cells (the "
+        "standard recall/cost lever). Centroids are "
         "a FIXED-K deterministic sample (K smallest md5(vec_id) — "
         "TakeOrderedAndProject, bounded at any corpus size) shipped to every "
         "executor as ONE broadcast row holding the seed array, so cell "
@@ -316,18 +326,38 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: F.struct((-s["sim"]).alias("nsim"), s["seed_id"].alias("seed_id")),
         )
     )
+    # queries probe their N_PROBE nearest cells: sort the (-sim, seed)
+    # structs and slice — same tie semantics as the argmax
+    probes = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    scored_seeds,
+                    lambda s: F.struct(
+                        (-s["sim"]).alias("nsim"), s["seed_id"].alias("seed_id")
+                    ),
+                )
+            ),
+            1,
+            N_PROBE,
+        ),
+        lambda p: p["seed_id"],
+    )
     with_cell = vecs.crossJoin(F.broadcast(seeds_row)).withColumn(
         "cell", best["seed_id"]
-    ).drop("seeds")
-    q = with_cell.filter(
-        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        "cell",
+    ).withColumn("probes", probes).drop("seeds")
+    q = (
+        with_cell.filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode("probes").alias("cell"),
+        )
     )
-    cand = with_cell.join(F.broadcast(q), "cell").filter(
+    cand = with_cell.drop("probes").join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
     scored = cand.select(
