@@ -200,3 +200,60 @@ FROM expanded WHERE idx % {FRAME_STRIDE} = 0
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(binary_table(spark, sf_dir))
+
+
+@register(
+    "q_multimodal_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- re-uploaded copies: same bytes, new ids (the dup class this catches)
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+),
+meta AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type
+  FROM corpus
+)
+SELECT content_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT media_type) AS BIGINT) AS n_types,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM meta
+GROUP BY content_md5
+HAVING count(*) > 1
+""",
+    doc=(
+        "Exact media dedup: byte-level checksum groupBy over the binary "
+        "payload column, per media type — the first pass every multimodal "
+        "corpus runs (identical uploads — grouped across labeled media "
+        "types, since identical bytes are one asset; re-encodes caught by "
+        "feature-space near-dup). The checksum is computed payload-side "
+        "map-only; the shuffle carries (hash, count) partials, never bytes."
+    ),
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = binary_table(spark, sf_dir)
+    copies = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    # media_type derives from the NEW doc_id, matching the oracle's CASE
+    bt = base.unionByName(copies).withColumn(
+        "media_type",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4")),
+    )
+    return (
+        bt.select("doc_id", "media_type", F.md5("content").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("media_type").alias("n_types"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
