@@ -1054,3 +1054,174 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(lineitem, orders, "l_orderkey", "o_orderkey", "lineitem->orders"))
         .unionByName(orphans(lineitem, part, "l_partkey", "p_partkey", "lineitem->part"))
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+WITH a AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         CAST(count(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a
+""",
+    doc=(
+        "Unpivot (wide -> long), the q_pivot inverse: per-flag measures "
+        "melt into (measure, value) rows. Spark compiles unpivot to a "
+        "single Expand over the 3-row aggregate — the input is scanned "
+        "once and the melt itself is map-only, so at scale the cost is the "
+        "one aggregation shuffle, not the reshape."
+    ),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).cast("double").alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "measure", "value"
+    )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+         min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(count(t_view) AS BIGINT) AS viewed,
+         CAST(count(*) FILTER (WHERE t_view < t_click) AS BIGINT)
+           AS clicked_after_view,
+         CAST(count(*) FILTER (WHERE t_view < t_click
+                               AND t_click < t_purchase) AS BIGINT)
+           AS purchased_after_click
+  FROM u
+)
+SELECT 'viewed' AS stage, viewed AS n_users FROM c
+UNION ALL SELECT 'clicked_after_view', clicked_after_view FROM c
+UNION ALL SELECT 'purchased_after_click', purchased_after_click FROM c
+""",
+    doc=(
+        "Conversion funnel over the events stream: per-user first-touch "
+        "times for view/click/purchase via conditional min aggregates "
+        "(ONE shuffle keyed on user_id, map-side partials carry three "
+        "timestamps per user), then strict event-time ordering decides "
+        "stage completion and a 1-row global aggregate melts into stage "
+        "rows. No self-joins — the classic 3-way event-sequence join "
+        "collapses into conditional aggregation."
+    ),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_touch(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts"))).alias(
+            f"t_{kind}"
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        first_touch("view"), first_touch("click"), first_touch("purchase")
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("viewed"),
+        F.sum(
+            F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0)
+        ).cast("long").alias("clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("purchased_after_click"),
+    )
+    return counts.unpivot(
+        [], ["viewed", "clicked_after_view", "purchased_after_click"], "stage", "n_users"
+    )
+
+
+@register(
+    "q_retention",
+    oracle="""
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       date_diff('day', f.cohort_week,
+                 CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_n,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2
+""",
+    doc=(
+        "Cohort retention matrix: users grouped by first-seen week, "
+        "activity counted per (cohort, weeks-since) cell. First-touch is "
+        "one user_id-keyed aggregate; the join back is keyed on the same "
+        "user_id so AQE reuses the co-partitioning (broadcast when the "
+        "user dimension fits); the distinct count shuffles (cohort, week) "
+        "cells, not events. No windows over the full event stream."
+    ),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(wk, F.col("cohort_week")) / 7).cast("long").alias("week_n"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "q_agg_approx_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+       TRUE AS within_tolerance
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "Quantile sketch, oracle-checkable (the q_agg_approx_distinct "
+        "pattern): approx_percentile's mergeable fixed-memory sketch is "
+        "the 100 TB path — exact percentiles sort each group — so both "
+        "run and the deterministic claim |approx-exact|/exact <= 1% is "
+        "what the oracle hashes (rank error at accuracy=10000 is orders "
+        "of magnitude inside that bound). The exact branch stays for "
+        "value comparison; at scale you'd drop it and keep the sketch."
+    ),
+)
+def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("exact", 4).alias("p50_exact"),
+        (
+            F.abs(F.col("approx") - F.col("exact")) / F.abs(F.col("exact"))
+            <= 0.01
+        ).alias("within_tolerance"),
+    )

@@ -403,6 +403,227 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_repetition",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bgs
+  FROM base WHERE len(t) >= 2
+),
+top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, b, count(*) AS c
+    FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+    GROUP BY doc_id, b
+  ) GROUP BY doc_id
+)
+SELECT bg.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS dup_token_frac,
+       round(1.0 - len(list_distinct(bgs)) / CAST(len(bgs) AS DOUBLE), 6)
+         AS dup_bigram_frac,
+       round(top_c / CAST(len(bgs) AS DOUBLE), 6) AS top_bigram_frac
+FROM bg JOIN top USING (doc_id)
+""",
+    doc=(
+        "Gopher-style repetition signals per document: duplicate-token "
+        "fraction, duplicate-bigram fraction, and top-bigram fraction — the "
+        "standard filters for boilerplate/degenerate text before "
+        "pretraining. Entirely MAP-ONLY: the top bigram's count equals the "
+        "longest equal-run in the sorted bigram array, computed with a "
+        "per-row aggregate() fold instead of an explode + per-doc groupBy, "
+        "so there is no shuffle at any corpus size and cost is linear in "
+        "document length."
+    ),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    n = F.size(F.col("t"))
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    d = d.select("doc_id", "t", bigrams.alias("bg"))
+    # Longest equal-run over the sorted array == the modal bigram's count.
+    # A three-field fold keeps it one pass per row, no explode, no shuffle.
+    is_same = lambda acc, x: x == acc["prev"]  # noqa: E731
+    top_c = F.aggregate(
+        F.array_sort(F.col("bg")),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(is_same(acc, x), acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(is_same(acc, x), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_d = n.cast("double")
+    nb_d = F.size(F.col("bg")).cast("double")
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct(F.col("t"))) / n_d, 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(1.0 - F.size(F.array_distinct(F.col("bg"))) / nb_d, 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(top_c / nb_d, 6).alias("top_bigram_frac"),
+    )
+
+
+# Patterns chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB): character classes + bounded quantifiers only, no lookaround.
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.com"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact ' || source || CAST(doc_id AS VARCHAR)
+                   || '@example.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_hash
+FROM aug
+""",
+    doc=(
+        "PII detection + redaction: count and scrub email/phone patterns "
+        "(injected deterministically so the result is non-trivial on the "
+        "synthetic corpus). Map-only regexp_count / regexp_replace — stays "
+        "in whole-stage codegen, no shuffle; the training-pipeline "
+        "pre-tokenization scrub step."
+    ),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact "),
+                F.col("source"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+@register(
+    "q_ngram_lm",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         unnest(list_slice(t, 2, len(t))) AS w2
+  FROM base WHERE len(t) >= 2
+),
+cab AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2),
+ca AS (
+  SELECT w, count(*) AS n_a
+  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(n_ab / CAST(n_a AS DOUBLE))), 4) AS avg_logp
+FROM bg
+JOIN cab USING (w1, w2)
+JOIN ca ON ca.w = bg.w1
+WHERE doc_id % 10 = 0
+GROUP BY doc_id
+""",
+    doc=(
+        "Bigram language-model scoring (CCNet-style LM quality filter): "
+        "corpus-wide bigram/unigram counts estimate P(w2|w1); each sampled "
+        "document is scored by its mean log-probability. Counts are two "
+        "hash aggregates with map-side partials; the count joins broadcast "
+        "here (closed vocabulary) and degrade gracefully to shuffle hash "
+        "joins keyed on the term at open-vocabulary scale — never a "
+        "driver-side model."
+    ),
+)
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    n = F.size(F.col("t"))
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    ca = (
+        d.select(F.explode(F.col("t")).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("n_a"))
+    )
+    scored = (
+        bg.filter(F.col("doc_id") % 10 == 0)
+        .join(F.broadcast(cab), ["w1", "w2"])
+        .join(F.broadcast(ca), "w1")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(F.log(F.col("n_ab") / F.col("n_a").cast("double"))), 4).alias(
+            "avg_logp"
+        ),
+    )
+
+
+@register(
     "q_term_pmi",
     oracle="""
 WITH docs_n AS (SELECT count(*) AS n_docs FROM documents),

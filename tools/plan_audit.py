@@ -72,6 +72,15 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # one aggregation exchange is the floor for a groupBy — but it must be
     # preceded by a map-side partial aggregate
     "q_json_props": {"require": ("partial_count",)},
+    # repetition signals + PII scrub are pure per-row pipelines
+    "q_text_repetition": {"forbid": ("Exchange",)},
+    "q_pii_scrub": {"forbid": ("Exchange",)},
+    # the melt itself must be an Expand over the aggregate, not a join/union
+    # re-reading the fact table per measure
+    "q_unpivot": {"require": ("Expand",)},
+    "q_funnel": {"require": ("partial_min",)},
+    # LM scoring joins the count dims as broadcasts against the bigram scan
+    "q_ngram_lm": {"require": ("BroadcastHashJoin",)},
 }
 
 
