@@ -98,3 +98,24 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
     )
+
+
+@register(
+    "q_stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type AS event_type FROM events",
+    doc=(
+        "Built-in streaming dedup: dropDuplicates on (user_id, event_type) "
+        "over the real file-source stream, drained with availableNow. Only "
+        "the key columns are emitted, so the result is deterministic under "
+        "any arrival order (first-arrival picks a winner ROW, but all "
+        "winners share the key). Key state here is bounded (users x "
+        "types); with unbounded keys the production form is "
+        "dropDuplicatesWithinWatermark, which evicts state past the "
+        "watermark — the custom applyInPandasWithState op next door covers "
+        "deterministic-winner semantics built-ins can't express."
+    ),
+)
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    return run_available_now(deduped, "t_stream_dedup_keys", output_mode="append")

@@ -134,3 +134,22 @@ def test_streaming_sliding_matches_batch_twin(spark, tmp_path):
     for w, row in want.items():
         assert got_n[w] == row["n_events"]
         assert abs(got_tot[w] - row["total_value"]) < 0.05
+
+
+def test_stream_dedup_keys_matches_batch_distinct(spark, tmp_path):
+    from cloud_data_sync_spark.streaming.stateful import q_stream_dedup_keys
+    from cloud_data_sync_spark.tables import load_table
+
+    spark.conf.set("spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt"))
+    got = {
+        (r.user_id, r.event_type)
+        for r in q_stream_dedup_keys(spark, SF_DIR).collect()
+    }
+    want = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(want) > 0
