@@ -1,0 +1,243 @@
+"""Warehouse-analytics showcase queries (SURVEY.md §2.B breadth).
+
+TPC-H-shaped plans over the driver's TPC-H-ish tables plus a time-series
+resample/gap-fill operator. These exist to pin the *plan shapes* a 100 TB
+deployment lives or dies by:
+
+- ``q_tpch_pricing``: full-scan partial-agg → 6-group final agg. The map-side
+  combine means shuffle bytes are O(groups × partitions), not O(rows).
+- ``q_tpch_shipping``: fact⋈fact join (orders⋈lineitem, both filtered) with a
+  broadcast customer dim and a global top-10 via TakeOrderedAndProject — no
+  full sort at any scale.
+- ``q_tpch_volume``: the classic 6-table snowflake chain; every dim side is
+  broadcast so the only shuffle is the orders⋈lineitem co-partition.
+- ``q_resample_gapfill``: hypertable-style resample — per-key dense time grid
+  via sequence+explode (executor-side, no driver loop) with forward-fill via
+  ``last(ignorenulls)`` over a bounded window.
+
+Reference parity: the reference engine has no analytics surface (it is a
+sync tool — sync.go:56-176); these queries are the driver-mandated §2.B
+extension inventory exercising the same relational core the sync plan uses
+(joins, aggregation, windows) at warehouse shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.tables import load_table
+
+
+@register(
+    "q_tpch_pricing",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc=(
+        "TPC-H Q1 pricing summary: single-pass scan with map-side partial "
+        "aggregation into 6 groups — shuffle is O(groups), not O(rows)."
+    ),
+)
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_tpch_shipping",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    doc=(
+        "TPC-H Q3 shipping priority: filtered fact⋈fact (orders⋈lineitem) "
+        "with broadcast customer-segment dim; global top-10 compiles to "
+        "TakeOrderedAndProject (per-partition heap, never a full sort)."
+    ),
+)
+def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_volume",
+    oracle="""
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    doc=(
+        "TPC-H Q5 local-supplier volume: 6-table snowflake. All four dims "
+        "(customer, supplier, nation, region) broadcast; the only real "
+        "shuffle is orders⋈lineitem on orderkey. Region filter prunes the "
+        "nation/supplier broadcast before it ships."
+    ),
+)
+def q_tpch_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q_resample_gapfill",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS bucket, value
+  FROM events WHERE user_id % 10 = 0
+),
+spans AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT s.user_id, g.bucket
+  FROM spans s, LATERAL unnest(generate_series(s.lo, s.hi, INTERVAL '6 hours')) AS g(bucket)
+),
+agg AS (
+  SELECT user_id, bucket, round(sum(value), 2) AS bucket_value,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY user_id, bucket
+)
+SELECT g.user_id, g.bucket,
+       coalesce(a.bucket_value, 0.0) AS bucket_value,
+       coalesce(a.n_events, 0) AS n_events,
+       last_value(a.bucket_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+""",
+    doc=(
+        "Hypertable resample + gap-fill: 6-hour buckets per user over each "
+        "user's own span, dense grid generated executor-side via "
+        "sequence+explode (no driver loop), missing buckets forward-filled "
+        "with last(ignorenulls). The grid build and the fill share the "
+        "user_id partitioning, so the left join is co-partitioned."
+    ),
+)
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    step = 6 * 3600  # seconds per bucket
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            F.timestamp_seconds(
+                (F.col("ts").cast("long") / step).cast("long") * step
+            ).alias("bucket"),
+            "value",
+        )
+    )
+    agg = ev.groupBy("user_id", "bucket").agg(
+        F.round(F.sum("value"), 2).alias("bucket_value"),
+        F.count("*").alias("n_events"),
+    )
+    # Dense grid: one sequence() per user expanded on the executors.
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(agg, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        F.coalesce("bucket_value", F.lit(0.0)).alias("bucket_value"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("bucket_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

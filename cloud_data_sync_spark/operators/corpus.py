@@ -1,0 +1,215 @@
+"""Corpus-preparation operators for LLM training pipelines.
+
+Four first-class training-data ops over ``documents``:
+
+- ``q_text_entropy``: unigram token entropy per doc (low-entropy = repetitive
+  boilerplate — a standard pretraining quality filter). Closed form
+  ``ln(n) - Σc·ln(c)/n`` from one two-level aggregation: the token explode
+  combines map-side, so shuffle width is O(distinct tokens per doc).
+- ``q_vocab``: frequency-ranked vocabulary with dense ids + doc frequency —
+  the tokenizer-building step. Global top-k by (tf, token) is a single
+  all-reduce over the per-token aggregate, never a full sort of the corpus.
+- ``q_doc_chunk``: fixed-width character chunking with overlap (context-window
+  packing prep). sequence+explode runs on the executors; 1→N expansion never
+  touches the driver.
+- ``q_decontaminate``: eval-set contamination scan — word-8-gram overlap
+  between train docs and a held-out split. The eval side is tiny by
+  construction, so its distinct shingle hashes broadcast and the probe is a
+  map-side hash join: the 100 TB-safe shape for decontamination (shingle the
+  big side once, broadcast the benchmark suite).
+
+Tokenization contract matches text.py: ``split(trim(lower(text)), '\\s+')``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_data_sync_spark.operators.dedup import _AUG_SQL, augmented_documents
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.tables import load_table
+
+
+def _low_toks() -> Column:
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM tf GROUP BY doc_id
+""",
+    doc=(
+        "Unigram entropy per doc via ln(n) - Σc·ln(c)/n — one explode + "
+        "two-level hash agg, both stages map-side combined."
+    ),
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_low_toks()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    c = F.col("c")
+    return tf.groupBy("doc_id").agg(
+        F.sum(c).cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.ln(F.sum(c)) - F.sum(c * F.ln(c)) / F.sum(c), 6).alias("entropy"),
+    )
+
+
+@register(
+    "q_vocab",
+    oracle="""
+WITH tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents)
+  GROUP BY term
+)
+SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS token_id,
+       term, tf, df
+FROM tf
+ORDER BY token_id
+LIMIT 1000
+""",
+    doc=(
+        "Frequency-ranked vocabulary (tokenizer build): per-token tf/df "
+        "aggregate, then dense ids by (tf desc, term). The ranked window runs "
+        "over the aggregate (vocab-sized), not the corpus."
+    ),
+)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_low_toks()).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+    )
+    # Top-k FIRST (TakeOrderedAndProject — per-partition heap + k-row merge),
+    # THEN dense ids over the ≤1000 surviving rows. The global window is
+    # bounded by the limit, never by corpus size.
+    top = tf.orderBy(F.desc("tf"), "term").limit(1000)
+    w = Window.orderBy(F.desc("tf"), "term")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("token_id"), "term", "tf", "df"
+    )
+
+
+_CHUNK, _STEP = 200, 160  # 40-char overlap
+
+
+@register(
+    "q_doc_chunk",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST((g.pos - 1) / {_STEP} AS BIGINT) AS chunk_id,
+       CAST(length(substring(d.text, g.pos, {_CHUNK})) AS BIGINT) AS chunk_len,
+       md5(substring(d.text, g.pos, {_CHUNK})) AS chunk_hash
+FROM documents d,
+     LATERAL unnest(generate_series(1, greatest(length(d.text) - {_CHUNK - _STEP}, 1), {_STEP}))
+       AS g(pos)
+""",
+    doc=(
+        f"Fixed-width chunking: {_CHUNK}-char windows every {_STEP} chars "
+        "(overlap 40). sequence+explode expands 1→N on the executors; output "
+        "carries (doc_id, chunk_id, len, hash) for downstream packing."
+    ),
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Last start position is the smallest grid point whose chunk reaches the
+    # end: inclusive bound len - (CHUNK - STEP). A doc whose previous chunk
+    # already covers the tail generates no redundant final chunk.
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length("text") - F.lit(_CHUNK - _STEP), F.lit(1)),
+            F.lit(_STEP),
+        )
+    ).alias("pos")
+    chunk = F.expr(f"substring(text, pos, {_CHUNK})")
+    return (
+        docs.select("doc_id", "text", pos)
+        .select(
+            "doc_id",
+            ((F.col("pos") - 1) / _STEP).cast("bigint").alias("chunk_id"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )
+
+
+_NGRAM = 8  # word-8-grams, the common decontamination shingle width
+
+
+def _shingle8(toks: Column) -> Column:
+    """Distinct md5s of the word-8-grams of a token array (empty if <8)."""
+    n = F.size(toks)
+    take = F.greatest(n - (_NGRAM - 1), F.lit(0))
+    # Build 8-grams by zipping 8 shifted slices — same O(tokens) shape as
+    # dedup._with_shingles (dedup.py:147), widened from 3 to 8.
+    gram = F.slice(toks, 1, take)
+    for i in range(2, _NGRAM + 1):
+        gram = F.zip_with(
+            gram, F.slice(toks, i, take), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(F.transform(gram, F.md5))
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+WITH {_AUG_SQL},
+tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM aug
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[g.i:g.i + {_NGRAM - 1}], ' ')) AS h
+  FROM tok, LATERAL unnest(generate_series(1, len(t) - {_NGRAM - 1})) AS g(i)
+  WHERE len(t) >= {_NGRAM}
+),
+ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+""",
+    doc=(
+        "Eval-set decontamination over the augmented corpus (dedup.py:40 — "
+        "contains planted exact/near copies, so overlap actually exists): "
+        "docs with doc_id %% 97 == 0 stand in for a held-out benchmark; train "
+        "docs sharing any word-8-gram are flagged with their shared-shingle "
+        "count. Eval shingles broadcast (benchmark suites are tiny next to a "
+        "pretraining corpus), so the probe is a map-side join over the train "
+        "shingles — the big side never shuffles."
+    ),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = augmented_documents(spark, sf_dir).select(
+        "doc_id", F.explode(_shingle8(_low_toks())).alias("h")
+    )
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

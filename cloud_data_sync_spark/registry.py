@@ -47,6 +47,8 @@ def all_queries() -> dict[str, QuerySpec]:
     from cloud_data_sync_spark import sync  # noqa: F401
     from cloud_data_sync_spark.functions import udfs  # noqa: F401
     from cloud_data_sync_spark.operators import (  # noqa: F401
+        analytics,
+        corpus,
         dedup,
         multimodal,
         relational,

@@ -36,6 +36,12 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   driver action.
 BNLJ_ALLOWED = {"q_sim_topk", "q_sim_ivf", "q_tfidf", "q_term_pmi"}
 
+# Global (unpartitioned) windows are forbidden — a single-partition sort of
+# the input — EXCEPT where the window's input is already capped by a
+# preceding global limit, so it sees ≤k rows regardless of corpus size:
+# - q_vocab: TakeOrderedAndProject(1000) feeds the id-assignment window.
+GLOBAL_WINDOW_ALLOWED = {"q_vocab"}
+
 RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # filter + projection must be pushed into the parquet scan
     "q_scan_filter_project": {"require": ("PushedFilters: [",)},
@@ -81,6 +87,19 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_funnel": {"require": ("partial_min",)},
     # LM scoring joins the count dims as broadcasts against the bigram scan
     "q_ngram_lm": {"require": ("BroadcastHashJoin",)},
+    # TPC-H shapes: map-side combine on Q1; broadcast dims + heap top-k on
+    # Q3; all four dims broadcast on Q5 (the only shuffle join is the
+    # orders⋈lineitem fact join)
+    "q_tpch_pricing": {"require": ("partial_sum",)},
+    "q_tpch_shipping": {"require": ("BroadcastHashJoin", "TakeOrderedAndProject")},
+    "q_tpch_volume": {"require": ("BroadcastHashJoin",)},
+    # corpus prep: chunking is a pure per-row expand; entropy keeps its
+    # map-side partial; vocab top-k is a heap merge, never a full sort;
+    # decontamination probes a broadcast of the (tiny) eval shingle set
+    "q_doc_chunk": {"forbid": ("Exchange",)},
+    "q_text_entropy": {"require": ("partial_count",)},
+    "q_vocab": {"require": ("TakeOrderedAndProject",)},
+    "q_decontaminate": {"require": ("BroadcastHashJoin",)},
 }
 
 
@@ -108,8 +127,12 @@ def audit_one(name: str, df: DataFrame) -> list[str]:
         if pat in plan:
             bad.append(f"forbidden {pat!r} in plan")
     # a window with an empty partition spec funnels everything into one
-    # partition — never acceptable
-    if "Window" in plan and ", []" in _window_lines(plan):
+    # partition — never acceptable unless a global limit already capped it
+    if (
+        name not in GLOBAL_WINDOW_ALLOWED
+        and "Window" in plan
+        and ", []" in _window_lines(plan)
+    ):
         bad.append("global (unpartitioned) Window in plan")
     return bad
 
