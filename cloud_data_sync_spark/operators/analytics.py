@@ -241,3 +241,183 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("bucket_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg,
+         event_id
+  FROM ordered
+),
+seg AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM flagged
+),
+grouped AS (
+  SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id, min(event_type) AS event_type,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM seg GROUP BY user_id, seg_id
+)
+SELECT user_id, seg_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id) AS valid_to,
+       CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id) IS NULL
+            AS BOOLEAN) AS is_current,
+       n_events
+FROM grouped
+""",
+    doc=(
+        "Slowly-changing-dimension type-2 history build: collapse each "
+        "user's event_type stream into contiguous validity segments "
+        "[valid_from, valid_to) with an is_current flag — the standard "
+        "warehouse CDC-merge shape. Change detection (lag), segment "
+        "numbering (running sum) and the valid_to stitch (lead) all share "
+        "one user_id partitioning, so the whole history builds in a single "
+        "shuffle."
+    ),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    prev = F.lag("event_type").over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0).alias("chg"),
+    )
+    seg = flagged.withColumn(
+        "seg_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    grouped = seg.groupBy("user_id", "seg_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w_seg = Window.partitionBy("user_id").orderBy("seg_id")
+    valid_to = F.lead("valid_from").over(w_seg)
+    return grouped.select(
+        "user_id",
+        "seg_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+# Column profiling: (column, stat-exprs) pairs evaluated in ONE aggregate
+# pass. min/max are computed on the native type and only then rendered to
+# strings, so timestamp/decimal ordering stays semantic. count(distinct) on
+# several columns expands the scan (Spark plans an Expand ×N) — exact
+# profiling is inherently per-column; at 100 TB swap in
+# approx_count_distinct, exact here so the oracle can hash-match.
+_PROFILE_COLS = (
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderdate", "o_orderdate"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_totalprice", "CAST(round(o_totalprice, 2) AS DECIMAL(18,2))"),
+)
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+WITH a AS (
+  SELECT
+"""
+    + ",\n".join(
+        f"""    CAST(count(*) - count({expr}) AS BIGINT) AS {name}_nn,
+    CAST(count(DISTINCT {expr}) AS BIGINT) AS {name}_nd,
+    CAST(min({expr}) AS VARCHAR) AS {name}_min,
+    CAST(max({expr}) AS VARCHAR) AS {name}_max"""
+        for name, expr in _PROFILE_COLS
+    )
+    + """
+  FROM orders
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS col_name, {name}_nn AS n_null, {name}_nd AS n_distinct,"
+        f" {name}_min AS min_s, {name}_max AS max_s FROM a"
+        for name, _ in _PROFILE_COLS
+    ),
+    doc=(
+        "Single-pass column profiler over orders: per-column null count, "
+        "exact distinct count, min/max (computed on the native type, "
+        "rendered as strings). One scan + one aggregate; the stack() melt "
+        "runs over the 1-row aggregate, not the table."
+    ),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, expr in _PROFILE_COLS:
+        c = F.expr(expr)
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{name}_nn"),
+            F.count_distinct(c).alias(f"{name}_nd"),
+            F.min(c).cast("string").alias(f"{name}_min"),
+            F.max(c).cast("string").alias(f"{name}_max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}_nn, {name}_nd, {name}_min, {name}_max"
+        for name, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_null, n_distinct, min_s, max_s)"
+        )
+    )
+
+
+@register(
+    "q_window_time_range",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS spend_30d,
+       CAST(count(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_orders_30d
+FROM orders
+""",
+    doc=(
+        "Calendar-interval rolling window: per-customer trailing-30-day "
+        "spend and order count via RANGE BETWEEN INTERVAL frames over the "
+        "order timestamp — the hypertable rolling-aggregate shape. RANGE "
+        "frames are peer-inclusive, so tied order dates are deterministic "
+        "without a tiebreak column."
+    ),
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    frame = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr(f"round(sum(o_totalprice) {frame}, 2)").alias("spend_30d"),
+        F.expr(f"cast(count(*) {frame} as bigint)").alias("n_orders_30d"),
+    )

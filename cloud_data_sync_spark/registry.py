@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         corpus,
         dedup,
+        ml,
         multimodal,
         relational,
         similarity,

@@ -1,0 +1,132 @@
+"""Semantic tests for the round-5 operators (k-means, SCD2, column
+profiling, calendar-range rolling window) on hand-built frames.
+
+The oracle gate proves Spark/DuckDB agreement; these pin intended
+semantics (Lloyd convergence on separable data, validity stitching,
+native-type min/max, peer-inclusive range frames) so both engines can't
+drift together.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from cloud_data_sync_spark.operators.analytics import (
+    q_profile_columns,
+    q_scd2,
+    q_window_time_range,
+)
+from cloud_data_sync_spark.operators.ml import q_kmeans
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+ORD_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def _t(day, h=0):
+    return datetime(2024, 1, day, h)
+
+
+def test_kmeans_separable_clusters(spark, tmp_path):
+    # Two tight blobs at ±1 on every dim. vec_ids are chosen so every %8
+    # seed cluster is sign-pure (ids 0-5 → seeds 0-5 all "+", ids 6,7,14,15
+    # → seeds 6,7 all "−"); two Lloyd rounds must keep blobs separated, so
+    # every cluster's mean distance stays at blob-spread scale (a merged
+    # cluster would sit at avg_dist ≈ 8 = ||±1 blob to centroid 0||₂).
+    plus = [(i, [1.0 + 0.001 * i] * 64, 0) for i in range(6)]
+    minus = [(i, [-1.0 - 0.001 * i] * 64, 1) for i in (6, 7, 14, 15)]
+    sf = _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        plus + minus,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = q_kmeans(spark, sf).collect()
+    sizes = sorted(r.n_members for r in out)
+    assert sum(sizes) == 10  # every vector assigned exactly once
+    assert all(float(r.avg_dist) < 0.5 for r in out)  # no cross-blob merge
+
+
+def test_scd2_segments_and_stitching(spark, tmp_path):
+    # user 1: a,a,b,a → segments a[1,3) b[3,4) a[4,∞)
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        [
+            (1, _t(1), 1, "a", 0.0, "{}"),
+            (2, _t(2), 1, "a", 0.0, "{}"),
+            (3, _t(3), 1, "b", 0.0, "{}"),
+            (4, _t(4), 1, "a", 0.0, "{}"),
+        ],
+        EV_SCHEMA,
+    )
+    rows = sorted(q_scd2(spark, sf).collect(), key=lambda r: r.seg_id)
+    assert [(r.event_type, r.valid_from, r.valid_to, r.is_current, r.n_events) for r in rows] == [
+        ("a", _t(1), _t(3), False, 2),
+        ("b", _t(3), _t(4), False, 1),
+        ("a", _t(4), None, True, 1),
+    ]
+
+
+def test_scd2_tied_timestamps_use_event_id(spark, tmp_path):
+    # same ts, types ordered by event_id: b(1), a(2) → two segments, b first
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        [(1, _t(1), 1, "b", 0.0, "{}"), (2, _t(1), 1, "a", 0.0, "{}")],
+        EV_SCHEMA,
+    )
+    rows = sorted(q_scd2(spark, sf).collect(), key=lambda r: r.seg_id)
+    assert [r.event_type for r in rows] == ["b", "a"]
+
+
+def test_profile_null_and_minmax_semantics(spark, tmp_path):
+    sf = _write(
+        spark,
+        tmp_path,
+        "orders",
+        [
+            (1, 10, "O", 5.0, _t(1), "HIGH"),
+            (2, 11, None, 100.0, _t(9), "LOW"),
+        ],
+        ORD_SCHEMA,
+    )
+    rows = {r.col_name: r for r in q_profile_columns(spark, sf).collect()}
+    assert rows["o_orderstatus"].n_null == 1
+    assert rows["o_orderstatus"].n_distinct == 1
+    # numeric min/max computed BEFORE string rendering: 5.00 < 100.00
+    assert rows["o_totalprice"].min_s == "5.00"
+    assert rows["o_totalprice"].max_s == "100.00"
+    assert rows["o_orderdate"].min_s.startswith("2024-01-01")
+
+
+def test_time_range_window_trailing_30d(spark, tmp_path):
+    # orders on day 1, 15, 40: day-40 window [day10..day40] excludes day 1
+    sf = _write(
+        spark,
+        tmp_path,
+        "orders",
+        [
+            (1, 7, "O", 10.0, _t(1), "H"),
+            (2, 7, "O", 20.0, _t(15), "H"),
+            (3, 7, "O", 40.0, datetime(2024, 2, 9), "H"),
+        ],
+        ORD_SCHEMA,
+    )
+    rows = {r.o_orderkey: r for r in q_window_time_range(spark, sf).collect()}
+    assert float(rows[1].spend_30d) == 10.0 and rows[1].n_orders_30d == 1
+    assert float(rows[2].spend_30d) == 30.0 and rows[2].n_orders_30d == 2
+    assert float(rows[3].spend_30d) == 60.0 and rows[3].n_orders_30d == 2

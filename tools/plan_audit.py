@@ -34,7 +34,9 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   into the scored set — N x 1 is linear; the alternative is a driver-side
 #   count() collected into a literal, which trades a plan edge for a
 #   driver action.
-BNLJ_ALLOWED = {"q_sim_topk", "q_sim_ivf", "q_tfidf", "q_term_pmi"}
+# - q_kmeans: the K×D centroid pack is ONE broadcast row (constant in
+#   corpus size) cross-joined into the map-only assignment projection.
+BNLJ_ALLOWED = {"q_sim_topk", "q_sim_ivf", "q_tfidf", "q_term_pmi", "q_kmeans"}
 
 # Global (unpartitioned) windows are forbidden — a single-partition sort of
 # the input — EXCEPT where the window's input is already capped by a
@@ -100,6 +102,14 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_text_entropy": {"require": ("partial_count",)},
     "q_vocab": {"require": ("TakeOrderedAndProject",)},
     "q_decontaminate": {"require": ("BroadcastHashJoin",)},
+    # k-means: centroid updates must keep their map-side partial average —
+    # the shuffle carries K×D groups, never vectors
+    "q_kmeans": {"require": ("partial_avg",)},
+    # SCD2 segment collapse keeps its map-side partial min
+    "q_scd2": {"require": ("partial_min",)},
+    # profiler: one scan, multi-column exact distinct → Expand is expected;
+    # the aggregate must still partial-combine
+    "q_profile_columns": {"require": ("Expand", "partial_count")},
 }
 
 
