@@ -243,10 +243,11 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_scd2",
-    oracle="""
-WITH ordered AS (
+# SCD2 CTE chain shared by q_scd2 and q_temporal_join: produces relation
+# ``scd2(user_id, seg_id, event_type, valid_from, valid_to, is_current,
+# n_events)``.
+_SCD2_SQL = """
+ordered AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
@@ -267,14 +268,21 @@ grouped AS (
   SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id, min(event_type) AS event_type,
          min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
   FROM seg GROUP BY user_id, seg_id
+),
+scd2 AS (
+  SELECT user_id, seg_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id) AS valid_to,
+         CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id) IS NULL
+              AS BOOLEAN) AS is_current,
+         n_events
+  FROM grouped
 )
-SELECT user_id, seg_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id) AS valid_to,
-       CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id) IS NULL
-            AS BOOLEAN) AS is_current,
-       n_events
-FROM grouped
-""",
+"""
+
+
+@register(
+    "q_scd2",
+    oracle=f"WITH {_SCD2_SQL} SELECT * FROM scd2",
     doc=(
         "Slowly-changing-dimension type-2 history build: collapse each "
         "user's event_type stream into contiguous validity segments "
@@ -286,8 +294,12 @@ FROM grouped
     ),
 )
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_segments(load_table(spark, sf_dir, "events"))
+
+
+def scd2_segments(ev: DataFrame) -> DataFrame:
+    """Collapse (user_id, ts, event_id, event_type) into SCD2 validity rows."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = load_table(spark, sf_dir, "events")
     prev = F.lag("event_type").over(w)
     flagged = ev.select(
         "user_id",
@@ -420,4 +432,46 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.expr(f"round(sum(o_totalprice) {frame}, 2)").alias("spend_30d"),
         F.expr(f"cast(count(*) {frame} as bigint)").alias("n_orders_30d"),
+    )
+
+
+@register(
+    "q_temporal_join",
+    oracle=f"""
+WITH {_SCD2_SQL}
+SELECT e.event_id, e.user_id, e.ts, s.seg_id, s.event_type AS segment_type,
+       s.is_current AS in_current_segment
+FROM events e
+JOIN scd2 s
+  ON e.user_id = s.user_id
+ AND e.ts >= s.valid_from
+ AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+""",
+    doc=(
+        "Temporal (validity-window) join: enrich each event with the SCD2 "
+        "segment active at its timestamp — the fact-to-versioned-dimension "
+        "lookup every warehouse needs. The join key is user_id equality "
+        "(hash-partitionable); the [valid_from, valid_to) predicate is a "
+        "post-join filter over each user's handful of segments, so the plan "
+        "stays an equi-join, never a theta join."
+    ),
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seg = scd2_segments(ev).select(
+        F.col("user_id").alias("s_user_id"),
+        "seg_id",
+        F.col("event_type").alias("segment_type"),
+        "valid_from",
+        "valid_to",
+        F.col("is_current").alias("in_current_segment"),
+    )
+    return (
+        ev.join(
+            seg,
+            (ev.user_id == seg.s_user_id)
+            & (ev.ts >= seg.valid_from)
+            & (seg.valid_to.isNull() | (ev.ts < seg.valid_to)),
+        )
+        .select("event_id", "user_id", "ts", "seg_id", "segment_type", "in_current_segment")
     )

@@ -130,3 +130,59 @@ def test_time_range_window_trailing_30d(spark, tmp_path):
     assert float(rows[1].spend_30d) == 10.0 and rows[1].n_orders_30d == 1
     assert float(rows[2].spend_30d) == 30.0 and rows[2].n_orders_30d == 2
     assert float(rows[3].spend_30d) == 60.0 and rows[3].n_orders_30d == 2
+
+
+LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+    " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+    " l_returnflag string, l_linestatus string, l_shipdate timestamp"
+)
+
+
+def test_pagerank_sink_node_accumulates(spark, tmp_path):
+    # 3 nations; both 0 and 1 trade only with supplier-nation 2 → node 2
+    # must outrank its sources after any number of iterations.
+    from cloud_data_sync_spark.operators.ml import q_pagerank
+
+    _write(spark, tmp_path, "nation", [(0, "A", 0), (1, "B", 0), (2, "C", 0)],
+           "n_nationkey long, n_name string, n_regionkey long")
+    _write(spark, tmp_path, "customer", [(1, "c1", 0, 0.0, "M"), (2, "c2", 1, 0.0, "M")],
+           "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string")
+    _write(spark, tmp_path, "supplier", [(1, "s1", 2, 0.0)],
+           "s_suppkey long, s_name string, s_nationkey long, s_acctbal double")
+    _write(spark, tmp_path, "orders",
+           [(1, 1, "O", 1.0, _t(1), "H"), (2, 2, "O", 1.0, _t(2), "H")],
+           ORD_SCHEMA.replace("o_orderkey long, o_custkey long",
+                              "o_orderkey long, o_custkey long"))
+    _write(spark, tmp_path, "lineitem",
+           [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _t(1)),
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _t(2))],
+           LI_SCHEMA)
+    pr = {r.nation: float(r.pagerank) for r in q_pagerank(spark, str(tmp_path)).collect()}
+    assert set(pr) == {"A", "B", "C"}
+    assert pr["C"] > pr["A"] and pr["C"] > pr["B"]
+    # C is dangling (no out-edges), so the simple variant leaks its mass
+    # each round: total < 1, but every node keeps the (1-d)/N base.
+    assert sum(pr.values()) < 1.0
+    assert all(v >= 0.05 - 1e-9 for v in pr.values())
+
+
+def test_temporal_join_assigns_each_event_once(spark, tmp_path):
+    from cloud_data_sync_spark.operators.analytics import q_temporal_join
+
+    sf = _write(
+        spark,
+        tmp_path,
+        "events",
+        [
+            (1, _t(1), 1, "a", 0.0, "{}"),
+            (2, _t(2), 1, "b", 0.0, "{}"),
+            (3, _t(3), 1, "b", 0.0, "{}"),
+        ],
+        EV_SCHEMA,
+    )
+    rows = {r.event_id: r for r in q_temporal_join(spark, sf).collect()}
+    assert len(rows) == 3  # exactly one segment per event
+    assert rows[1].segment_type == "a" and not rows[1].in_current_segment
+    assert rows[2].segment_type == "b" and rows[2].in_current_segment
+    assert rows[3].segment_type == "b" and rows[3].in_current_segment

@@ -110,6 +110,11 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # profiler: one scan, multi-column exact distinct → Expand is expected;
     # the aggregate must still partial-combine
     "q_profile_columns": {"require": ("Expand", "partial_count")},
+    # pagerank: edge derivation broadcasts the customer/supplier dims and
+    # map-side combines the nations² edge aggregate
+    "q_pagerank": {"require": ("BroadcastHashJoin", "partial_count")},
+    # temporal join: the segment build keeps its map-side partial min
+    "q_temporal_join": {"require": ("partial_min",)},
 }
 
 
