@@ -369,34 +369,38 @@ WITH a AS (
         for name, _ in _PROFILE_COLS
     ),
     doc=(
-        "Single-pass column profiler over orders: per-column null count, "
-        "exact distinct count, min/max (computed on the native type, "
-        "rendered as strings). One scan + one aggregate; the stack() melt "
-        "runs over the 1-row aggregate, not the table."
+        "Column profiler over orders: per-column null count, exact distinct "
+        "count, min/max (computed on the native type, rendered as strings). "
+        "One column-pruned branch per column: groupBy(value) hash-aggregates "
+        "the scan (codegen'd, partial-combined), then the stats reduce over "
+        "the distinct set. The multi-count(distinct)-in-one-agg formulation "
+        "was 3× slower: string min/max buffers force a SortAggregate over "
+        "the 6×-Expanded scan with 30 FILTERed buffers per row."
     ),
 )
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    aggs = []
+    parts = []
     for name, expr in _PROFILE_COLS:
         c = F.expr(expr)
-        aggs += [
-            (F.count("*") - F.count(c)).alias(f"{name}_nn"),
-            F.count_distinct(c).alias(f"{name}_nd"),
-            F.min(c).cast("string").alias(f"{name}_min"),
-            F.max(c).cast("string").alias(f"{name}_max"),
-        ]
-    one = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', {name}_nn, {name}_nd, {name}_min, {name}_max"
-        for name, _ in _PROFILE_COLS
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args})"
-            " AS (col_name, n_null, n_distinct, min_s, max_s)"
+        d = orders.select(c.alias("v")).groupBy("v").agg(F.count("*").alias("cnt"))
+        stats = d.agg(
+            F.coalesce(F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_distinct"),
+            F.min("v").cast("string").alias("min_s"),
+            F.max("v").cast("string").alias("max_s"),
         )
-    )
+        parts.append(
+            stats.select(
+                F.lit(name).alias("col_name"), "n_null", "n_distinct", "min_s", "max_s"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register(

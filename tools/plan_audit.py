@@ -107,9 +107,12 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_kmeans": {"require": ("partial_avg",)},
     # SCD2 segment collapse keeps its map-side partial min
     "q_scd2": {"require": ("partial_min",)},
-    # profiler: one scan, multi-column exact distinct → Expand is expected;
-    # the aggregate must still partial-combine
-    "q_profile_columns": {"require": ("Expand", "partial_count")},
+    # profiler: per-column branches hash-aggregate the scan with map-side
+    # partials; the multi-distinct-in-one-agg formulation (Expand ×6 into a
+    # 30-buffer SortAggregate) measured 3× slower and is forbidden. A small
+    # SortAggregate remains over each distinct set (string min/max buffers)
+    # — that input is |distinct values|, not the scan.
+    "q_profile_columns": {"require": ("partial_count",), "forbid": ("Expand",)},
     # pagerank: edge derivation broadcasts the customer/supplier dims and
     # map-side combines the nations² edge aggregate
     "q_pagerank": {"require": ("BroadcastHashJoin", "partial_count")},
