@@ -56,6 +56,6 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         text,
     )
-    from cloud_data_sync_spark.streaming import stateful, windows  # noqa: F401
+    from cloud_data_sync_spark.streaming import enrich, stateful, windows  # noqa: F401
 
     return dict(_REGISTRY)

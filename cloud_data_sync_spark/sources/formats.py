@@ -68,3 +68,45 @@ def read_table(
     if fmt == "csv":
         reader = reader.option("header", "true")
     return reader.load(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite ``src_path`` into ``dst_path`` with
+    file counts sized to ``target_file_bytes``; returns the output file
+    count.
+
+    Streaming sinks and per-batch appends (e.g. the q_stream_upsert log)
+    accumulate many small files; at 100 TB that means listing storms,
+    footer-read overhead per file, and under-filled row groups that gut
+    columnar compression + min/max skipping. Compaction is the standing
+    maintenance job every table format schedules (Delta OPTIMIZE /
+    Iceberg rewrite_data_files); this is the engine-level primitive.
+
+    Sizing reads the SOURCE byte size from the filesystem (no data scan)
+    and uses coalesce(), which folds existing splits together WITHOUT a
+    shuffle — a compaction that shuffles 100 TB to avoid re-listing it
+    has negated its own purpose. Writes to a fresh directory: the swap
+    (rename or catalog pointer flip) stays with the caller, keeping the
+    rewrite atomic-or-absent.
+    """
+    jvm = spark.sparkContext._jvm
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(jconf)
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil div
+    df = read_table(spark, src_path, fmt=fmt)
+    df.coalesce(n_files).write.format(fmt).mode("error").save(dst_path)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    out = [
+        f
+        for f in fs.listStatus(dst)
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    ]
+    return len(out)

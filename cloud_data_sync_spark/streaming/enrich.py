@@ -1,0 +1,129 @@
+"""Stream enrichment and streaming upsert.
+
+Two production streaming shapes the window/stateful modules don't cover:
+
+- ``q_stream_enrich``: stream⋈static broadcast join — every micro-batch
+  joins the live events stream against a small dimension (per-user
+  lifetime-value tiers derived from history). The dim broadcasts once; the
+  per-batch join is map-only, so enrichment adds zero shuffles to the
+  stream. This is the canonical "decorate events with reference data"
+  pipeline.
+- ``q_stream_upsert``: ``foreachBatch`` latest-wins upsert — each batch
+  appends its per-user latest rows to a log directory; the final read
+  resolves the global winner per key. Appending instead of
+  read-modify-write keeps every batch idempotent-safe (a replayed batch
+  adds duplicate log rows; the terminal latest-wins dedup absorbs them) —
+  the same union + window-dedup algebra the sync state table uses
+  (state.py:57-81), driven from a stream.
+
+Both drain with availableNow and register batch-equivalent oracles, like
+every stream query here (windows.py): the streaming plan is real, the
+result deterministic.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.streaming.runner import (
+    read_events_stream,
+    run_available_now,
+)
+from cloud_data_sync_spark.tables import load_table
+
+# LTV tier width: users bucket by floor(lifetime_value / 500), capped at 4.
+_TIER_WIDTH = 500
+
+
+@register(
+    "q_stream_enrich",
+    oracle=f"""
+WITH dim AS (
+  SELECT user_id,
+         least(CAST(floor(sum(value) / {_TIER_WIDTH}) AS BIGINT), 4) AS tier
+  FROM events GROUP BY user_id
+)
+SELECT d.tier, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY d.tier, e.event_type
+""",
+    doc=(
+        "Stream⋈static enrichment: the live events stream broadcast-joins "
+        "a per-user lifetime-value tier dimension (built from history), "
+        "then aggregates per (tier, event_type). The static side ships to "
+        "executors once; each micro-batch enriches map-only."
+    ),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.least(
+                F.floor(F.sum("value") / _TIER_WIDTH).cast("bigint"), F.lit(4)
+            ).alias("tier")
+        )
+    )
+    enriched = read_events_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_available_now(agg, "t_stream_enrich", output_mode="complete")
+
+
+@register(
+    "q_stream_upsert",
+    oracle="""
+SELECT user_id, event_id, event_type, round(value, 2) AS value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc=(
+        "foreachBatch streaming upsert: each micro-batch reduces to its "
+        "per-user latest row (ts desc, event_id desc) and APPENDS to a "
+        "parquet log; the terminal read resolves the cross-batch winner "
+        "with the same window dedup. Append + terminal-dedup keeps batch "
+        "replays harmless — the streaming twin of the state table's "
+        "latest-wins upsert (state.py:57-81)."
+    ),
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log_dir = tempfile.mkdtemp(prefix="stream_upsert_log_")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .write.mode("append")
+            .parquet(log_dir)
+        )
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(log_dir)
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )

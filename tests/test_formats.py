@@ -56,3 +56,39 @@ def test_partitioned_write_one_file_per_partition(spark, tmp_path):
         if d.startswith("status="):
             files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
             assert len(files) == 1, f"{d}: repartition should yield one file, got {files}"
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from cloud_data_sync_spark.sources.formats import compact_table
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(20).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 20
+    # huge target → everything folds into one file, no shuffle (coalesce)
+    n = compact_table(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/part-*")) == 1
+    # data survives byte-identically
+    a = sorted(r.id for r in spark.read.parquet(dst).collect())
+    assert a == list(range(10000))
+
+
+def test_compact_table_respects_target_size(spark, tmp_path):
+    from cloud_data_sync_spark.sources.formats import compact_table
+
+    src = str(tmp_path / "small2")
+    dst = str(tmp_path / "compacted2")
+    spark.range(50000).selectExpr("id", "repeat('x', 64) AS pad").repartition(
+        16
+    ).write.parquet(src)
+    import glob, os
+
+    total = sum(os.path.getsize(p) for p in glob.glob(f"{src}/part-*"))
+    # target of ~1/3 the source → ceil(total/target) files out
+    target = total // 3
+    n = compact_table(spark, src, dst, target_file_bytes=target)
+    assert n == -(-total // target)
