@@ -117,3 +117,37 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_supps",
         ok.alias("within_tolerance"),
     )
+
+
+@register(
+    "q_approx_topk",
+    oracle="""
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents)
+GROUP BY term
+ORDER BY cnt DESC, term
+LIMIT 10
+""",
+    doc=(
+        "Frequent-items sketch: approx_top_k over the token stream — the "
+        "100 TB heavy-hitters path (fixed-memory mergeable sketch, "
+        "map-side combined; the exact groupBy shuffles every distinct "
+        "term). The sketch tracks 10k items, far above this corpus's "
+        "distinct-token count, so counts are exact and hash-match the "
+        "exact oracle; final top-10 membership is re-ranked (count desc, "
+        "term) OUTSIDE the sketch so boundary ties never depend on sketch "
+        "internals. At real scale counts above the tracking threshold "
+        "go approximate — the same honesty caveat as the HLL query."
+    ),
+)
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"))
+    )
+    sketch = toks.agg(F.expr("approx_top_k(term, 1000)").alias("tk"))
+    items = sketch.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("term"), F.col("s.count").alias("cnt")
+    )
+    return items.orderBy(F.desc("cnt"), "term").limit(10)

@@ -153,3 +153,51 @@ def test_stream_dedup_keys_matches_batch_distinct(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_upsert_latest_wins_across_batches(spark):
+    from cloud_data_sync_spark.streaming.enrich import q_stream_upsert
+    from cloud_data_sync_spark.tables import load_table
+
+    out = {r.user_id: r for r in q_stream_upsert(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    # batch truth: latest (ts, event_id) row per user
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r.user_id: r
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert set(out) == set(want)
+    for uid, row in want.items():
+        assert out[uid].event_id == row.event_id
+
+
+def test_stream_enrich_is_streaming_and_matches_batch(spark):
+    from cloud_data_sync_spark.streaming.enrich import q_stream_enrich
+    from cloud_data_sync_spark.tables import load_table
+
+    got = {
+        (r.tier, r.event_type): (r.n_events, float(r.total_value))
+        for r in q_stream_enrich(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.least(F.floor(F.sum("value") / 500).cast("bigint"), F.lit(4)).alias("tier")
+    )
+    want = {
+        (r.tier, r.event_type): (r.n_events, float(r.total_value))
+        for r in ev.join(dim, "user_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0

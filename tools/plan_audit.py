@@ -113,6 +113,9 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # SortAggregate remains over each distinct set (string min/max buffers)
     # — that input is |distinct values|, not the scan.
     "q_profile_columns": {"require": ("partial_count",), "forbid": ("Expand",)},
+    # heavy hitters: ONE mergeable sketch row, then heap top-k over its
+    # exploded items — never an exact groupBy of every distinct term
+    "q_approx_topk": {"require": ("TakeOrderedAndProject", "partial_approx_top_k")},
     # pagerank: edge derivation broadcasts the customer/supplier dims and
     # map-side combines the nations² edge aggregate
     "q_pagerank": {"require": ("BroadcastHashJoin", "partial_count")},
