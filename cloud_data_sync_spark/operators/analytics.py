@@ -479,3 +479,100 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts", "seg_id", "segment_type", "in_current_segment")
     )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       round(m.med, 6) AS med,
+       round(d.mad, 6) AS mad,
+       CAST(count(*) FILTER (WHERE abs(e.value - m.med) > 3 * d.mad) AS BIGINT)
+         AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY e.event_type, m.med, d.mad
+""",
+    doc=(
+        "Robust outlier screen: median absolute deviation per event_type "
+        "(the z-score's robust twin — a handful of extreme rows can't drag "
+        "the threshold the way they drag a mean/stddev). Two aggregate "
+        "passes, each broadcast-joined back; exact percentile here so the "
+        "oracle hash-matches — at 100 TB swap approx_percentile, which "
+        "turns each pass into a fixed-memory mergeable sketch."
+    ),
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    outlier = F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.count(F.when(outlier, 1)).alias("n_outliers"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+WITH counts AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total, count(*) AS n_keys FROM counts)
+SELECT c.l_suppkey, c.cnt,
+       round(c.cnt / t.total, 6) AS share,
+       round(c.cnt * t.n_keys / t.total, 4) AS x_mean
+FROM counts c CROSS JOIN tot t
+ORDER BY c.cnt DESC, c.l_suppkey
+LIMIT 10
+""",
+    doc=(
+        "Skew diagnosis: the heaviest join/shuffle keys with their share of "
+        "all rows and their multiple of the mean key load — the report you "
+        "run BEFORE choosing salting factors or AQE skew thresholds "
+        "(q_join_skew_salted is the treatment; this is the diagnosis). "
+        "Per-key counts partial-combine; the corpus total is a ONE-row "
+        "cross join (the q_tfidf scalar pattern) and the top-10 is a heap "
+        "merge, so nothing global ever sorts."
+    ),
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("double").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("total"), 4).alias("x_mean"),
+        )
+        .orderBy(F.desc("cnt"), "l_suppkey")
+        .limit(10)
+    )

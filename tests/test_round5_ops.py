@@ -186,3 +186,27 @@ def test_temporal_join_assigns_each_event_once(spark, tmp_path):
     assert rows[1].segment_type == "a" and not rows[1].in_current_segment
     assert rows[2].segment_type == "b" and rows[2].in_current_segment
     assert rows[3].segment_type == "b" and rows[3].in_current_segment
+
+
+def test_anomaly_mad_flags_only_extremes(spark, tmp_path):
+    from cloud_data_sync_spark.operators.analytics import q_anomaly_mad
+
+    # values 1..9 (med=5, mad=2) plus a wild 100 → exactly one outlier
+    rows = [(i, _t(1, i % 24), 1, "buy", float(v), "{}") for i, v in enumerate(list(range(1, 10)) + [100])]
+    sf = _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    r = q_anomaly_mad(spark, sf).collect()[0]
+    assert float(r.med) == 5.5 and r.n == 10
+    assert r.n_outliers == 1
+
+
+def test_skew_report_orders_by_weight(spark, tmp_path):
+    from cloud_data_sync_spark.operators.analytics import q_skew_report
+
+    # supplier 7 holds 8 of 12 rows → top row, share 2/3, 2x the mean key load
+    rows = [(i, 1, 7 if i < 8 else 100 + i, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _t(1)) for i in range(12)]
+    sf = _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    out = q_skew_report(spark, sf).collect()
+    assert out[0].l_suppkey == 7 and out[0].cnt == 8
+    assert abs(float(out[0].share) - 8 / 12) < 1e-6
+    # 5 distinct keys, mean load 12/5 → 8 / (12/5) = 10/3
+    assert abs(float(out[0].x_mean) - round(8 * 5 / 12, 4)) < 1e-9

@@ -36,7 +36,16 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   driver action.
 # - q_kmeans: the K×D centroid pack is ONE broadcast row (constant in
 #   corpus size) cross-joined into the map-only assignment projection.
-BNLJ_ALLOWED = {"q_sim_topk", "q_sim_ivf", "q_tfidf", "q_term_pmi", "q_kmeans"}
+# - q_skew_report: the (total, n_keys) scalar is ONE row cross-joined into
+#   the per-key share projection.
+BNLJ_ALLOWED = {
+    "q_sim_topk",
+    "q_sim_ivf",
+    "q_tfidf",
+    "q_term_pmi",
+    "q_kmeans",
+    "q_skew_report",
+}
 
 # Global (unpartitioned) windows are forbidden — a single-partition sort of
 # the input — EXCEPT where the window's input is already capped by a
@@ -119,6 +128,10 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # pagerank: edge derivation broadcasts the customer/supplier dims and
     # map-side combines the nations² edge aggregate
     "q_pagerank": {"require": ("BroadcastHashJoin", "partial_count")},
+    # MAD screen: both percentile passes broadcast back; top-10 skew report
+    # heap-merges
+    "q_anomaly_mad": {"require": ("BroadcastHashJoin",)},
+    "q_skew_report": {"require": ("TakeOrderedAndProject", "partial_count")},
     # temporal join: the segment build keeps its map-side partial min
     "q_temporal_join": {"require": ("partial_min",)},
 }
