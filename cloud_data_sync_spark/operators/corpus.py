@@ -28,12 +28,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.operators.dedup import _AUG_SQL, augmented_documents
+from cloud_data_sync_spark.operators.tokens import low_toks
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table
-
-
-def _low_toks() -> Column:
-    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
 
 
 @register(
@@ -59,7 +56,7 @@ FROM tf GROUP BY doc_id
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(_low_toks()).alias("term"))
+        .select("doc_id", F.explode(low_toks()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("c"))
     )
@@ -96,7 +93,7 @@ LIMIT 1000
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(_low_toks()).alias("term"))
+        .select("doc_id", F.explode(low_toks()).alias("term"))
         .groupBy("term")
         .agg(
             F.count("*").alias("tf"),
@@ -204,7 +201,7 @@ GROUP BY tr.doc_id
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = augmented_documents(spark, sf_dir).select(
-        "doc_id", F.explode(_shingle8(_low_toks())).alias("h")
+        "doc_id", F.explode(_shingle8(low_toks())).alias("h")
     )
     ev = docs.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
     tr = docs.filter(F.col("doc_id") % 97 != 0)

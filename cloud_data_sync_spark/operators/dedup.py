@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cloud_data_sync_spark.operators.tokens import low_toks
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table, spread as _spread
 
@@ -122,10 +123,10 @@ SELECT * FROM grouped WHERE group_size > 1
     doc="Near-dup via order-insensitive token-set hash (catches reorderings).",
 )
 def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    low_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks_col = low_toks()
     hashed = augmented_documents(spark, sf_dir).select(
         "doc_id",
-        F.md5(F.array_join(F.array_sort(F.array_distinct(low_toks)), " ")).alias(
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks_col)), " ")).alias(
             "tokenset_hash"
         ),
     )
@@ -166,7 +167,7 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
         pair, F.slice(toks, 3, take), lambda p, c: F.concat(p, F.lit(" "), c)
     )
     return docs.withColumn(
-        "toks", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        "toks", low_toks()
     ).withColumn("sh", F.array_distinct(tri))
 
 
@@ -547,7 +548,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            F.array_distinct(low_toks())
         ).alias("tok"),
     ).withColumn("h", F.md5("tok"))
     nib = toks.select(
@@ -680,8 +681,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "label", "v", "nrm", "band.band_id", "band.band_sig")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    # Candidate generation runs on KEYS ONLY (vec_id, label, band): a pair
+    # colliding in both bands appears twice, and deduping those collisions
+    # must not shuffle 64-dim payloads — the pair-key exchange stays ~16
+    # bytes/row. Vectors are attached AFTER the dedup via two hash joins on
+    # vec_id (each shuffles the embeddings table once, never the pair
+    # cross-product width).
+    keys = bands.select("vec_id", "label", "band_id", "band_sig")
+    a, b = keys.alias("a"), keys.alias("b")
+    pair_keys = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
@@ -693,14 +701,24 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").cast("long").alias("label"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
         )
-        # A pair matching in both bands appears twice with identical payloads;
-        # dedup on the pair key before the (expensive) cosine.
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    payload = emb.select("vec_id", "v", "nrm")
+    pairs = pair_keys.join(
+        payload.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "vec_a",
+    ).join(
+        payload.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "vec_b",
     )
     cos = _pair_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cloud_data_sync_spark.operators.tokens import low_toks
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table
 
@@ -77,7 +78,7 @@ SELECT term, n_term FROM (
 def q_text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+        F.explode(low_toks()).alias("term")
     )
     counted = terms.groupBy("term").agg(F.count("*").alias("n_term"))
     # orderBy().limit(k) compiles to TakeOrderedAndProject: each partition
@@ -129,7 +130,7 @@ FROM ranked WHERE rn = 1
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "toks", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        "toks", low_toks()
     )
     hits = F.array(
         *[
@@ -195,8 +196,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = list(LANG_LEXICON["en"])
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
-    low_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    n_stop = F.size(F.filter(low_toks, lambda w: w.isin(stop))).cast("long")
+    toks_col = low_toks()
+    n_stop = F.size(F.filter(toks_col, lambda w: w.isin(stop))).cast("long")
     n_punct = (
         F.length("text")
         - F.length(
@@ -246,11 +247,11 @@ FROM documents
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    low_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks_col = low_toks()
     return docs.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
-        F.md5(F.array_join(F.array_sort(F.array_distinct(low_toks)), " ")).alias(
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks_col)), " ")).alias(
             "tokenset_hash"
         ),
         F.length("text").cast("long").alias("n_len"),
@@ -295,7 +296,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+        F.explode(low_toks()).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("n_td"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("n_docs_t"))
@@ -442,8 +443,11 @@ FROM bg JOIN top USING (doc_id)
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    toks = low_toks()
+    # unigram counts come from ALL documents (oracle's unfiltered base CTE);
+    # only bigram extraction needs the >=2-token guard
+    d_all = docs.select("doc_id", toks.alias("t"))
+    d = d_all.filter(F.size("t") >= 2)
     n = F.size(F.col("t"))
     bigrams = F.zip_with(
         F.slice(F.col("t"), 1, n - 1),
@@ -593,8 +597,11 @@ GROUP BY doc_id
 )
 def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    toks = low_toks()
+    # unigram counts come from ALL documents (oracle's unfiltered base CTE);
+    # only bigram extraction needs the >=2-token guard
+    d_all = docs.select("doc_id", toks.alias("t"))
+    d = d_all.filter(F.size("t") >= 2)
     n = F.size(F.col("t"))
     pairs = F.zip_with(
         F.slice(F.col("t"), 1, n - 1),
@@ -606,7 +613,7 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
     ca = (
-        d.select(F.explode(F.col("t")).alias("w1"))
+        d_all.select(F.explode(F.col("t")).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("n_a"))
     )
@@ -666,7 +673,7 @@ SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab, pmi FROM (
 def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.array_sort(
-        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        F.array_distinct(low_toks())
     )
     m = F.col("m")
     pair_arr = F.flatten(

@@ -61,19 +61,58 @@ def _version_path(path: str) -> str:
     return os.path.join(path.replace("file://", ""), _VERSION_FILE)
 
 
-def check_state_version(path: str) -> None:
+def _read_marker(path: str, spark: SparkSession | None = None) -> str | None:
+    """Marker text, or None when cleanly absent (pre-versioning / new path).
+
+    With a session, I/O goes through the Hadoop FileSystem API so the same
+    one-file protocol works on any scheme the sync machinery writes to
+    (file:, s3a://, gs://, abfss://); without one (bare-path test callers),
+    plain local I/O.
+    """
+    if spark is None:
+        try:
+            with open(_version_path(path), encoding="utf-8") as f:
+                return f.read()
+        except OSError:
+            return None
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _VERSION_FILE)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        return None
+    def _read() -> str:
+        stream = fs.open(jpath)
+        try:
+            # InputStream.readAllBytes (Java 9+) → py4j returns Python bytes
+            return bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+
+    try:
+        return _read()
+    except Exception:  # noqa: BLE001
+        # External writers (an operator's editor, an older engine) update
+        # the marker without refreshing ChecksumFileSystem's .crc sibling;
+        # the gate must still see actual content, so retry unverified.
+        fs.setVerifyChecksum(False)
+        try:
+            return _read()
+        finally:
+            fs.setVerifyChecksum(True)
+
+
+def check_state_version(path: str, spark: SparkSession | None = None) -> None:
     """Raise StateVersionError if the on-disk marker mismatches.
 
     A missing marker (pre-versioning table or brand-new path) is accepted —
-    the next save stamps it. Local-path I/O here; a cloud deployment would
-    route through the Hadoop FileSystem API, same one-file protocol.
+    the next save stamps it.
     """
-    try:
-        with open(_version_path(path), encoding="utf-8") as f:
-            marker = json.load(f)
-    except OSError:
-        # cleanly absent marker: pre-versioning table or brand-new path
+    text = _read_marker(path, spark)
+    if text is None:
         return
+    try:
+        marker = json.loads(text)
     except ValueError as exc:
         # a marker that EXISTS but does not parse is a torn write or
         # corruption — silently passing here would bypass the exact
@@ -81,6 +120,12 @@ def check_state_version(path: str) -> None:
         raise StateVersionError(
             f"state version marker at {path} is unreadable: {exc}"
         ) from exc
+    if not isinstance(marker, dict):
+        # valid JSON that is not an object (bare number/list) is equally
+        # corrupt; keep the documented StateVersionError contract
+        raise StateVersionError(
+            f"state version marker at {path} is not a JSON object: {text[:80]!r}"
+        )
     if marker.get("version") != STATE_VERSION:
         raise StateVersionError(
             f"state table at {path} has version {marker.get('version')}, "
@@ -88,11 +133,23 @@ def check_state_version(path: str) -> None:
         )
 
 
-def _write_state_version(path: str) -> None:
-    with open(_version_path(path), "w", encoding="utf-8") as f:
-        json.dump(
-            {"version": STATE_VERSION, "columns": STATE_SCHEMA.fieldNames()}, f
-        )
+def _write_state_version(path: str, spark: SparkSession | None = None) -> None:
+    payload = json.dumps(
+        {"version": STATE_VERSION, "columns": STATE_SCHEMA.fieldNames()}
+    )
+    if spark is None:
+        with open(_version_path(path), "w", encoding="utf-8") as f:
+            f.write(payload)
+        return
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _VERSION_FILE)
+    fs = jpath.getFileSystem(hconf)
+    out = fs.create(jpath, True)
+    try:
+        out.write(payload.encode("utf-8"))
+    finally:
+        out.close()
 
 
 def empty_state(spark: SparkSession) -> DataFrame:
@@ -110,7 +167,7 @@ def state_exists(spark: SparkSession, path: str) -> bool:
 
 def load_state(spark: SparkSession, path: str) -> DataFrame:
     """Load the state table, or an empty frame if it doesn't exist yet."""
-    check_state_version(path)
+    check_state_version(path, spark)
     try:
         return spark.read.schema(STATE_SCHEMA).parquet(path)
     except Exception:  # noqa: BLE001 - missing path on first run
@@ -158,7 +215,7 @@ def save_state(state: DataFrame, path: str) -> None:
         .partitionBy("mapping_id")
         .parquet(path)
     )
-    _write_state_version(path)
+    _write_state_version(path, state.sparkSession)
 
 
 def state_for_mapping(state: DataFrame, mapping_id: str) -> DataFrame:

@@ -33,15 +33,25 @@ EVENTS_STREAM_SCHEMA = (
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
     """File-source stream over the events parquet (ns ts → µs timestamp,
-    same normalization as tables.load_table)."""
+    same normalization as tables.load_table).
+
+    ``max_files_per_trigger=1`` exercises real multi-batch semantics for
+    windowed aggregations. Pass ``None`` (single-batch drain) for queries
+    whose batch-oracle parity REQUIRES no cross-batch watermark advance —
+    with multiple files that are not globally time-ordered, a per-file
+    trigger lets the watermark pass ahead of an older file and silently
+    drop its rows from stream state.
+    """
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
         # file source wants a directory; select just the events table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -162,7 +162,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    ev = read_events_stream(spark, sf_dir)
+    # single-batch drain: with per-file triggers, a multi-file events dir
+    # that is not globally time-ordered would let the watermark drop older
+    # files' rows from join state, diverging from the batch oracle
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
