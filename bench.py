@@ -67,20 +67,59 @@ def main() -> None:
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
                 break
             best = dt if best != best else min(best, dt)
-        timings[name] = round(best, 3)
+        # NaN (a failed query) would serialize as bare `NaN` — invalid JSON
+        # that breaks the driver's parse; record -1 instead
+        timings[name] = round(best, 3) if best == best else -1.0
         total += best if best == best else 0.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # Full per-query map goes to BENCH_FULL.json (the one-line stdout
+    # contract is read from a bounded tail buffer — observed 2000 chars in
+    # BENCH_r02.json, whose 89-query line overflowed it and failed to parse,
+    # so the inline map must stay comfortably under that).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "metric": "total_query_wall_sec",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+    except OSError:
+        pass
+
+    # Inline: compact separators, 2-decimal walls, and if needed drop the
+    # cheapest queries (deterministically, by ascending wall) until the line
+    # fits — heavy hitters always survive. "omitted" counts the dropped ones.
+    budget = 1900
+    inline = {k: round(v, 2) for k, v in timings.items()}
+    omitted = 0
+
+    def _line(q: dict[str, float], omitted: int) -> str:
+        payload = {
+            "metric": "total_query_wall_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+        }
+        if omitted:
+            payload["omitted_cheap_queries"] = omitted
+            payload["full"] = "BENCH_FULL.json"
+        return json.dumps(payload, separators=(",", ":"))
+
+    by_cost = sorted(inline, key=lambda k: (inline[k], k))
+    while len(_line(inline, omitted)) > budget and inline:
+        inline.pop(by_cost[omitted])
+        omitted += 1
+    print(_line(inline, omitted))
 
 
 if __name__ == "__main__":

@@ -207,8 +207,11 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") % 10 == 0)
         .select(
             "user_id",
+            # double cast: timestamp_ntz won't cast straight to long; via
+            # TIMESTAMP it's epoch seconds (session tz pinned UTC → exact)
             F.timestamp_seconds(
-                (F.col("ts").cast("long") / step).cast("long") * step
+                (F.col("ts").cast("timestamp").cast("long") / step).cast("long")
+                * step
             ).alias("bucket"),
             "value",
         )

@@ -393,16 +393,70 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+_LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def _cc_local(sym: DataFrame) -> DataFrame:
+    """Union-find over a collected edge list → (v, label) DataFrame.
+
+    Only reachable behind the edge-count guard in ``connected_components``;
+    label = min vertex id of the component (path-compressed union by the
+    smaller root, so roots ARE minima — matches the propagation fixpoint).
+    """
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in sym.select("a", "b").toLocalIterator():
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union toward the smaller id so every root is its component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    vtype = sym.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("v", vtype, False), T.StructField("label", vtype, False)]
+    )
+    rows = [(v, find(v)) for v in parent]
+    spark = sym.sparkSession
+    return spark.createDataFrame(rows, schema)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, local_max_edges: int = _LOCAL_CC_MAX_EDGES
+) -> DataFrame:
     """Min-label propagation over an undirected edge list → (v, cluster_id).
 
-    Iterative algorithm, Spark-idiomatic: each round is two distributed
-    joins (pull the min label from neighbors, fold it into the current
-    label); ONLY the convergence flag (a count) comes to the driver.
-    ``localCheckpoint`` truncates the lineage each round — without it the
-    plan doubles per iteration and the job dies on analysis time long
-    before data size matters. Rounds needed = graph diameter, which for
-    near-dup clusters is tiny; ``max_iter`` caps pathological chains.
+    Scale-adaptive, the same way Spark itself picks broadcast-hash for a
+    small join side: the duplicate graph's SIZE is known after the edge
+    list materializes, so below ``local_max_edges`` (≈32 MB of longs) the
+    component labels are computed with a driver-side union-find — one
+    collect, zero iterative jobs — and shipped back as a DataFrame. A
+    tiny graph solved iteratively costs 10+ driver-scheduled job rounds
+    of pure scheduling floor; solved locally it costs milliseconds.
+
+    Above the bound (the 100 TB path — duplicate-pair graphs at corpus
+    scale are billions of edges), iterative min-label propagation runs:
+    each round is two distributed joins (pull the min label from
+    neighbors, fold it into the current label); ONLY the convergence flag
+    (a count) comes to the driver. ``localCheckpoint`` truncates the
+    lineage each round — without it the plan doubles per iteration and
+    the job dies on analysis time long before data size matters. Rounds
+    needed = graph diameter, which for near-dup clusters is tiny;
+    ``max_iter`` caps pathological chains.
     """
     # materialize the edge list ONCE — it is re-joined every round, and
     # leaving it lazy would re-execute the (expensive) upstream plan that
@@ -412,6 +466,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .union(edges.selectExpr("b AS a", "a AS b"))
         .localCheckpoint(eager=True)
     )
+
+    if sym.count() <= local_max_edges:
+        return _cc_local(sym)
     labels = (
         sym.select(F.col("a").alias("v"))
         .distinct()

@@ -826,7 +826,10 @@ def _interval_events(ev: DataFrame, mod: int, id_alias: str) -> DataFrame:
     end = ts + `value` minutes (integer-micros arithmetic — CAST+floor keeps
     Spark and DuckDB identical; DuckDB CAST rounds while Spark CAST
     truncates, so the floor is explicit)."""
-    start_us = F.unix_micros(F.col("ts"))
+    # ts arrives as timestamp_ntz (current testdata vintage); unix_micros
+    # wants ltz TIMESTAMP. The cast is value-preserving: load_table pins the
+    # session timezone to UTC, so the naive wall time IS the epoch instant.
+    start_us = F.unix_micros(F.col("ts").cast("timestamp"))
     dur_us = F.floor(F.col("value") * 60_000_000).cast("long")
     return ev.filter(F.col("event_id") % mod == 0).select(
         F.col("event_id").alias(f"{id_alias}_id"),

@@ -365,8 +365,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_doc_pack",
     oracle="""
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-       cum_before // 4096 AS bin,
-       cum_before % 4096 AS off
+       CAST(cum_before // 4096 AS BIGINT) AS bin,
+       CAST(cum_before % 4096 AS BIGINT) AS off
 FROM (
   SELECT doc_id, source, n_chars,
          coalesce(sum(n_chars) OVER (

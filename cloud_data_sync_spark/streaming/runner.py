@@ -27,8 +27,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# ts declared timestamp_ntz: events.parquet carries naive TIMESTAMP(MICROS),
+# the same value semantics as tables.load_table's batch read (and DuckDB's
+# µs TIMESTAMP). (An explicit `ts long` schema is a trap: the reader hands
+# back epoch micros, so a legacy nanos-era `div 1000` double-scales.)
 EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -36,8 +40,8 @@ EVENTS_STREAM_SCHEMA = (
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
 ) -> DataFrame:
-    """File-source stream over the events parquet (ns ts → µs timestamp,
-    same normalization as tables.load_table).
+    """File-source stream over the events parquet (ns ts µs-truncated at
+    the scan, same normalization as tables.load_table).
 
     ``max_files_per_trigger=1`` exercises real multi-batch semantics for
     windowed aggregations. Pass ``None`` (single-batch drain) for queries
@@ -46,6 +50,11 @@ def read_events_stream(
     trigger lets the watermark pass ahead of an older file and silently
     drop its rows from stream state.
     """
+    # Watermarks demand TIMESTAMP (ltz), which NTZ is not — so pin the
+    # session to UTC and cast: under UTC the naive wall time IS the epoch
+    # instant, making the cast value-preserving and the windowed results
+    # byte-identical to the batch twins built on load_table's ntz column.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -53,7 +62,7 @@ def read_events_stream(
         # file source wants a directory; select just the events table
         reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_windowed_counts(

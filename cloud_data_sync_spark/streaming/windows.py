@@ -113,7 +113,13 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         F.when(
-            prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+            prev.isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - prev.cast("timestamp").cast("long")
+                > 1800
+            ),
+            1,
         )
         .otherwise(0)
         .alias("new_session"),

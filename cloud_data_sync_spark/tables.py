@@ -48,8 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # External harnesses hand us vanilla SparkSessions that never went through
     # get_spark(), so the two confs correctness depends on are (re)pinned here
     # at read time — both are runtime-settable:
-    # - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which Spark
-    #   rejects outright without it (read as bigint, normalized below);
+    # - nanosAsLong: older testdata vintages carried TIMESTAMP(NANOS) in
+    #   events.parquet, which Spark rejects outright without it (read as
+    #   bigint, normalized below). Current testdata is TIMESTAMP(MICROS),
+    #   read natively as timestamp_ntz — the conf is then a harmless no-op
+    #   and the bigint branch stays dormant;
     # - session timeZone: collected timestamps render in session tz, and the
     #   DuckDB oracle compares against naive-UTC wall times.
     spark.conf.set("spark.sql.session.timeZone", "UTC")

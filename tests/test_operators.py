@@ -107,11 +107,17 @@ def test_minhash_signature_identical_for_reordered_shingleless_docs(spark):
 
 
 def test_connected_components_chain_and_islands(spark):
-    # chain 1-2-3-4 (one component, min label 1) + island pair 10-11
+    # chain 1-2-3-4 (one component, min label 1) + island pair 10-11;
+    # run BOTH strategies: driver-side union-find (default at this size)
+    # and the distributed propagation path (forced via local_max_edges=0)
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
     )
-    got = {
-        (r.v, r.label) for r in connected_components(edges).collect()
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    got_local = {(r.v, r.label) for r in connected_components(edges).collect()}
+    got_dist = {
+        (r.v, r.label)
+        for r in connected_components(edges, local_max_edges=0).collect()
     }
-    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    assert got_local == want
+    assert got_dist == want

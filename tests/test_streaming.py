@@ -79,7 +79,7 @@ def test_stream_join_time_bound_and_direction(spark, tmp_path):
     from cloud_data_sync_spark.streaming.windows import q_stream_join
 
     def us(h, m=0):
-        return int(datetime(2024, 1, 1, h, m).timestamp() * 1_000_000) * 1000
+        return int(datetime(2024, 1, 1, h, m).timestamp() * 1_000_000)
 
     rows = [
         # click 10:00 precedes purchase 10:30 → match, gap 1800s
@@ -101,7 +101,8 @@ def test_stream_join_time_bound_and_direction(spark, tmp_path):
         pa.table(
             {
                 "event_id": pa.array(cols[0], pa.int64()),
-                "ts": pa.array(cols[1], pa.int64()),
+                # naive TIMESTAMP(MICROS), matching the driver's testdata layout
+                "ts": pa.array(cols[1], pa.int64()).cast(pa.timestamp("us")),
                 "user_id": pa.array(cols[2], pa.int64()),
                 "event_type": pa.array(cols[3], pa.string()),
                 "value": pa.array(cols[4], pa.float64()),
