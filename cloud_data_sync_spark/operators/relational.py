@@ -1228,3 +1228,99 @@ def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01
         ).alias("within_tolerance"),
     )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+SELECT c_custkey,
+       CAST(c_nationkey AS INTEGER) AS c_nationkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+    doc=(
+        "Distribution window functions (ntile / percent_rank / cume_dist) "
+        "per nation — the quantile-bucketing shape behind per-segment "
+        "score normalization. One shuffle on the partition key; the "
+        "c_custkey tiebreak makes every rank deterministic under ties."
+    ),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "q_gaps_islands",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+  FROM events WHERE event_id % 7 = 0
+),
+marked AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+lab AS (
+  SELECT user_id, s, e,
+         CAST(sum(new_island) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+  FROM marked
+)
+SELECT user_id, island,
+       CAST(min(s) AS BIGINT) AS island_start,
+       CAST(max(e) AS BIGINT) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM lab GROUP BY user_id, island
+""",
+    doc=(
+        "Gaps-and-islands: merge overlapping [start, end) intervals per "
+        "user into maximal covered spans (validity-window coalescing, "
+        "downtime merging). An island opens where an interval's start "
+        "clears the running max of all prior ends — two window passes and "
+        "a group-by sharing ONE user_id shuffle, no self-joins, no "
+        "interval cross products. Interval ends are integer micros; the "
+        "running max-end is the standard O(n log n)-per-key form that "
+        "survives any corpus size because keys partition independently."
+    ),
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    # ntz → TIMESTAMP hop is value-preserving (session tz pinned to UTC)
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = s + F.floor(F.col("value") * 60_000_000).cast("long")
+    iv = ev.select("user_id", "event_id", s.alias("s"), e.alias("e"))
+    w_order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prior_max_e = F.max("e").over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prior_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    lab = marked.withColumn(
+        "island",
+        F.sum("new_island")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return lab.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count("*").alias("n_intervals"),
+    )

@@ -718,3 +718,96 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("term_a", "term_b", "n_ab", F.round("raw", 4).alias("pmi"))
     )
+
+
+# GPT-2-ish pre-tokenizer shape: letter runs, digit runs, single
+# non-alphanumeric marks. Same pattern string compiles identically under
+# Java regex (Spark) and RE2 (DuckDB) — plain character classes only.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q_token_bpe",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]')))
+            AS BIGINT) AS n_word,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]')))
+            AS BIGINT) AS n_num,
+       CAST(len(toks)
+            - len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z0-9]')))
+            AS BIGINT) AS n_mark,
+       round(CAST(n_chars AS DOUBLE) / nullif(len(toks), 0), 4)
+         AS chars_per_token
+FROM (
+  SELECT doc_id, n_chars,
+         regexp_extract_all(text, '{_BPE_PATTERN}') AS toks
+  FROM documents
+)
+""",
+    doc=(
+        "BPE-style regex pre-tokenization (letter runs / digit runs / "
+        "single punctuation marks — the GPT-2 pre-tokenizer shape) with "
+        "per-document token-class counts and a chars-per-token compression "
+        "proxy. Map-only: the regex scan, the class counts, and the ratio "
+        "all run inside whole-stage codegen with zero shuffles — the form "
+        "a tokenizer-budget estimate takes over a 100 TB corpus."
+    ),
+)
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+    d = docs.select("doc_id", "n_chars", toks.alias("toks"))
+    n_word = F.size(F.filter("toks", lambda t: t.rlike("^[A-Za-z]")))
+    n_num = F.size(F.filter("toks", lambda t: t.rlike("^[0-9]")))
+    n_alnum = F.size(F.filter("toks", lambda t: t.rlike("^[A-Za-z0-9]")))
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        n_word.cast("long").alias("n_word"),
+        n_num.cast("long").alias("n_num"),
+        (F.size("toks") - n_alnum).cast("long").alias("n_mark"),
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.nullif(F.size("toks").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q_shard_layout",
+    oracle="""
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+         AS pos
+FROM (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                   AS BIGINT) % 32 AS BIGINT) AS shard
+  FROM documents
+)
+""",
+    doc=(
+        "Deterministic output-shard layout for tokenized-corpus writing: "
+        "each document hashes (md5, engine-portable) into one of 32 shards "
+        "and receives its within-shard position. This is the write-side "
+        "twin of stratified sampling — the layout every shard-writer needs "
+        "before `partitionBy(shard)` so re-runs and engines agree byte-for-"
+        "byte on file contents. One shuffle on the shard key; position is "
+        "a per-shard window, never a global sort."
+    ),
+)
+def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 32
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
