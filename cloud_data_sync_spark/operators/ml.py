@@ -253,3 +253,88 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"), F.round("pr", 6).alias("pagerank")
     )
 
+
+
+@register(
+    "q_triangle_count",
+    oracle="WITH "
+    + _EDGE_SQL
+    + """,
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n.n_name AS nation,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles
+FROM nation n
+LEFT JOIN (
+  SELECT node, count(*) AS n_tri
+  FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+) t ON t.node = n.n_nationkey
+""",
+    doc=(
+        "Per-node triangle counting over the undirected trade graph — the "
+        "standard clustering-coefficient building block. Edges are "
+        "canonically oriented (a < b) so each triangle materializes exactly "
+        "once as a < b < c: wedge join (a,b)⋈(b,c) then closure check "
+        "against (a,c). At corpus scale the orientation IS the optimization "
+        "— wedges enumerate from each edge's lower endpoint, bounding "
+        "intermediate size by sum of squared out-degrees of the oriented "
+        "graph (the classic node-iterator++ bound), and every join is an "
+        "equi-join Catalyst can hash. Here the derived nation graph is "
+        "tiny, so all three legs broadcast."
+    ),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("c_nationkey", "s_nationkey")
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return nation.join(
+        F.broadcast(per_node), nation.n_nationkey == per_node.node, "left"
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+    )

@@ -1324,3 +1324,53 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("island_end"),
         F.count("*").alias("n_intervals"),
     )
+
+
+@register(
+    "q_tpch_bigorders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(t.sum_qty, 2) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) t ON t.l_orderkey = o.o_orderkey
+""",
+    doc=(
+        "TPC-H Q18 shape (large-volume orders): aggregate-then-having over "
+        "the fact table, joined back to orders and customer. The HAVING "
+        "aggregate shrinks lineitem to a tiny qualifying-order set BEFORE "
+        "any join — the qualifying side then broadcasts, so the only "
+        "full-size shuffle is the one l_orderkey aggregation (map-side "
+        "partials first). The orders⋈customer leg only ever sees "
+        "qualifying rows."
+    ),
+)
+def q_tpch_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(
+            F.broadcast(qualifying), orders.o_orderkey == qualifying.l_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
