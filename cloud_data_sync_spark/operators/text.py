@@ -811,3 +811,95 @@ def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", shard.alias("shard"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+@register(
+    "q_corpus_curation",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, text, n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         md5(lower(trim(text))) AS content_hash
+  FROM documents
+),
+quality AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 10
+    AND CAST(n_chars AS DOUBLE) / n_tokens <= 12.0
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT doc_id, n_tokens, content_hash,
+           min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id
+    FROM quality
+  ) WHERE doc_id = canonical_id
+),
+sampled AS (
+  SELECT doc_id, n_tokens FROM deduped
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        % 100 < 80
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 6)
+                 AS BIGINT) % 16 AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 6)
+                                AS BIGINT) % 16
+              ORDER BY doc_id) AS BIGINT) AS pos
+FROM sampled
+""",
+    doc=(
+        "End-to-end corpus curation as ONE declarative plan — the composed "
+        "form of the pipeline every pretraining run executes: quality gate "
+        "(token count + chars-per-token) → exact dedup keeping the "
+        "canonical (min-id) copy → deterministic 80% hash sample → 16-way "
+        "shard assignment with within-shard positions. Exactly two "
+        "shuffles survive composition (the dedup-hash window and the shard "
+        "window); the quality gate and the sampling predicate are map-only "
+        "and run against the scan, so rejected documents are dropped "
+        "before either shuffle. This is the argument for declaring "
+        "pipelines as plans instead of running stages to disk: Catalyst "
+        "fuses the stages and the corpus crosses the network twice, not "
+        "five times."
+    ),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens") <= 12.0)
+    )
+    w_dedup = Window.partitionBy("content_hash")
+    deduped = (
+        quality.withColumn("canonical_id", F.min("doc_id").over(w_dedup))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+    )
+    sample_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sampled = deduped.filter(sample_bucket < 80)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    w_shard = Window.partitionBy("shard").orderBy("doc_id")
+    return (
+        sampled.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w_shard).cast("long"))
+    )
