@@ -151,3 +151,54 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.item").alias("term"), F.col("s.count").alias("cnt")
     )
     return items.orderBy(F.desc("cnt"), "term").limit(10)
+
+
+@register(
+    "q_udtf_surface",
+    oracle="""
+SELECT doc_id, tok, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT doc_id, t.tok, count(*) AS n
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    FROM documents WHERE doc_id % 97 = 0
+  ) t
+  GROUP BY doc_id, t.tok
+)
+""",
+    doc=(
+        "Python UDTF surface (Spark 4 table function): a per-document "
+        "word-count generator expanded via LATERAL join — one input row "
+        "fans out to one row per distinct token. The UDTF runs per "
+        "partition in a single Python worker pass (Arrow-batched input); "
+        "the oracle recomputes the identical expansion as unnest + GROUP "
+        "BY, proving the table-function boundary carries exact multiset "
+        "semantics. For hot paths the engine prefers built-ins (see "
+        "q_text_term_freq); this registers the extension surface itself. "
+        "Input bounded to doc_id % 97 = 0 — a UDTF fans out rows, and the "
+        "demo keeps its output row count fixture-sized."
+    ),
+)
+def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, n long")
+    class WordCounts:
+        def eval(self, text: str):
+            from collections import Counter
+
+            toks = (text or "").strip().lower().split()
+            for t, n in sorted(Counter(toks).items()):
+                yield t, n
+
+    # re-registration per call is idempotent (latest wins) and keeps the
+    # query self-contained under any externally-built session
+    spark.udtf.register("word_counts_udtf", WordCounts)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, w.tok, w.n "
+        "FROM _udtf_docs d, LATERAL word_counts_udtf(d.text) w"
+    )

@@ -34,3 +34,37 @@ def test_events_ts_normalized_to_timestamp(spark):
     # timestamp by load_table); Spark 4.x reads it directly as timestamp_ntz
     # with µs truncation. Both are µs-exact and match DuckDB's naive TIMESTAMP.
     assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
+
+
+def test_bench_inline_line_fits_tail_buffer():
+    """The driver parses bench's stdout JSON from a 2000-char tail buffer;
+    an overflowing line records parsed=null (round-2 regression). Simulate
+    the worst case: every registered query present at max value width."""
+    import json
+
+    from cloud_data_sync_spark.registry import all_queries
+
+    timings = {name: 99.99 for name in all_queries()}
+    inline = dict(timings)
+    omitted = 0
+
+    def line(q, om):
+        payload = {
+            "metric": "total_query_wall_sec",
+            "value": 9999.999,
+            "unit": "sec",
+            "queries": q,
+            "sf": 0.1,
+        }
+        if om:
+            payload["omitted_cheap_queries"] = om
+            payload["full"] = "BENCH_FULL.json"
+        return json.dumps(payload, separators=(",", ":"))
+
+    order = sorted(inline)
+    while len(line(inline, omitted)) > 1900 and inline:
+        inline.pop(order[omitted])
+        omitted += 1
+    assert len(line(inline, omitted)) <= 1900
+    # the drop loop must terminate with a healthy number still inline
+    assert len(inline) >= 40
