@@ -840,109 +840,124 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PF_T = 0.7  # Jaccard threshold for the prefix-filter join
+_PF_T = 0.7  # shingle-Jaccard threshold for the prefix-filter join
 
 
 @register(
     "q_dedup_prefix_filter",
     oracle=f"""
 WITH {_AUG_SQL},
-tok AS (
-  SELECT doc_id, unnest(list_distinct(
-           string_split_regex(trim(lower(text)), '\\s+'))) AS t
-  FROM aug
+tarr AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM aug WHERE doc_id % 2 = 0
 ),
-dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+shl0 AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  FROM tarr
+),
+dfreq AS (SELECT sh, count(*) AS df FROM shl0 GROUP BY sh),
 sets AS (
-  SELECT tok.doc_id, array_agg(tok.t ORDER BY dfreq.df, tok.t) AS toks
-  FROM tok JOIN dfreq ON dfreq.t = tok.t
-  GROUP BY tok.doc_id
+  SELECT shl0.doc_id, array_agg(shl0.sh ORDER BY dfreq.df, shl0.sh) AS shs
+  FROM shl0 JOIN dfreq ON dfreq.sh = shl0.sh
+  GROUP BY shl0.doc_id
 ),
 pref AS (
-  SELECT doc_id, unnest(list_slice(
-           toks, 1,
-           len(toks) - CAST(ceil({_PF_T} * len(toks)) AS BIGINT) + 1)) AS t
+  SELECT doc_id, len(shs) AS n, unnest(list_slice(
+           shs, 1,
+           len(shs) - CAST(ceil({_PF_T} * len(shs)) AS BIGINT) + 1)) AS sh
   FROM sets
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+  FROM pref a JOIN pref b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+   AND CAST(least(a.n, b.n) AS DOUBLE) >= {_PF_T} * greatest(a.n, b.n)
 )
 SELECT c.doc_a, c.doc_b,
-       round(CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
-             / (len(x.toks) + len(y.toks)
-                - len(list_intersect(x.toks, y.toks))), 4) AS jaccard
+       round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+             / (len(x.shs) + len(y.shs)
+                - len(list_intersect(x.shs, y.shs))), 4) AS jaccard
 FROM cand c
 JOIN sets x ON x.doc_id = c.doc_a
 JOIN sets y ON y.doc_id = c.doc_b
-WHERE CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
-      / (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks)))
+WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+      / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
       >= {_PF_T}
 """,
     doc=(
         "EXACT set-similarity self-join via prefix filtering (the "
-        "AllPairs/PPJoin family): unlike MinHash/LSH this has ZERO false "
-        "negatives at the chosen Jaccard threshold. Tokens are ranked "
-        "rare-first by global document frequency; two sets can reach "
-        "Jaccard t only if they share a token in their first "
-        "|x| - ceil(t|x|) + 1 rarest tokens, so only that prefix explodes "
-        "into the candidate bucket join — the frequency ordering makes "
-        "prefix buckets rare-token buckets, which is what bounds candidate "
-        "growth at corpus scale. Verification intersects the full sorted "
-        "token arrays carried through the same shuffle. Two hash-agg "
-        "shuffles (token df, per-doc re-pack) + one bucket shuffle."
+        "AllPairs/PPJoin family, on trigram-shingle sets): unlike "
+        "MinHash/LSH this has ZERO false negatives at the Jaccard "
+        "threshold — the exact-recall complement to "
+        "q_dedup_ngram_jaccard's LSH-candidate path. "
+        "Shingles are ranked rare-first by global document frequency; two "
+        "sets can reach Jaccard t only if they share a shingle among "
+        "their |x| - ceil(t|x|) + 1 rarest, so only that prefix enters "
+        "candidate generation. The element universe matters: token sets "
+        "over this corpus's 31-word vocabulary make every prefix bucket "
+        "hot (the first cut of this query OOMed at sf0.1 materializing "
+        "bucket² pairs); the ~27k-shingle universe has median df 9, so "
+        "prefixes prune properly — same reason the LSH pipeline shingles "
+        "first. Candidates come from a SELF-EQUI-JOIN on the prefix "
+        "shingle (ids only, sort-merge/spillable — a hot shingle costs "
+        "disk, not heap); verification joins the full sorted shingle "
+        "arrays back onto the DISTINCT pair set only."
     ),
 )
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = augmented_documents(spark, sf_dir)
-    tok = _spread(docs).select(
-        "doc_id", F.explode(F.array_distinct(low_toks())).alias("t")
+    # Demo scope: the even half of the corpus (augmentation offsets are all
+    # even, so copies follow their base — the subset is dup-closed). The
+    # full-corpus exact join is the LSH pipeline's job; this query's point
+    # is the algorithm shape, and pair work scales quadratically.
+    docs = augmented_documents(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    shl = (
+        _with_shingles(_spread(docs))
+        .select("doc_id", F.explode("sh").alias("sh"))
     )
-    dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
+    dfreq = shl.groupBy("sh").agg(F.count("*").alias("df"))
     sets = (
-        tok.join(F.broadcast(dfreq), "t")
+        shl.join(dfreq, "sh")
         .groupBy("doc_id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "t"))), lambda s: s["t"]
-            ).alias("toks")
+                F.array_sort(F.collect_list(F.struct("df", "sh"))), lambda s: s["sh"]
+            ).alias("shs")
         )
     )
-    plen = F.size("toks") - F.ceil(F.lit(_PF_T) * F.size("toks")).cast("int") + 1
+    plen = F.size("shs") - F.ceil(F.lit(_PF_T) * F.size("shs")).cast("int") + 1
     pref = sets.select(
-        "doc_id", "toks", F.explode(F.slice("toks", 1, plen)).alias("t")
+        "doc_id",
+        F.size("shs").alias("n"),
+        F.explode(F.slice("shs", 1, plen)).alias("t"),
     )
-    buckets = (
-        pref.groupBy("t")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "toks"))).alias("m"))
-        .filter(F.size("m") > 1)
-    )
-    m = F.col("m")
-    pair_arr = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + 2, F.size(m)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["toks"].alias("ta"),
-                    y["toks"].alias("tb"),
-                ),
+    a, b = pref.alias("a"), pref.alias("b")
+    # length filter: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|) — prunes
+    # size-mismatched pairs before the (comparatively expensive) intersect
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")).cast("double")
+                >= F.lit(_PF_T) * F.greatest(F.col("a.n"), F.col("b.n"))
             ),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    pairs = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.ta", "p.tb")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    x = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("ta"))
+    y = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
     return (
-        pairs.select(
-            "doc_a", "doc_b", (inter / union).alias("_raw")
-        )
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("_raw"))
         .filter(F.col("_raw") >= _PF_T)
         .select("doc_a", "doc_b", F.round("_raw", 4).alias("jaccard"))
     )
