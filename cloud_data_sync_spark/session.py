@@ -30,8 +30,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet carries TIMESTAMP(NANOS) which Spark refuses by default;
-    # read as long then convert to µs (tables.load_table normalizes).
+    # Older testdata vintages carried TIMESTAMP(NANOS) in events.parquet,
+    # which Spark refuses by default; current vintage is TIMESTAMP(MICROS)
+    # (reads natively as timestamp_ntz) and the conf is then a no-op.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

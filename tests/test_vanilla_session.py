@@ -1,6 +1,6 @@
 """The driver's harness builds its own VANILLA SparkSession — no engine
 conf from session.get_spark(). Round-1 lesson: 7 queries died only under
-that session (events TIMESTAMP(NANOS) + session-timezone hashing), while
+that session (events nanos-vintage timestamps + session-timezone hashing), while
 builder-local gates stayed green because conftest uses get_spark().
 
 This test replays the gate through a bare session in a subprocess (the
