@@ -1374,3 +1374,61 @@ def q_tpch_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_qty", 2).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "q_histogram_equidepth",
+    oracle="""
+WITH b AS (
+  SELECT [quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
+          quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
+          quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
+          quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
+          quantile_cont(o_totalprice, 0.9)] AS bs
+  FROM orders
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_totalprice,
+         CAST(len(list_filter(b.bs, x -> x < o_totalprice)) AS BIGINT)
+           AS bucket
+  FROM orders, b
+)
+GROUP BY bucket
+""",
+    doc=(
+        "Equi-depth (quantile-bucketed) histogram — the fixed-width twin's "
+        "complement for skewed columns. Scale-correct form: NO global "
+        "sort and NO unpartitioned window — decile boundaries come from "
+        "one aggregation, enter the plan as a broadcast 1-row array, and "
+        "bucket assignment is a map-only strict-less-than count against "
+        "that array; per-bucket stats are then an ordinary hash agg. At "
+        "100 TB the exact percentile boundary pass swaps for "
+        "approx_percentile (t-digest, fixed memory) with everything "
+        "downstream unchanged. Tie-safety: interpolated boundaries lie "
+        "strictly between neighboring data values (or equal a datum "
+        "exactly when the rank is integral), so engine-side ulp noise in "
+        "the interpolation cannot move a datum across a bucket edge."
+    ),
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    probs = [i / 10.0 for i in range(1, 10)]
+    bounds = o.agg(
+        F.percentile("o_totalprice", F.lit(probs)).alias("bs")
+    )
+    bucket = F.size(
+        F.filter("bs", lambda x: x < F.col("o_totalprice"))
+    ).cast("long")
+    return (
+        o.join(F.broadcast(bounds))
+        .select("o_totalprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -38,6 +38,9 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   corpus size) cross-joined into the map-only assignment projection.
 # - q_skew_report: the (total, n_keys) scalar is ONE row cross-joined into
 #   the per-key share projection.
+# - q_histogram_equidepth: the decile-boundary array is ONE broadcast row
+#   (constant in corpus size) cross-joined into the map-only bucket
+#   assignment.
 BNLJ_ALLOWED = {
     "q_sim_topk",
     "q_sim_ivf",
@@ -45,6 +48,7 @@ BNLJ_ALLOWED = {
     "q_term_pmi",
     "q_kmeans",
     "q_skew_report",
+    "q_histogram_equidepth",
 }
 
 # Global (unpartitioned) windows are forbidden — a single-partition sort of
