@@ -415,3 +415,77 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("dim").cast("long").alias("dim"), "n", "mean_v", "sd_v", "min_v", "max_v")
     )
+
+
+@register(
+    "q_vector_quantize",
+    oracle="""
+SELECT vec_id,
+       round(mn, 6) AS v_min,
+       round(mx, 6) AS v_max,
+       CAST(list_aggregate(q, 'min') AS BIGINT) AS q_min,
+       CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max,
+       round(list_aggregate(
+         list_transform(range(1, len(v) + 1),
+                        i -> abs(v[i] - (mn + q[i] * sc))), 'avg'), 9)
+         AS mean_abs_err
+FROM (
+  SELECT vec_id, v, mn, mx, sc,
+         list_transform(v, x -> CAST(floor((x - mn) / nullif(sc, 0) + 0.5)
+                                     AS BIGINT)) AS q
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                          'min') AS mn,
+           list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                          'max') AS mx,
+           (list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                           'max')
+            - list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             'min')) / 255.0 AS sc
+    FROM embeddings
+  )
+)
+WHERE sc > 0
+""",
+    doc=(
+        "Per-vector int8 scalar quantization — the storage form a "
+        "100 TB-class embedding store actually ships (4x smaller than "
+        "float32, dot products on integers): codes = floor((x-min)/scale "
+        "+ 0.5) against the vector's own [min, max] range, plus the "
+        "reconstruction-error audit (mean |x - dequant(x)|) every "
+        "compression rollout needs. Entirely map-only array math inside "
+        "codegen — zero shuffles, one corpus scan (the explicit "
+        "floor(+0.5) sidesteps engine-specific round() tie rules). "
+        "Constant vectors (scale 0) are excluded identically on both "
+        "engines."
+    ),
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    mn, mx = F.array_min("v"), F.array_max("v")
+    based = emb.select(
+        "vec_id", "v", mn.alias("mn"), mx.alias("mx"), ((mx - mn) / 255.0).alias("sc")
+    ).filter(F.col("sc") > 0)
+    q = F.transform(
+        "v",
+        lambda x: F.floor((x - F.col("mn")) / F.col("sc") + F.lit(0.5)).cast("long"),
+    )
+    quant = based.withColumn("q", q)
+    errs = F.zip_with(
+        "v", "q", lambda x, c: F.abs(x - (F.col("mn") + c * F.col("sc")))
+    )
+    mean_err = F.aggregate(
+        errs, F.lit(0.0), lambda a, e: a + e, lambda a: a / F.size("v")
+    )
+    return quant.select(
+        "vec_id",
+        F.round("mn", 6).alias("v_min"),
+        F.round("mx", 6).alias("v_max"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.round(mean_err, 9).alias("mean_abs_err"),
+    )
