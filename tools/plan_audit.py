@@ -86,6 +86,8 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_string_funcs": {"forbid": ("Exchange",)},
     "q_sample_hash": {"forbid": ("Exchange",)},
     "q_stratified_sample": {"forbid": ("Exchange",)},
+    "q_token_bpe": {"forbid": ("Exchange",)},
+    "q_vector_quantize": {"forbid": ("Exchange",)},
     # histogram must keep its map-side combine
     "q_histogram": {"require": ("partial_count",)},
     # the salting demo must actually shuffle on (key, salt)
