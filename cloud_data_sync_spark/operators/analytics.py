@@ -579,3 +579,52 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "l_suppkey")
         .limit(10)
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM trans
+""",
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: lag() pairs each event with its predecessor inside "
+        "ONE user_id sort shuffle, transitions hash-aggregate with "
+        "map-side combine, and row-normalization is a window over the "
+        "event_type² matrix (≤ states², constant in corpus size). The "
+        "per-user sequencing never leaves its partition — the shape "
+        "session-flow and next-event-prediction features are built from."
+    ),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w_seq).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    w_norm = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_norm), 6).alias("p"),
+    )
