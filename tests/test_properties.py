@@ -93,3 +93,102 @@ def test_upsert_idempotent_and_key_unique(spark, a_names, b_names, seed):
         k = (r.mapping_id, r.object_name)
         if k in upd and upd[k].last_synced >= (r.last_synced or upd[k].last_synced):
             assert tuple(r) == tuple(upd[k])
+
+
+# -- round-3 operator algebra -------------------------------------------------
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(1, 12)),  # (start_min, dur_min)
+    min_size=1,
+    max_size=8,
+)
+
+
+def _merge_reference(iv: list[tuple[int, int]]) -> list[tuple[int, int, int]]:
+    """O(n log n) island merge over [s, e) minute intervals → (s, e, count)."""
+    spans = sorted((s, s + d) for s, d in iv)
+    out: list[list[int]] = []
+    for s, e in spans:
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += 1
+        else:
+            out.append([s, e, 1])
+    return [tuple(x) for x in out]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(iv=_intervals)
+def test_gaps_islands_matches_reference_merge(spark, tmp_path_factory, iv):
+    """q_gaps_islands must agree with a brute-force interval merge for ANY
+    interval set (overlap chains, containment, duplicates, touching ends)."""
+    from cloud_data_sync_spark.operators.relational import q_gaps_islands
+
+    tmp = tmp_path_factory.mktemp("gi")
+    rows = [
+        # event_id multiples of 7 pass the query's subset filter; value is
+        # the duration in minutes
+        (7 * (i + 1), BASE_TS + timedelta(minutes=s), 1, "view", float(d), "{}")
+        for i, (s, d) in enumerate(iv)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp / "events.parquet"))
+
+    got = sorted(
+        (r.island_start, r.island_end, r.n_intervals)
+        for r in q_gaps_islands(spark, str(tmp)).collect()
+    )
+    us = lambda m: int((BASE_TS + timedelta(minutes=m)).timestamp() * 1_000_000)  # noqa: E731
+    want = sorted((us(s), us(e), n) for s, e, n in _merge_reference(iv))
+    assert got == want
+
+
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(["red", "green", "blue", "cyan", "lime"]), min_size=3, max_size=7),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(toksets=_doc_texts)
+def test_prefix_filter_has_zero_false_negatives(spark, tmp_path_factory, toksets):
+    """Every pair whose trigram-shingle Jaccard clears the threshold MUST be
+    reported — the exactness guarantee that separates prefix filtering from
+    LSH. Verified against a brute-force all-pairs reference."""
+    from cloud_data_sync_spark.operators.dedup import _PF_T, q_dedup_prefix_filter
+
+    # even ids dodge both the %2 demo scope (they pass it) and the corpus
+    # augmentation (ids 2..10 step 2: none are %7/%10/%9 == 0 except 10)
+    ids = [2, 4, 6, 8, 12][: len(toksets)]
+    tmp = tmp_path_factory.mktemp("pf")
+    rows = [
+        (i, " ".join(toks), "en", "web", len(" ".join(toks)))
+        for i, toks in zip(ids, toksets)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp / "documents.parquet"))
+
+    def shingles(toks: list[str]) -> set[str]:
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = shingles(toksets[i]), shingles(toksets[j])
+            if a and b and len(a & b) / len(a | b) >= _PF_T:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+
+    got = {
+        (r.doc_a, r.doc_b) for r in q_dedup_prefix_filter(spark, str(tmp)).collect()
+    }
+    assert want <= got  # zero false negatives
+    # and no fabricated pairs: everything reported really clears t
+    for da, db in got:
+        a = shingles(toksets[ids.index(da)])
+        b = shingles(toksets[ids.index(db)])
+        assert len(a & b) / len(a | b) >= _PF_T
