@@ -210,3 +210,65 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+_COVERAGE_K = 20  # vocab cap: small enough that OOV is non-degenerate
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH tf AS (
+  SELECT term, count(*) AS tf
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents)
+  GROUP BY term
+),
+vocab AS (SELECT term FROM tf ORDER BY tf DESC, term LIMIT {_COVERAGE_K}),
+toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.term = t.term
+GROUP BY t.source
+""",
+    doc=(
+        "Tokenizer coverage audit: per-source out-of-vocabulary rate "
+        "against the frequency-ranked top-K vocabulary — the check every "
+        "tokenizer rollout runs before committing to a vocab. The vocab "
+        "is top-K by construction, so it BROADCASTS regardless of corpus "
+        "size and the probe is a map-side hash join against the token "
+        "explode; per-source rates then hash-aggregate with map-side "
+        "combine. One corpus-sized shuffle (the tf aggregate), one "
+        "broadcast, zero sorts of the corpus."
+    ),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(low_toks()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = (
+        tf.orderBy(F.desc("tf"), "term")
+        .limit(_COVERAGE_K)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    toks = docs.select("source", F.explode(low_toks()).alias("term"))
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(oov).cast("long").alias("oov_tokens"),
+            F.round(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
+        )
+    )
