@@ -1245,7 +1245,12 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         "Distribution window functions (ntile / percent_rank / cume_dist) "
         "per nation — the quantile-bucketing shape behind per-segment "
         "score normalization. One shuffle on the partition key; the "
-        "c_custkey tiebreak makes every rank deterministic under ties."
+        "c_custkey tiebreak makes every rank deterministic under ties. "
+        "Low-cardinality caveat: a window key with few distinct values "
+        "sorts each group in ONE task; when a single group outgrows a "
+        "task, swap to the rank-aggregation formulation q_agg_percentiles "
+        "uses (row_number + broadcast counts) — same results, spillable "
+        "distributed sort."
     ),
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -796,7 +796,10 @@ FROM (
         "twin of stratified sampling — the layout every shard-writer needs "
         "before `partitionBy(shard)` so re-runs and engines agree byte-for-"
         "byte on file contents. One shuffle on the shard key; position is "
-        "a per-shard window, never a global sort."
+        "a per-shard window, never a global sort. Shard count is the "
+        "scale knob — each shard sorts in one task, so at corpus scale "
+        "the modulus rises until corpus/shards fits a task (10k+ shards "
+        "at 100 TB); the plan shape is unchanged."
     ),
 )
 def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
