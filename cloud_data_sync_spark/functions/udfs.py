@@ -202,3 +202,93 @@ def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, w.tok, w.n "
         "FROM _udtf_docs d, LATERAL word_counts_udtf(d.text) w"
     )
+
+
+_CMS_D, _CMS_W = 4, 64  # depth (hash rows) × width (buckets per row)
+
+
+@register(
+    "q_sketch_cms",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+inc AS (
+  SELECT r.i, term,
+         CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || term), 1, 6)
+              AS BIGINT) % {_CMS_W} AS bucket
+  FROM toks, range(0, {_CMS_D}) r(i)
+),
+sketch AS (
+  SELECT i, bucket, count(*) AS c FROM inc GROUP BY i, bucket
+),
+probes AS (SELECT DISTINCT term FROM toks),
+probe_cells AS (
+  SELECT p.term, r.i,
+         CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || p.term), 1, 6)
+              AS BIGINT) % {_CMS_W} AS bucket
+  FROM probes p, range(0, {_CMS_D}) r(i)
+),
+est AS (
+  SELECT pc.term, min(s.c) AS cms_est
+  FROM probe_cells pc JOIN sketch s ON s.i = pc.i AND s.bucket = pc.bucket
+  GROUP BY pc.term
+),
+exact AS (SELECT term, count(*) AS n FROM toks GROUP BY term)
+SELECT e.term,
+       CAST(x.n AS BIGINT) AS exact_n,
+       CAST(e.cms_est AS BIGINT) AS cms_est,
+       e.cms_est >= x.n AS never_undercounts
+FROM est e JOIN exact x ON x.term = e.term
+""",
+    doc=(
+        "Count-min sketch as a declarative plan — the custom mergeable "
+        "sketch built from relational primitives instead of a UDAF: each "
+        "token increments one bucket per hash row (md5-derived, "
+        "engine-portable), the sketch IS a {d}×{w} grouped count "
+        "(mergeable by addition — partial aggregation gives the merge for "
+        "free), and a point estimate is the min over the key's d cells. "
+        "Emits est vs exact plus the never-undercounts invariant per "
+        "probe key. Because the hash family is deterministic on both "
+        "engines, the oracle reproduces the sketch CELL-FOR-CELL — the "
+        "estimates hash-match exactly, unlike HLL (q_agg_approx_distinct) "
+        "where only a tolerance boolean is portable. At 100 TB the "
+        "sketch's shuffle is O(d×w) per partition after map-side combine, "
+        "independent of corpus size."
+    ).format(d=_CMS_D, w=_CMS_W),
+)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.operators.tokens import low_toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(low_toks()).alias("term"))
+    i_col = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("i")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("term"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    inc = toks.select("term", i_col).select("term", "i", bucket.alias("bucket"))
+    sketch = inc.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    probes = toks.distinct().select("term", i_col)
+    probe_cells = probes.select("term", "i", bucket.alias("bucket"))
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("term")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_n"))
+    return est.join(exact, "term").select(
+        "term",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
+    )
