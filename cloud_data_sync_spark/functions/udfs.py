@@ -292,3 +292,115 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
     )
+
+
+_BLOOM_D, _BLOOM_M = 3, 1024  # hash count × bit-array size
+
+
+@register(
+    "q_bloom_prune",
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 6000
+),
+bits AS (
+  SELECT DISTINCT r.i,
+         CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':'
+                             || CAST(c_custkey AS VARCHAR)), 1, 6)
+              AS BIGINT) % {_BLOOM_M} AS bit
+  FROM dim, range(0, {_BLOOM_D}) r(i)
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey, r.i,
+         CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':'
+                             || CAST(o.o_custkey AS VARCHAR)), 1, 6)
+              AS BIGINT) % {_BLOOM_M} AS bit
+  FROM orders o, range(0, {_BLOOM_D}) r(i)
+),
+passed AS (
+  SELECT p.o_orderkey, p.o_custkey
+  FROM probe p JOIN bits b ON b.i = p.i AND b.bit = p.bit
+  GROUP BY p.o_orderkey, p.o_custkey
+  HAVING count(*) = {_BLOOM_D}
+)
+SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+       CAST((SELECT count(*) FROM passed) AS BIGINT) AS n_passed,
+       CAST((SELECT count(*) FROM orders o
+             WHERE EXISTS (SELECT 1 FROM dim d
+                           WHERE d.c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_true,
+       round(CAST((SELECT count(*) FROM passed)
+                  - (SELECT count(*) FROM orders o
+                     WHERE EXISTS (SELECT 1 FROM dim d
+                                   WHERE d.c_custkey = o.o_custkey))
+             AS DOUBLE)
+             / (SELECT count(*) FROM orders), 6) AS fp_rate
+""",
+    doc=(
+        "Bloom-filter semi-join pruning from relational primitives: the "
+        "qualifying dimension subset sets d bits each (portable md5 hash "
+        "family), the fact side passes only when ALL its d bits are set, "
+        "and the report compares pruned-candidate count against the true "
+        "semi-join — overcount = false-positive rate, undercount "
+        "impossible (the Bloom guarantee, asserted by construction since "
+        "every true match sets its own bits). This is the ship-bits-not-"
+        "keys shape runtime filters use: at 100 TB the bit set is "
+        "O(m×d) ≤ a few KB broadcast regardless of dimension size, and "
+        "the probe is map-side. The oracle reproduces the filter "
+        "bit-for-bit."
+    ),
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 6000)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    i_col = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_D - 1))).alias("i")
+
+    def bit_of(key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), key.cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    bits = (
+        dim.select("c_custkey", i_col)
+        .select("i", bit_of(F.col("c_custkey")).alias("bit"))
+        .distinct()
+    )
+    probe = orders.select("o_orderkey", "o_custkey", i_col).select(
+        "o_orderkey", "o_custkey", "i", bit_of(F.col("o_custkey")).alias("bit")
+    )
+    passed = (
+        probe.join(F.broadcast(bits), ["i", "bit"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == _BLOOM_D)
+    )
+    true_match = orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")
+    n_orders = orders.agg(F.count("*").alias("n_orders"))
+    n_passed = passed.agg(F.count("*").alias("n_passed"))
+    n_true = true_match.agg(F.count("*").alias("n_true"))
+    return (
+        n_orders.join(n_passed)
+        .join(n_true)
+        .select(
+            "n_orders",
+            "n_passed",
+            "n_true",
+            F.round(
+                (F.col("n_passed") - F.col("n_true")).cast("double") / F.col("n_orders"),
+                6,
+            ).alias("fp_rate"),
+        )
+    )

@@ -41,6 +41,8 @@ GLOBAL_FORBID = ("CartesianProduct",)
 # - q_histogram_equidepth: the decile-boundary array is ONE broadcast row
 #   (constant in corpus size) cross-joined into the map-only bucket
 #   assignment.
+# - q_bloom_prune: the report assembles three ONE-row counters (orders /
+#   bloom-passed / true matches) with 1×1 cross joins.
 BNLJ_ALLOWED = {
     "q_sim_topk",
     "q_sim_ivf",
@@ -49,6 +51,7 @@ BNLJ_ALLOWED = {
     "q_kmeans",
     "q_skew_report",
     "q_histogram_equidepth",
+    "q_bloom_prune",
 }
 
 # Global (unpartitioned) windows are forbidden — a single-partition sort of
