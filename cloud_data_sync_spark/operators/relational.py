@@ -1437,3 +1437,79 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "q_sample_per_group",
+    oracle="""
+SELECT c_nationkey, c_custkey, c_name
+FROM (
+  SELECT c_nationkey, c_custkey, c_name,
+         row_number() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3
+""",
+    doc=(
+        "Deterministic per-group sample: k rows per group ordered by a "
+        "portable content hash — the 'show me a few examples per "
+        "stratum' primitive for corpus inspection dashboards, "
+        "reproducible across runs and engines (unlike rand()-based "
+        "sampling). One shuffle on the group key; the rank window sees "
+        "each group once and the k-row filter drops everything else "
+        "before any downstream operator."
+    ),
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    return (
+        cust.select("c_nationkey", "c_custkey", "c_name", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_fuzzy_match",
+    oracle="""
+WITH probes AS (
+  SELECT * FROM (VALUES
+    ('Customer#000000001'), ('Custmer#000000002'),
+    ('Customer#00000003x'), ('Cstomer#0000000444')) p(probe)
+)
+SELECT p.probe, c.c_name,
+       CAST(levenshtein(p.probe, c.c_name) AS BIGINT) AS dist
+FROM probes p
+JOIN customer c ON levenshtein(p.probe, c.c_name) <= 2
+""",
+    doc=(
+        "Fuzzy (edit-distance) lookup: a small probe set matched against "
+        "the corpus at Levenshtein ≤ 2 — entity-resolution's last mile "
+        "after blocking. The probe side is bounded by construction, so it "
+        "BROADCASTS and the distance predicate evaluates map-side against "
+        "the corpus scan (a nested-loop over a handful of probes per row, "
+        "linear in the corpus — never corpus×corpus). At scale the "
+        "blocking stage (prefix/LSH, see the dedup family) shrinks the "
+        "probe set first; the threshold join shape is unchanged."
+    ),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    probes = cust.sparkSession.createDataFrame(
+        [
+            ("Customer#000000001",),
+            ("Custmer#000000002",),
+            ("Customer#00000003x",),
+            ("Cstomer#0000000444",),
+        ],
+        "probe string",
+    )
+    dist = F.levenshtein("probe", "c_name")
+    return (
+        cust.join(F.broadcast(probes), dist <= 2)
+        .select("probe", "c_name", dist.cast("long").alias("dist"))
+    )

@@ -43,7 +43,10 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   assignment.
 # - q_bloom_prune: the report assembles three ONE-row counters (orders /
 #   bloom-passed / true matches) with 1×1 cross joins.
+# - q_fuzzy_match: the probe set is 4 literal rows broadcast against the
+#   corpus scan; the edit-distance predicate is inherently non-equi.
 BNLJ_ALLOWED = {
+    "q_fuzzy_match",
     "q_sim_topk",
     "q_sim_ivf",
     "q_tfidf",
