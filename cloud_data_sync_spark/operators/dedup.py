@@ -961,3 +961,80 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_raw") >= _PF_T)
         .select("doc_a", "doc_b", F.round("_raw", 4).alias("jaccard"))
     )
+
+
+_SUB_CHUNK, _SUB_STEP = 100, 50  # window chars, stride
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+WITH chunks AS (
+  SELECT d.doc_id,
+         md5(substring(d.text, g.pos, {_SUB_CHUNK})) AS h
+  FROM documents d,
+       LATERAL unnest(generate_series(
+         1, greatest(length(d.text) - {_SUB_CHUNK - _SUB_STEP}, 1),
+         {_SUB_STEP})) AS g(pos)
+),
+shared AS (
+  SELECT h FROM chunks GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_shared,
+       round(CAST(sum(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS shared_frac
+FROM chunks c LEFT JOIN shared s ON s.h = c.h
+GROUP BY c.doc_id
+""",
+    doc=(
+        "Cross-document repeated-span detection (the practical form of "
+        "exact-substring dedup): overlapping {c}-char windows every {s} "
+        "chars are content-hashed; a window hash seen in ≥2 DISTINCT "
+        "documents marks a repeated span, and each document reports the "
+        "fraction of its windows that recur elsewhere — the signal used "
+        "to strip boilerplate/licenses/templates that survive "
+        "whole-document dedup. Two hash-agg shuffles (span hashes, "
+        "per-doc rollup); window hashes shuffle as 32-char strings, "
+        "never text. A suffix-automaton exact-substring pass is the "
+        "precision upgrade; the windowed-hash form is the one that "
+        "parallelizes trivially at corpus scale."
+    ).format(c=_SUB_CHUNK, s=_SUB_STEP),
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length("text") - (_SUB_CHUNK - _SUB_STEP), F.lit(1)),
+            F.lit(_SUB_STEP),
+        )
+    ).alias("pos")
+    chunks = docs.select("doc_id", "text", pos).select(
+        "doc_id",
+        F.md5(F.expr(f"substring(text, pos, {_SUB_CHUNK})")).alias("h"),
+    )
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_shared"))
+    )
+    # no broadcast hint: unlike the decontamination eval set, the shared-span
+    # set is NOT small by nature (boilerplate-heavy corpora produce many) —
+    # AQE picks broadcast when it fits and shuffle-hash otherwise
+    return (
+        chunks.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.coalesce("is_shared", F.lit(0))).cast("long").alias("n_shared"),
+            F.round(
+                F.sum(F.coalesce("is_shared", F.lit(0))).cast("double") / F.count("*"),
+                6,
+            ).alias("shared_frac"),
+        )
+    )
