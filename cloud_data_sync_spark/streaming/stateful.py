@@ -119,3 +119,72 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
     deduped = ev.dropDuplicates(["user_id", "event_type"])
     return run_available_now(deduped, "t_stream_dedup_keys", output_mode="append")
+
+
+TOTALS_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+TOTALS_STATE_SCHEMA = "n long, total double"
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if batch.empty:
+        return
+    n, total = (state.get if state.exists else (0, 0.0))
+    n += len(batch)
+    total += float(batch["value"].sum())
+    state.update((int(n), float(total)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [int(n)], "total_value": [float(total)]}
+    )
+
+
+def running_totals_per_user(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame → one updated (n, total) row per key per batch."""
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=TOTALS_OUT_SCHEMA,
+        stateStructType=TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "q_stream_running_totals",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+""",
+    doc=(
+        "Custom stateful streaming AGGREGATION (applyInPandasWithState): "
+        "per-user running (count, sum) accumulated in keyed Arrow state "
+        "across micro-batches — the incremental-metrics shape (per-tenant "
+        "usage counters, billing accumulators) where built-in streaming "
+        "aggs force output-mode trade-offs and a custom op keeps "
+        "emit-per-update semantics. Update mode emits a superseding row "
+        "per key per batch; the drain keeps each key's final row (max "
+        "n_events — totals are monotone). State is two scalars per key, "
+        "partitioned by the group key; with unbounded keys a watermark "
+        "timeout evicts idle ones."
+    ),
+)
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    out = run_available_now(
+        running_totals_per_user(read_events_stream(spark, sf_dir)),
+        "t_stream_running_totals",
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+        )
+    )
