@@ -1513,3 +1513,77 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(probes), dist <= 2)
         .select("probe", "c_name", dist.cast("long").alias("dist"))
     )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_name,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       c.c_custkey IS NULL AS orphan_order,
+       o.o_custkey IS NULL AND c.c_custkey IS NOT NULL AS customer_no_orders
+FROM customer c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 100000) o
+  ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, o.o_custkey, c.c_name
+""",
+    doc=(
+        "Full outer join — the reconciliation primitive q_sync_diff "
+        "composes from left+anti legs, here in its direct form: customers "
+        "with no qualifying orders AND qualifying orders with no customer "
+        "row both survive, flagged per side. Key-equality full outer "
+        "compiles to one sort-merge exchange pair; null-side flags "
+        "replace the reference's two-pass membership scans "
+        "(sync.go:101-164 + 199-234) with single-pass CASE logic."
+    ),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "full_outer")
+        .groupBy("c_custkey", "o_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_name",
+            "n_orders",
+            F.col("c_custkey").isNull().alias("orphan_order"),
+            (F.col("o_custkey").isNull() & F.col("c_custkey").isNotNull()).alias(
+                "customer_no_orders"
+            ),
+        )
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+SELECT l_returnflag, l_quantity AS mode_qty,
+       CAST(n AS BIGINT) AS n
+FROM (
+  SELECT l_returnflag, l_quantity, count(*) AS n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_quantity) AS rn
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+) WHERE rn = 1
+""",
+    doc=(
+        "Deterministic per-group mode (most frequent value, ties broken "
+        "by smallest value — engines' native mode() picks ties "
+        "arbitrarily, so the explicit argmax formulation is the portable "
+        "one): value-frequency hash agg with map-side combine, then a "
+        "rank window over the (groups × distinct values) aggregate — "
+        "window input is aggregate-sized, never row-sized."
+    ),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "l_quantity")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "n")
+    )
