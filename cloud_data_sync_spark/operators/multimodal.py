@@ -257,3 +257,80 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "q_multimodal_phash",
+    oracle="""
+WITH sig AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS blen,
+         list_transform(range(0, 17),
+           i -> ord(substr(text,
+                  CAST(least(1 + i * greatest(octet_length(encode(text)) // 17, 1),
+                             octet_length(encode(text))) AS INTEGER), 1))) AS s
+  FROM documents
+),
+ph AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, 17),
+           i -> CASE WHEN s[i] > s[i + 1] THEN '1' ELSE '0' END), '') AS phash
+  FROM sig
+)
+SELECT doc_id, phash,
+       CAST(min(doc_id) OVER (PARTITION BY phash) AS BIGINT) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS group_size
+FROM ph
+""",
+    doc=(
+        "Perceptual-hash near-dup for media payloads — dHash over the "
+        "byte stream: 17 strided samples per payload, 16 gradient bits "
+        "(sample[i] > sample[i+1]), group by fingerprint. This is the "
+        "REAL dHash recipe applied to a 1-D signal; with codec libs "
+        "present the samples become downscaled luminance pixels and "
+        "nothing else changes (same bits, same grouping — the decode "
+        "stub is the only swap point, multimodal.py:decode_payload). "
+        "Map-only fingerprinting (strided probes, never a full byte "
+        "scan), one fingerprint-key shuffle for the grouping; robust to "
+        "byte-level jitter the way exact checksums (q_multimodal_dedup) "
+        "are not. Texts are ASCII so byte[i] == codepoint(char[i]) holds "
+        "on both engines."
+    ),
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    blen = F.octet_length(F.encode("text", "UTF-8"))
+    stride = F.greatest(blen.cast("long") / F.lit(17), F.lit(1)).cast("long")
+    samples = F.transform(
+        F.sequence(F.lit(0), F.lit(16)),
+        lambda i: F.ascii(
+            F.expr("text").substr(
+                F.least(F.lit(1) + i.cast("long") * stride, blen.cast("long")).cast(
+                    "int"
+                ),
+                F.lit(1),
+            )
+        ),
+    )
+    sig = docs.select("doc_id", samples.alias("s"))
+    bits = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.when(
+                F.element_at("s", i.cast("int") + 1)
+                > F.element_at("s", i.cast("int") + 2),
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+    )
+    ph = sig.select("doc_id", bits.alias("phash"))
+    w = Window.partitionBy("phash")
+    return ph.select(
+        "doc_id",
+        "phash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
