@@ -1587,3 +1587,88 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "n")
     )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, 'B' AS op, 0 AS seq
+  FROM orders
+),
+updates AS (
+  -- additive drift, not multiplicative: *1.1 or /2 mint .005 rounding
+  -- ties where the engines' round() rules disagree on doubles
+  SELECT o_orderkey, o_totalprice + 1000.0 AS price, 'U' AS op, 1 AS seq
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+deletes AS (
+  SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D', 2
+  FROM orders WHERE o_orderkey % 50 = 0
+),
+inserts AS (
+  SELECT o_orderkey + 5000000, o_totalprice - 500.0, 'I', 3
+  FROM orders WHERE o_orderkey % 37 = 0
+),
+log AS (
+  SELECT * FROM base UNION ALL SELECT * FROM updates
+  UNION ALL SELECT * FROM deletes UNION ALL SELECT * FROM inserts
+),
+resolved AS (
+  SELECT k, price, op,
+         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+         count(*) OVER (PARTITION BY k) AS n_versions
+  FROM log
+)
+SELECT k AS o_orderkey, round(price, 2) AS price, op AS last_op,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM resolved WHERE rn = 1 AND op <> 'D'
+""",
+    doc=(
+        "CDC apply — merge a change log (inserts / updates / deletes with "
+        "a sequence order) onto a base table, latest-wins per key: the "
+        "generalized form of the engine's state upsert (state.py, "
+        "database.go:346-364) and the Delta/Iceberg MERGE INTO shape "
+        "rebuilt from primitives. One union (no per-op passes), ONE key "
+        "shuffle for the resolving window, delete tombstones filtered "
+        "after resolution so a delete-then-reinsert sequence lands "
+        "correctly. The change sets here derive deterministically from "
+        "orders so both engines build the identical log."
+    ),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.select(
+        k.alias("k"), F.col("o_totalprice").alias("price"),
+        F.lit("B").alias("op"), F.lit(0).alias("seq"),
+    )
+    updates = o.filter(k % 13 == 0).select(
+        k.alias("k"), (F.col("o_totalprice") + 1000.0).alias("price"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    deletes = o.filter(k % 50 == 0).select(
+        k.alias("k"), F.lit(None).cast("double").alias("price"),
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    inserts = o.filter(k % 37 == 0).select(
+        (k + 5000000).alias("k"), (F.col("o_totalprice") - 500.0).alias("price"),
+        F.lit("I").alias("op"), F.lit(3).alias("seq"),
+    )
+    log = base.unionByName(updates).unionByName(deletes).unionByName(inserts)
+    w_key = Window.partitionBy("k")
+    w_resolve = w_key.orderBy(F.desc("seq"))
+    return (
+        log.select(
+            "k", "price", "op",
+            F.row_number().over(w_resolve).alias("rn"),
+            F.count("*").over(w_key).alias("n_versions"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.round("price", 2).alias("price"),
+            F.col("op").alias("last_op"),
+            F.col("n_versions").cast("long").alias("n_versions"),
+        )
+    )
