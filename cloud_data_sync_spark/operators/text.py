@@ -906,3 +906,133 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w_shard).cast("long"))
     )
+
+
+@register(
+    "q_source_overlap",
+    oracle="""
+WITH hashed AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS h
+  FROM documents
+),
+pairs AS (
+  SELECT a.h, a.source AS source_a, b.source AS source_b
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_docs
+FROM pairs GROUP BY source_a, source_b
+""",
+    doc=(
+        "Cross-source duplicate-overlap matrix: for every source pair, "
+        "how many token-set-identical documents they share — the "
+        "provenance question (which feeds mirror each other?) asked "
+        "before weighting sources in a corpus mix. The token-set hash "
+        "catches reordered mirrors that byte-exact hashing misses (this "
+        "corpus has zero byte-exact cross-source copies but 171 "
+        "token-set mirrors at sf0.01). Hashes join, never text; the "
+        "per-(hash, source) DISTINCT collapses each source's internal "
+        "copies first so the matrix counts cross-source overlap only. "
+        "Output is sources², constant in corpus size."
+    ),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "source",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(low_toks())), " ")).alias(
+            "h"
+        ),
+    ).distinct()
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared_docs"))
+    )
+
+
+@register(
+    "q_curation_funnel",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         md5(lower(trim(text))) AS content_hash
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, content_hash,
+         n_tokens >= 10 AND CAST(n_chars AS DOUBLE) / n_tokens <= 12.0
+           AS q_pass
+  FROM scored
+),
+dedup AS (
+  SELECT doc_id, q_pass,
+         q_pass AND doc_id = min(CASE WHEN q_pass THEN doc_id END)
+                      OVER (PARTITION BY content_hash) AS d_pass
+  FROM flags
+),
+final AS (
+  SELECT doc_id, q_pass, d_pass,
+         d_pass AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                         AS BIGINT) % 100 < 80 AS s_pass
+  FROM dedup
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN d_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+       CAST(sum(CASE WHEN s_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM final
+""",
+    doc=(
+        "Curation funnel report — per-stage survivor counts for the "
+        "q_corpus_curation pipeline (total → quality gate → canonical "
+        "dedup → hash sample): the observability query a pipeline owner "
+        "reads before shipping a corpus, answering WHERE documents were "
+        "lost. All stages evaluate as flags in one pass over the scan "
+        "plus the one dedup-hash window the pipeline itself needs; the "
+        "funnel costs one extra 4-counter aggregation, not four extra "
+        "pipeline runs."
+    ),
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+    )
+    q_pass = (F.col("n_tokens") >= 10) & (
+        F.col("n_chars").cast("double") / F.col("n_tokens") <= 12.0
+    )
+    flags = scored.select("doc_id", "content_hash", q_pass.alias("q_pass"))
+    w = Window.partitionBy("content_hash")
+    d_pass = F.col("q_pass") & (
+        F.col("doc_id")
+        == F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(w)
+    )
+    sample_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    final = flags.select(
+        "q_pass",
+        d_pass.alias("d_pass"),
+        (d_pass & (sample_bucket < 80)).alias("s_pass"),
+    )
+    return final.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("q_pass"), 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(F.col("d_pass"), 1).otherwise(0)).cast("long").alias("n_deduped"),
+        F.sum(F.when(F.col("s_pass"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+    )
