@@ -192,3 +192,51 @@ def test_prefix_filter_has_zero_false_negatives(spark, tmp_path_factory, toksets
         a = shingles(toksets[ids.index(da)])
         b = shingles(toksets[ids.index(db)])
         assert len(a & b) / len(a | b) >= _PF_T
+
+
+_cdc_keys = st.lists(st.integers(1, 60), min_size=1, max_size=25, unique=True)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(keys=_cdc_keys)
+def test_cdc_apply_latest_wins_and_tombstones(spark, tmp_path_factory, keys):
+    """For ANY base key set, the CDC merge must equal a sequential replay:
+    base rows, then updates (%13), then deletes (%50), then inserts (%37) —
+    latest sequence wins, deletes remove, delete-then-reinsert impossible
+    here but update-then-delete must tombstone."""
+    from cloud_data_sync_spark.operators.relational import q_cdc_apply
+
+    tmp = tmp_path_factory.mktemp("cdc")
+    rows = [
+        (k, k, "O", float(k * 10), BASE_TS, "P") for k in keys
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp / "orders.parquet"))
+
+    # sequential replay reference
+    table: dict[int, tuple[float, str]] = {k: (k * 10.0, "B") for k in keys}
+    versions: dict[int, int] = {k: 1 for k in keys}
+    for k in keys:
+        if k % 13 == 0:
+            table[k] = (k * 10.0 + 1000.0, "U")
+            versions[k] += 1
+    for k in keys:
+        if k % 50 == 0:
+            table.pop(k, None)
+            versions[k] += 1
+    for k in keys:
+        if k % 37 == 0:
+            table[k + 5000000] = (k * 10.0 - 500.0, "I")
+            versions[k + 5000000] = 1
+
+    got = {
+        r.o_orderkey: (r.price, r.last_op, r.n_versions)
+        for r in q_cdc_apply(spark, str(tmp)).collect()
+    }
+    want = {
+        k: (round(price, 2), op, versions[k]) for k, (price, op) in table.items()
+    }
+    assert got == want
