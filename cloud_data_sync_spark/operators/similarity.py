@@ -489,3 +489,80 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q").alias("q_max"),
         F.round(mean_err, 9).alias("mean_abs_err"),
     )
+
+
+@register(
+    "q_embedding_compactness",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+flat AS (
+  SELECT label, unnest(range(0, len(v))) AS dim,
+         unnest(v) AS x
+  FROM vecs
+),
+cent AS (
+  SELECT label, dim, avg(x) AS c FROM flat GROUP BY label, dim
+),
+carr AS (
+  SELECT label, array_agg(c ORDER BY dim) AS cv FROM cent GROUP BY label
+),
+dists AS (
+  SELECT v.label,
+         sqrt(list_aggregate(
+           list_transform(range(1, len(v.v) + 1),
+                          i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])),
+           'sum')) AS d
+  FROM vecs v JOIN carr c ON c.label = v.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(d), 6) AS mean_dist,
+       round(max(d), 6) AS max_dist
+FROM dists GROUP BY label
+""",
+    doc=(
+        "Embedding-cluster compactness audit: per-label centroid "
+        "(dimension-wise mean via posexplode + hash agg — the centroid "
+        "shuffle carries labels × dims partial sums, never vectors), "
+        "re-packed per label and broadcast back for each vector's "
+        "Euclidean distance to its own centroid. mean/max distance per "
+        "label is the drift check an embedding-QA gate runs after every "
+        "encoder change: a label whose compactness jumps is a labeling "
+        "or encoder regression. Same shape as one k-means E-step "
+        "(ml.py), reported as a metric instead of consumed by an update."
+    ),
+)
+def q_embedding_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    flat = emb.select("label", F.posexplode("v").alias("dim", "x"))
+    cent = flat.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    joined = emb.join(F.broadcast(carr), "label")
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+    )
+    return (
+        joined.select("label", d.alias("d"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("d"), 6).alias("mean_dist"),
+            F.round(F.max("d"), 6).alias("max_dist"),
+        )
+    )
