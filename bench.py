@@ -23,6 +23,47 @@ from cloud_data_sync_spark.registry import all_queries  # noqa: E402
 from cloud_data_sync_spark.session import get_spark  # noqa: E402
 
 
+def build_inline_line(
+    timings: dict[str, float], total: float, sf: float, budget: int = 1900
+) -> str:
+    """Build the one-line stdout payload, dropping the cheapest *successful*
+    queries until it fits the driver's bounded tail buffer.
+
+    Failed queries (recorded as -1.0) are pinned: they must never be trimmed
+    away, or the inline view would show a clean run while BENCH_FULL.json
+    holds -1 sentinels (r3 advice). A ``failed_queries`` count is surfaced
+    whenever any exist. Importable so tests exercise the real drop loop.
+    """
+    inline = {k: round(v, 2) for k, v in timings.items()}
+    n_failed = sum(1 for v in timings.values() if v < 0)
+    omitted = 0
+
+    def _line(q: dict[str, float], omitted: int) -> str:
+        payload = {
+            "metric": "total_query_wall_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+        }
+        if n_failed:
+            payload["failed_queries"] = n_failed
+        if omitted:
+            payload["omitted_cheap_queries"] = omitted
+            payload["full"] = "BENCH_FULL.json"
+        return json.dumps(payload, separators=(",", ":"))
+
+    # ascending wall, failures (-1.0) sorted last so they survive trimming
+    by_cost = sorted(inline, key=lambda k: (inline[k] < 0, inline[k], k))
+    while len(_line(inline, omitted)) > budget and omitted < len(by_cost):
+        key = by_cost[omitted]
+        if inline.get(key, -1.0) < 0:
+            break  # only pinned failures remain
+        inline.pop(key)
+        omitted += 1
+    return _line(inline, omitted)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -96,30 +137,9 @@ def main() -> None:
         pass
 
     # Inline: compact separators, 2-decimal walls, and if needed drop the
-    # cheapest queries (deterministically, by ascending wall) until the line
-    # fits — heavy hitters always survive. "omitted" counts the dropped ones.
-    budget = 1900
-    inline = {k: round(v, 2) for k, v in timings.items()}
-    omitted = 0
-
-    def _line(q: dict[str, float], omitted: int) -> str:
-        payload = {
-            "metric": "total_query_wall_sec",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": q,
-            "sf": sf,
-        }
-        if omitted:
-            payload["omitted_cheap_queries"] = omitted
-            payload["full"] = "BENCH_FULL.json"
-        return json.dumps(payload, separators=(",", ":"))
-
-    by_cost = sorted(inline, key=lambda k: (inline[k], k))
-    while len(_line(inline, omitted)) > budget and inline:
-        inline.pop(by_cost[omitted])
-        omitted += 1
-    print(_line(inline, omitted))
+    # cheapest successful queries until the line fits — heavy hitters and
+    # failures always survive (see build_inline_line).
+    print(build_inline_line(timings, total, sf))
 
 
 if __name__ == "__main__":

@@ -164,6 +164,7 @@ FROM (
            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
     FROM documents WHERE doc_id % 97 = 0
   ) t
+  WHERE t.tok <> ''
   GROUP BY doc_id, t.tok
 )
 """,
@@ -186,9 +187,22 @@ def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="tok string, n long")
     class WordCounts:
         def eval(self, text: str):
+            import re
             from collections import Counter
 
-            toks = (text or "").strip().lower().split()
+            # Tokenize with the SAME regex class as the corpus-wide
+            # contract (tokens.low_toks / string_split_regex '\s+').
+            # str.split()/str.strip() also break on non-ASCII Unicode
+            # whitespace that Java/RE2 '\s' does not (r3 advice), and
+            # Python's own '\s' is Unicode-aware unless re.ASCII is set.
+            # No strip(): leading/trailing runs yield empty tokens that
+            # the filter drops on both sides (oracle: `tok <> ''`), so
+            # trim-semantics differences wash out.
+            toks = [
+                t
+                for t in re.split(r"\s+", (text or "").lower(), flags=re.ASCII)
+                if t
+            ]
             for t, n in sorted(Counter(toks).items()):
                 yield t, n
 

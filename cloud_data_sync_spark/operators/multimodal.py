@@ -266,9 +266,10 @@ WITH sig AS (
   SELECT doc_id,
          octet_length(encode(text)) AS blen,
          list_transform(range(0, 17),
-           i -> ord(substr(text,
-                  CAST(least(1 + i * greatest(octet_length(encode(text)) // 17, 1),
-                             octet_length(encode(text))) AS INTEGER), 1))) AS s
+           i -> CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE ord(substr(text,
+                  CAST(greatest(least(1 + i * greatest(octet_length(encode(text)) // 17, 1),
+                             octet_length(encode(text))), 1) AS INTEGER), 1)) END) AS s
   FROM documents
 ),
 ph AS (
@@ -303,13 +304,18 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blen = F.octet_length(F.encode("text", "UTF-8"))
     stride = F.greatest(blen.cast("long") / F.lit(17), F.lit(1)).cast("long")
+    # position clamped to >= 1: for an empty text least(1, blen) is 0, and
+    # substr-position-0 semantics diverge between engines (r3 advice) —
+    # Spark ascii('') is 0 and the oracle CASE-guards blen = 0 to 0, so
+    # empty payloads hash to the all-zeros fingerprint on both sides.
     samples = F.transform(
         F.sequence(F.lit(0), F.lit(16)),
         lambda i: F.ascii(
             F.expr("text").substr(
-                F.least(F.lit(1) + i.cast("long") * stride, blen.cast("long")).cast(
-                    "int"
-                ),
+                F.greatest(
+                    F.least(F.lit(1) + i.cast("long") * stride, blen.cast("long")),
+                    F.lit(1),
+                ).cast("int"),
                 F.lit(1),
             )
         ),

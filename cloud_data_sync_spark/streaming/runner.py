@@ -31,17 +31,48 @@ from pyspark.sql import functions as F
 # the same value semantics as tables.load_table's batch read (and DuckDB's
 # µs TIMESTAMP). (An explicit `ts long` schema is a trap: the reader hands
 # back epoch micros, so a legacy nanos-era `div 1000` double-scales.)
+#
+# This schema is vintage-specific: batch load_table tolerates the older
+# TIMESTAMP(NANOS) vintage via its bigint branch, but a fixed stream schema
+# cannot adapt per-file — so _assert_micros_vintage probes the footer at
+# stream build time and fails LOUDLY on any other vintage instead of
+# silently misreading (r3 advice: batch and streaming no longer degrade
+# together, so say so at the boundary).
 EVENTS_STREAM_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
 
+def _assert_micros_vintage(sf_dir: str) -> None:
+    """Fail fast if events.parquet is not the TIMESTAMP(MICROS) vintage the
+    fixed stream schema assumes. Probe is driver-side, one footer read,
+    best-effort for non-local paths (cloud FS: the schema mismatch would
+    surface as a read error anyway)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(path):
+        return
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.ParquetFile(path).schema_arrow.field("ts")
+    except Exception:  # noqa: BLE001 - probe is advisory; reader errors rule
+        return
+    t = str(field.type)
+    if t not in ("timestamp[us]", "timestamp[us, tz=UTC]"):
+        raise RuntimeError(
+            f"events.parquet ts vintage is {t!r}, but the stream reader "
+            "requires TIMESTAMP(MICROS). Batch load_table tolerates legacy "
+            "TIMESTAMP(NANOS) via nanosAsLong; the file-source stream's "
+            "fixed schema cannot — regenerate the testdata or read batch."
+        )
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
 ) -> DataFrame:
-    """File-source stream over the events parquet (ns ts µs-truncated at
-    the scan, same normalization as tables.load_table).
+    """File-source stream over the events parquet (TIMESTAMP(MICROS)
+    vintage asserted at build time — see _assert_micros_vintage).
 
     ``max_files_per_trigger=1`` exercises real multi-batch semantics for
     windowed aggregations. Pass ``None`` (single-batch drain) for queries
@@ -55,6 +86,7 @@ def read_events_stream(
     # instant, making the cast value-preserving and the windowed results
     # byte-identical to the batch twins built on load_table's ntz column.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _assert_micros_vintage(sf_dir)
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -82,6 +82,56 @@ def load_tables(
     return out
 
 
+# spread decision cache: keyed by (session, input file set) so the listing +
+# size stat happens once per table per session, not per query build.
+_SPREAD_CACHE: dict[tuple[int, tuple[str, ...]], int] = {}
+
+
+def _estimated_scan_splits(df: DataFrame) -> int:
+    """Estimate how many file splits Spark's scan will produce, using the
+    same packing rule as ``FilePartition.maxSplitBytes`` — without forcing
+    the plan through RDD conversion (``df.rdd`` triggers full physical
+    planning + codegen on the driver for every uncached call)."""
+    spark = df.sparkSession
+    files = df.inputFiles()
+    key = (id(spark), tuple(sorted(files)))
+    cached = _SPREAD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    local = []
+    for f in files:
+        if f.startswith("file:"):
+            local.append(f[len("file:"):])
+        elif "://" not in f:
+            local.append(f)
+        else:
+            # non-local FS: can't stat cheaply; assume the scan already
+            # parallelizes (real clusters list >= cores splits)
+            _SPREAD_CACHE[key] = 1 << 30
+            return 1 << 30
+    total = 0
+    for p in local:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+    cores = spark.sparkContext.defaultParallelism
+    bytes_per_core = (total + open_cost * len(local)) / max(cores, 1)
+    max_split = min(max_part, max(open_cost, int(bytes_per_core)))
+    splits = 0
+    for p in local:
+        try:
+            sz = os.path.getsize(p)
+        except OSError:
+            sz = 0
+        splits += max(1, -(-sz // max(max_split, 1)))
+    splits = max(splits, 1)
+    _SPREAD_CACHE[key] = splits
+    return splits
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the cluster's parallelism when the
     input arrives in fewer splits than there are cores.
@@ -91,8 +141,12 @@ def spread(df: DataFrame) -> DataFrame:
     (1-4 splits), leaving most cores idle (measured 6.4s -> 1.7s on the
     minhash signature stage at sf0.1). At real scale the scan already
     yields >= cores splits and this is a no-op — no shuffle is added.
+
+    The split count comes from the file listing (cached per session), not
+    ``df.rdd.getNumPartitions()`` — the RDD probe forced physical planning
+    per query build (r3 verdict finding).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _estimated_scan_splits(df) < target:
         return df.repartition(target)
     return df

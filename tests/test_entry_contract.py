@@ -38,33 +38,38 @@ def test_events_ts_normalized_to_timestamp(spark):
 
 def test_bench_inline_line_fits_tail_buffer():
     """The driver parses bench's stdout JSON from a 2000-char tail buffer;
-    an overflowing line records parsed=null (round-2 regression). Simulate
-    the worst case: every registered query present at max value width."""
+    an overflowing line records parsed=null (round-2 regression). Exercise
+    bench.py's REAL builder (not a reimplementation — r3 advice) with the
+    worst case: every registered query present at max value width."""
     import json
 
+    from bench import build_inline_line
     from cloud_data_sync_spark.registry import all_queries
 
     timings = {name: 99.99 for name in all_queries()}
-    inline = dict(timings)
-    omitted = 0
-
-    def line(q, om):
-        payload = {
-            "metric": "total_query_wall_sec",
-            "value": 9999.999,
-            "unit": "sec",
-            "queries": q,
-            "sf": 0.1,
-        }
-        if om:
-            payload["omitted_cheap_queries"] = om
-            payload["full"] = "BENCH_FULL.json"
-        return json.dumps(payload, separators=(",", ":"))
-
-    order = sorted(inline)
-    while len(line(inline, omitted)) > 1900 and inline:
-        inline.pop(order[omitted])
-        omitted += 1
-    assert len(line(inline, omitted)) <= 1900
+    line = build_inline_line(timings, total=9999.999, sf=0.1)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
     # the drop loop must terminate with a healthy number still inline
-    assert len(inline) >= 40
+    assert len(parsed["queries"]) >= 40
+    assert "failed_queries" not in parsed
+
+
+def test_bench_inline_line_pins_failures():
+    """Failed queries (-1.0 sentinels) must survive trimming and be counted,
+    so the driver's one-line view can never show a clean run that wasn't."""
+    import json
+
+    from bench import build_inline_line
+    from cloud_data_sync_spark.registry import all_queries
+
+    timings = {name: 99.99 for name in all_queries()}
+    failed = sorted(timings)[:3]
+    for name in failed:
+        timings[name] = -1.0
+    line = build_inline_line(timings, total=9999.999, sf=0.1)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["failed_queries"] == 3
+    for name in failed:
+        assert parsed["queries"][name] == -1.0
