@@ -37,7 +37,7 @@ from cloud_data_sync_spark.sync import ACTION_COPY, ACTION_DELETE
 RESULT_SCHEMA = (
     "mapping_id string, object_name string, action string, status string, "
     "error string, size long, last_modified timestamp, etag string, "
-    "content_type string, last_synced timestamp"
+    "content_type string, metadata map<string,string>, last_synced timestamp"
 )
 
 CHUNK = 1024 * 1024
@@ -63,6 +63,38 @@ def _copy_one(src_path: str, dst_path: str) -> tuple[str, str | None]:
     except OSError as e:
         return STATUS_FAILED_UPLOAD, str(e)
     return STATUS_SUCCESS, None
+
+
+def _as_meta_dict(cell) -> dict[str, str]:
+    """Normalize a plan row's metadata cell: Arrow hands MapType to pandas
+    as a dict or a list of (k, v) tuples depending on version; absent/null
+    cells arrive as None/NaN."""
+    if isinstance(cell, dict):
+        return cell
+    if isinstance(cell, (list, tuple)):
+        return dict(cell)
+    return {}
+
+
+def _apply_object_meta(
+    dst_path: str, content_type: str | None, metadata: dict[str, str]
+) -> None:
+    """Re-apply content type + user metadata on the uploaded object — the
+    reference's UploadObject(..., contentType) and ObjectInfo.Metadata
+    carry-through (gcp/client.go:107-138; interfaces/provider.go:16). On a
+    local target the durable form is ``user.*`` xattrs (the same ones
+    ``listing.object_meta_local`` reads back, so list→copy→list round-trips);
+    best-effort — filesystems without xattr support keep the payload copy."""
+    from cloud_data_sync_spark.sources.listing import CONTENT_TYPE_XATTR
+
+    items = [(f"user.{k}", v) for k, v in metadata.items()]
+    if content_type:
+        items.append((CONTENT_TYPE_XATTR, content_type))
+    for name, val in items:
+        try:
+            os.setxattr(dst_path, name, str(val).encode("utf-8"))
+        except OSError:
+            return
 
 
 def _delete_one(dst_path: str) -> tuple[str, str | None]:
@@ -97,15 +129,23 @@ def execute_plan(plan: DataFrame, src_root: str, tgt_root: str, parallelism: int
                 now = datetime.now(timezone.utc).replace(tzinfo=None)
                 name = row.object_name
                 content_type = None
+                metadata: dict[str, str] = {}
                 if row.action == ACTION_COPY:
-                    status, err = _copy_one(
-                        os.path.join(src_local, name), os.path.join(tgt_local, name)
+                    dst = os.path.join(tgt_local, name)
+                    status, err = _copy_one(os.path.join(src_local, name), dst)
+                    # Content type: prefer the source catalog's (xattr/cloud
+                    # HEAD), fall back to extension sniffing — the reference
+                    # stores ContentType per object (database.go:144-157)
+                    # and re-uploads with it (gcp/client.go:107-138).
+                    ct_cell = getattr(row, "content_type", None)
+                    content_type = (
+                        ct_cell
+                        if isinstance(ct_cell, str) and ct_cell
+                        else mimetypes.guess_type(name)[0]
                     )
-                    # Reference stores ContentType per object
-                    # (database.go:144-157); for copied rows only, extension
-                    # sniffing is free and avoids the N+1 HEAD the reference
-                    # pays per listing.
-                    content_type = mimetypes.guess_type(name)[0]
+                    metadata = _as_meta_dict(getattr(row, "metadata", None))
+                    if status == STATUS_SUCCESS:
+                        _apply_object_meta(dst, content_type, metadata)
                 else:
                     status, err = _delete_one(os.path.join(tgt_local, name))
                 out.append(
@@ -119,6 +159,7 @@ def execute_plan(plan: DataFrame, src_root: str, tgt_root: str, parallelism: int
                         "last_modified": getattr(row, "last_modified", None),
                         "etag": getattr(row, "etag", None),
                         "content_type": content_type,
+                        "metadata": metadata,
                         "last_synced": now,
                     }
                 )
@@ -134,6 +175,7 @@ def execute_plan(plan: DataFrame, src_root: str, tgt_root: str, parallelism: int
                     "last_modified",
                     "etag",
                     "content_type",
+                    "metadata",
                     "last_synced",
                 ],
             )

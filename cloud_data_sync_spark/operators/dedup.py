@@ -181,7 +181,7 @@ def _win(h: Column, i: int) -> Column:
     return F.substring(h, i + 1, 16)
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, hashed_shingles: bool = False) -> DataFrame:
     """(doc_id, sh, sig): trigram shingles + 16-min MinHash signature.
 
     Entirely per-row (transform -> md5 -> array_min of 16 windows): ZERO
@@ -190,6 +190,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     Docs with <3 tokens (no shingles) are dropped, matching the oracle's
     unnest semantics. (An explode + 16-min groupBy variant measured ~2x
     slower end-to-end once the shuffle and re-scan costs are counted.)
+
+    ``hashed_shingles`` replaces ``sh`` with ``shh``: xxhash64 of each
+    shingle (array<long>). Downstream set overlap (|A∩B|, Jaccard,
+    containment) only needs counts, and distinct strings map to distinct
+    longs (64-bit collisions over a ~27k universe are ~1e-11 per corpus) —
+    so verification columns shuffle as 8-byte longs instead of ~20-byte
+    shingle strings, and array_intersect compares longs, not strings.
     """
     hs = _with_shingles(_spread(docs)).withColumn(
         "hs", F.transform("sh", F.md5)
@@ -200,10 +207,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         return F.array_min(F.transform(F.col("hs"), lambda h: _win(h, i)))
 
     sig = F.array(*[_min_of_window(i) for i in range(N_PERM)])
+    if hashed_shingles:
+        shh = F.transform("sh", lambda s: F.xxhash64(s))
+        return hs.select("doc_id", shh.alias("shh"), sig.alias("sig"))
     return hs.select("doc_id", "sh", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(sigd: DataFrame, carry_shingles: bool = False) -> DataFrame:
+def lsh_candidate_pairs(
+    sigd: DataFrame, carry_shingles: bool = False, shingle_col: str = "sh"
+) -> DataFrame:
     """Band the signature, bucket by (band, band-hash), expand pairs inside
     each bucket.
 
@@ -213,9 +225,11 @@ def lsh_candidate_pairs(sigd: DataFrame, carry_shingles: bool = False) -> DataFr
     bucket means near-identical docs, i.e. the pairs themselves are the
     answer, not avoidable work). ``carry_shingles`` additionally ships the
     shingle arrays through the same shuffle so exact verification costs no
-    extra pass over the corpus.
+    extra pass over the corpus; ``shingle_col`` picks which representation
+    rides along ("sh" strings, or "shh" xxhash64 longs — see
+    minhash_signatures(hashed_shingles=True)).
     """
-    payload = ["doc_id", "sig"] + (["sh"] if carry_shingles else [])
+    payload = ["doc_id", "sig"] + ([shingle_col] if carry_shingles else [])
     bands = F.array(
         *[
             F.struct(
@@ -244,7 +258,7 @@ def lsh_candidate_pairs(sigd: DataFrame, carry_shingles: bool = False) -> DataFr
     m = F.col("m")
     fields = [("doc_a", "doc_id"), ("doc_b", "doc_id"), ("sig_a", "sig"), ("sig_b", "sig")]
     if carry_shingles:
-        fields += [("sh_a", "sh"), ("sh_b", "sh")]
+        fields += [(f"{shingle_col}_a", shingle_col), (f"{shingle_col}_b", shingle_col)]
     pair_arr = F.flatten(
         F.transform(
             m,
@@ -377,11 +391,16 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
     ),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shingles ride the bucket shuffle as xxhash64 longs (shh): Jaccard only
+    # needs overlap counts, and longs shuffle/intersect ~3x cheaper than
+    # shingle strings (see minhash_signatures docstring for collision math)
     pairs = lsh_candidate_pairs(
-        minhash_signatures(augmented_documents(spark, sf_dir)), carry_shingles=True
+        minhash_signatures(augmented_documents(spark, sf_dir), hashed_shingles=True),
+        carry_shingles=True,
+        shingle_col="shh",
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    inter = F.size(F.array_intersect("shh_a", "shh_b")).cast("double")
+    union = F.size("shh_a") + F.size("shh_b") - F.size(F.array_intersect("shh_a", "shh_b"))
     return (
         pairs.select(
             "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"),
@@ -820,12 +839,17 @@ WHERE greatest(
     ),
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashed shingles (shh, xxhash64 longs) instead of strings through the
+    # bucket shuffle — containment needs only overlap/size counts, and this
+    # was the top bench wall at r3 (3.6s, dominated by shingle bytes)
     pairs = lsh_candidate_pairs(
-        minhash_signatures(augmented_documents(spark, sf_dir)), carry_shingles=True
+        minhash_signatures(augmented_documents(spark, sf_dir), hashed_shingles=True),
+        carry_shingles=True,
+        shingle_col="shh",
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    cont_a = inter / F.size("sh_a")
-    cont_b = inter / F.size("sh_b")
+    inter = F.size(F.array_intersect("shh_a", "shh_b")).cast("double")
+    cont_a = inter / F.size("shh_a")
+    cont_b = inter / F.size("shh_b")
     return (
         pairs.select(
             "doc_a",
@@ -849,7 +873,7 @@ _PF_T = 0.7  # shingle-Jaccard threshold for the prefix-filter join
 WITH {_AUG_SQL},
 tarr AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-  FROM aug WHERE doc_id % 2 = 0
+  FROM aug
 ),
 shl0 AS (
   SELECT doc_id, unnest(list_distinct(
@@ -905,47 +929,69 @@ WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
         "first. Candidates come from a SELF-EQUI-JOIN on the prefix "
         "shingle (ids only, sort-merge/spillable — a hot shingle costs "
         "disk, not heap); verification joins the full sorted shingle "
-        "arrays back onto the DISTINCT pair set only."
+        "arrays back onto the DISTINCT pair set only. FULL corpus (the r3 "
+        "even-half demo scope is lifted): shingles travel as xxhash64 "
+        "longs everywhere — join keys, frequency ranks, verification "
+        "arrays — which the oracle need not mirror, because the final "
+        "verified pair set is invariant to the prefix order's tie-break "
+        "(any consistent global order yields a candidate SUPERSET of the "
+        "true >= t pairs; verification prunes both to the same answer) "
+        "and Jaccard uses overlap counts, which hashing preserves."
     ),
 )
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Demo scope: the even half of the corpus (augmentation offsets are all
-    # even, so copies follow their base — the subset is dup-closed). The
-    # full-corpus exact join is the LSH pipeline's job; this query's point
-    # is the algorithm shape, and pair work scales quadratically.
-    docs = augmented_documents(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    docs = augmented_documents(spark, sf_dir)
     shl = (
         _with_shingles(_spread(docs))
         .select("doc_id", F.explode("sh").alias("sh"))
+        .select("doc_id", F.xxhash64("sh").alias("sh"))
     )
     dfreq = shl.groupBy("sh").agg(F.count("*").alias("df"))
+    # keep (df, sh) structs so the prefix stage can prune df=1 members:
+    # a globally-unique shingle can never match another doc's prefix, so
+    # shipping it into the self-join only inflates the exchange (the df=1
+    # tail is the bulk of a shingle universe even when the median df is ~9)
     sets = (
         shl.join(dfreq, "sh")
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "sh"))), lambda s: s["sh"]
-            ).alias("shs")
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df").cast("int").alias("df"), "sh"))
+            ).alias("shs_df")
         )
     )
-    plen = F.size("shs") - F.ceil(F.lit(_PF_T) * F.size("shs")).cast("int") + 1
-    pref = sets.select(
-        "doc_id",
-        F.size("shs").alias("n"),
-        F.explode(F.slice("shs", 1, plen)).alias("t"),
+    plen = F.size("shs_df") - F.ceil(F.lit(_PF_T) * F.size("shs_df")).cast("int") + 1
+    pref = (
+        sets.select(
+            "doc_id",
+            F.size("shs_df").alias("n"),
+            F.posexplode(F.slice("shs_df", 1, plen)).alias("pos", "s"),
+        )
+        .filter(F.col("s.df") >= 2)
+        .select("doc_id", "n", "pos", F.col("s.sh").alias("t"))
+    )
+    sets = sets.select(
+        "doc_id", F.transform("shs_df", lambda s: s["sh"]).alias("shs")
     )
     a, b = pref.alias("a"), pref.alias("b")
-    # length filter: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|) — prunes
-    # size-mismatched pairs before the (comparatively expensive) intersect
+    # two pre-verification prunes inside the join condition (PPJoin):
+    # - length filter: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|);
+    # - positional filter: matching at 0-based prefix positions (pa, pb)
+    #   caps the achievable overlap at min(na - pa, nb - pb), which must
+    #   reach ceil(t/(1+t) * (na+nb)) for J >= t — prunes pairs that only
+    #   share late-prefix shingles before they hit distinct + verification.
+    na, nb = F.col("a.n").cast("double"), F.col("b.n").cast("double")
+    overlap_needed = F.ceil(F.lit(_PF_T / (1.0 + _PF_T)) * (na + nb))
+    overlap_ubound = F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.n"), F.col("b.n")).cast("double")
-                >= F.lit(_PF_T) * F.greatest(F.col("a.n"), F.col("b.n"))
-            ),
+            & (F.least(na, nb) >= F.lit(_PF_T) * F.greatest(na, nb))
+            & (overlap_ubound >= overlap_needed),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

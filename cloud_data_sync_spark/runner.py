@@ -158,6 +158,7 @@ def sync_buckets(
         "last_modified",
         "etag",
         "content_type",
+        "metadata",
         "last_synced",
         F.col("status").alias("sync_status"),
     )

@@ -23,6 +23,7 @@ Catalog schema matches interfaces/provider.go:9-17 (ObjectInfo).
 
 from __future__ import annotations
 
+import os
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +105,36 @@ def path_exists(spark: SparkSession, uri: str) -> bool:
     return bool(path.getFileSystem(hconf).exists(path))
 
 
+CONTENT_TYPE_XATTR = "user.content-type"
+
+
+def object_meta_local(path: str) -> tuple[str | None, dict[str, str]]:
+    """(content_type, user-metadata) of a local object, from ``user.*``
+    filesystem xattrs — the local-FS analog of ObjectInfo.Metadata /
+    ContentType (interfaces/provider.go:14-16). ``user.content-type`` maps
+    to the content type; every other ``user.*`` attr becomes a metadata
+    entry (keys without the prefix, like cloud user-metadata keys).
+    Filesystems without xattr support yield (None, {})."""
+    try:
+        names = os.listxattr(path)
+    except OSError:
+        return None, {}
+    ct: str | None = None
+    md: dict[str, str] = {}
+    for nm in names:
+        if not nm.startswith("user."):
+            continue
+        try:
+            val = os.getxattr(path, nm).decode("utf-8", "replace")
+        except OSError:
+            continue
+        if nm == CONTENT_TYPE_XATTR:
+            ct = val
+        else:
+            md[nm[len("user.") :]] = val
+    return ct, md
+
+
 def list_objects(
     spark: SparkSession, root_uri: str, mapping_id: str = ""
 ) -> DataFrame:
@@ -111,7 +142,10 @@ def list_objects(
 
     Driver-side Hadoop FileSystem remote-iterator (streams entries; no
     payload reads — GetObject's N+1 HeadObject anti-pattern in
-    aws/client.go:95-116 has no analog here)."""
+    aws/client.go:95-116 has no analog here). For local (file:) roots the
+    per-object content type + user metadata come from xattrs (see
+    ``object_meta_local``); cloud-SDK listers surface the provider's
+    object metadata through the same two columns."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hconf = jsc.hadoopConfiguration()
@@ -119,12 +153,15 @@ def list_objects(
     fs = path.getFileSystem(hconf)
     rows = []
     if fs.exists(path):
+        scheme = path.toUri().getScheme()
+        is_local = scheme in (None, "file")
         it = fs.listFiles(path, True)
         root = path.toUri().getPath().rstrip("/")
         while it.hasNext():
             st = it.next()
             p = st.getPath().toUri().getPath()
             name = p[len(root) + 1 :] if p.startswith(root + "/") else p
+            ct, md = object_meta_local(p) if is_local else (None, {})
             rows.append(
                 (
                     mapping_id,
@@ -133,13 +170,15 @@ def list_objects(
                     st.getLen(),
                     st.getModificationTime(),  # epoch millis
                     f"{st.getLen()}-{st.getModificationTime()}",  # etag proxy
-                    None,
+                    ct,
+                    md,
                 )
             )
     df = spark.createDataFrame(
         rows,
         "mapping_id string, object_name string, bucket string, size long, "
-        "mtime_ms long, etag string, content_type string",
+        "mtime_ms long, etag string, content_type string, "
+        "metadata map<string,string>",
     )
     return df.select(
         "mapping_id",
@@ -149,7 +188,7 @@ def list_objects(
         F.timestamp_millis(F.col("mtime_ms")).alias("last_modified"),
         "etag",
         "content_type",
-        F.create_map().cast("map<string,string>").alias("metadata"),
+        "metadata",
     )
 
 

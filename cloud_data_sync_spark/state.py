@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -37,6 +38,10 @@ STATE_SCHEMA = StructType(
         StructField("last_modified", TimestampType(), True),
         StructField("etag", StringType(), True),
         StructField("content_type", StringType(), True),
+        # ObjectInfo.Metadata carried through the copy (interfaces/
+        # provider.go:16) — recorded per state row so a re-listing of the
+        # target can be reconciled against what was uploaded.
+        StructField("metadata", MapType(StringType(), StringType()), True),
         StructField("last_synced", TimestampType(), True),
         StructField("sync_status", StringType(), True),
     ]
@@ -49,7 +54,9 @@ KEYS = ["mapping_id", "object_name"]
 # additive evolution; the marker catches everything else — a state table
 # written by an incompatible engine version fails loudly instead of being
 # silently misread. Underscore-prefixed, so Spark's parquet reader ignores it.
-STATE_VERSION = 1
+# v2: added the per-object `metadata` map (user metadata carried through the
+# copy path); v1 tables fail the gate and re-sync from scratch or migrate.
+STATE_VERSION = 2
 _VERSION_FILE = "_state_version.json"
 
 

@@ -72,6 +72,12 @@ def sync_diff(src: DataFrame, tgt: DataFrame, state: DataFrame) -> DataFrame:
         .when(F.col("st_sync_status") != F.lit(STATUS_SUCCESS), F.lit("status_retry"))
         .otherwise(F.lit("unchanged"))
     )
+    # Object metadata rides the plan when the catalogs carry it (real
+    # listings do; the synthetic oracle catalogs don't) — the copy stage
+    # re-applies content_type + user metadata on the uploaded object, the
+    # reference's UploadObject(..., contentType) + ObjectInfo.Metadata
+    # contract (gcp/client.go:107-138; interfaces/provider.go:16).
+    carried = [c for c in ("content_type", "metadata") if c in src.columns]
     upserts = (
         src.join(st, on=keys, how="left")
         .withColumn("reason", reason)
@@ -84,6 +90,7 @@ def sync_diff(src: DataFrame, tgt: DataFrame, state: DataFrame) -> DataFrame:
             "size",
             "etag",
             "last_modified",
+            *carried,
         )
     )
     deletes = tgt.join(src, on=keys, how="left_anti").select(
@@ -93,8 +100,9 @@ def sync_diff(src: DataFrame, tgt: DataFrame, state: DataFrame) -> DataFrame:
         "size",
         "etag",
         "last_modified",
+        *[c for c in carried if c in tgt.columns],
     )
-    return upserts.unionByName(deletes)
+    return upserts.unionByName(deletes, allowMissingColumns=True)
 
 
 def sync_counts(plan: DataFrame) -> DataFrame:

@@ -87,6 +87,29 @@ def load_tables(
 _SPREAD_CACHE: dict[tuple[int, tuple[str, ...]], int] = {}
 
 
+_BYTE_SUFFIX = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(s: str, default: int) -> int:
+    """Spark size confs round-trip with a unit suffix ('128m', '4194304b');
+    parse both forms. Unparseable -> default (conservative, never raises in
+    a query-build path)."""
+    s = (s or "").strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:]
+    if not num:
+        return default
+    try:
+        return int(num) * _BYTE_SUFFIX.get(suffix, 1)
+    except ValueError:
+        return default
+
+
 def _estimated_scan_splits(df: DataFrame) -> int:
     """Estimate how many file splits Spark's scan will produce, using the
     same packing rule as ``FilePartition.maxSplitBytes`` — without forcing
@@ -115,8 +138,12 @@ def _estimated_scan_splits(df: DataFrame) -> int:
             total += os.path.getsize(p)
         except OSError:
             pass
-    open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
-    max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304"), 4 << 20
+    )
+    max_part = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)), 128 << 20
+    )
     cores = spark.sparkContext.defaultParallelism
     bytes_per_core = (total + open_cost * len(local)) / max(cores, 1)
     max_split = min(max_part, max(open_cost, int(bytes_per_core)))

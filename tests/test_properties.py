@@ -45,6 +45,7 @@ def _state_rows(names: list[str], seed: int) -> list[tuple]:
             BASE_TS + timedelta(minutes=(seed + i) % 4),
             f"etag{(seed + i + 1) % 3}",
             "text/plain",
+            {"owner": f"o{(seed + i) % 3}"},
             BASE_TS + timedelta(hours=1),
             ["success", "failed_get"][(seed + i) % 2],
         )
@@ -84,15 +85,21 @@ def test_upsert_idempotent_and_key_unique(spark, a_names, b_names, seed):
     keys = [(r.mapping_id, r.object_name) for r in rows]
     assert len(keys) == len(set(keys))
     assert {k[1] for k in keys} == set(a_names) | set(b_names)
+    def canon(r):
+        # map cells collect as dicts (unhashable) — freeze for set compare
+        return tuple(
+            tuple(sorted(v.items())) if isinstance(v, dict) else v for v in r
+        )
+
     # applying the same updates again changes nothing (idempotency)
-    again = {tuple(r) for r in upsert(merged, updates).collect()}
-    assert again == {tuple(r) for r in rows}
+    again = {canon(r) for r in upsert(merged, updates).collect()}
+    assert again == {canon(r) for r in rows}
     # an update never loses to an equal-or-older existing row
     upd = {(r.mapping_id, r.object_name): r for r in updates.collect()}
     for r in rows:
         k = (r.mapping_id, r.object_name)
         if k in upd and upd[k].last_synced >= (r.last_synced or upd[k].last_synced):
-            assert tuple(r) == tuple(upd[k])
+            assert canon(r) == canon(upd[k])
 
 
 # -- round-3 operator algebra -------------------------------------------------

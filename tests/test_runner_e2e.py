@@ -249,3 +249,41 @@ def test_binaryfile_listing_strips_regex_metachar_roots(spark, tmp_path):
         for r in list_objects_binaryfile(spark, f"file://{root}", "m").collect()
     }
     assert rows == {"obj.bin", "sub/deep.bin"}
+
+
+def test_metadata_and_content_type_survive_copy(spark, env):
+    """The reference carries ObjectInfo.Metadata + ContentType onto the
+    uploaded object (interfaces/provider.go:16; gcp/client.go:107-138).
+    Local analog: user.* xattrs. Assert list -> plan -> copy -> re-list
+    round-trips them, and the state row records both."""
+    cfg, src, tgt, state_path = env
+    import os as _os
+
+    try:
+        _os.setxattr(src / "a.txt", "user.content-type", b"text/x-custom")
+        _os.setxattr(src / "a.txt", "user.cache-control", b"max-age=60")
+    except OSError:
+        pytest.skip("filesystem has no user-xattr support")
+
+    from cloud_data_sync_spark.sources.listing import list_objects, object_meta_local
+
+    listed = {
+        r["object_name"]: r
+        for r in list_objects(spark, str(src), "m").collect()
+    }
+    assert listed["a.txt"]["content_type"] == "text/x-custom"
+    assert listed["a.txt"]["metadata"] == {"cache-control": "max-age=60"}
+
+    sync_all(spark, cfg, state_path)
+
+    # target object carries the metadata (re-listable, durable)
+    ct, md = object_meta_local(str(tgt / "a.txt"))
+    assert ct == "text/x-custom"
+    assert md == {"cache-control": "max-age=60"}
+    # state row records what was uploaded
+    st = {r["object_name"]: r for r in state_mod.load_state(spark, state_path).collect()}
+    assert st["a.txt"]["content_type"] == "text/x-custom"
+    assert st["a.txt"]["metadata"] == {"cache-control": "max-age=60"}
+    # object without explicit metadata falls back to extension sniffing
+    assert st["nested/b.txt"]["content_type"] == "text/plain"
+    assert st["nested/b.txt"]["metadata"] in ({}, None)

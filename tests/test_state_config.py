@@ -24,7 +24,7 @@ T2 = datetime(2024, 1, 2)
 def _state(spark, rows):
     return spark.createDataFrame(
         [
-            ("m1", name, 1, T1, etag, None, synced, status)
+            ("m1", name, 1, T1, etag, None, {}, synced, status)
             for name, etag, synced, status in rows
         ],
         state_mod.STATE_SCHEMA,
