@@ -434,7 +434,10 @@ def _cc_local(sym: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in sym.select("a", "b").toLocalIterator():
+    # one collect, not toLocalIterator: the ≤2M-edge guard bounds this at
+    # ~32 MB on the driver, and toLocalIterator's sequential per-partition
+    # fetches cost a scheduling round-trip each (measured ~1s at sf0.1)
+    for a, b in sym.select("a", "b").collect():
         if a not in parent:
             parent[a] = a
         if b not in parent:
