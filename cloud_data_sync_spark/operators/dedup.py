@@ -1024,10 +1024,27 @@ def exact_jaccard_pairs(
     )
 
 
+# Audit corpus for the estimator/recall audits: the doc_id % 4 == 0
+# quarter. Dup-closed by construction — every augmentation offset
+# (1M/2M/3M) is divisible by 4, so a sampled base doc's copies are sampled
+# with it and within-sample recall/error are well-defined. Audits SAMPLE
+# (they estimate statistics); the dedup operators themselves stay
+# full-corpus (q_dedup_prefix_filter, q_dedup_minhash, ...).
+_AUG4_SQL = (
+    _AUG_SQL.replace("aug AS (", "aug_all AS (", 1)
+    + ",\naug AS (SELECT * FROM aug_all WHERE doc_id % 4 = 0)"
+)
+
+
+def _audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _AUG4_SQL's sampled corpus."""
+    return augmented_documents(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+
+
 @register(
     "q_dedup_minhash_calibration",
     oracle=f"""
-WITH {_AUG_SQL},
+WITH {_AUG4_SQL},
 {_ORACLE_SIG_CTES},
 perpair AS (
   SELECT c.doc_a, c.doc_b,
@@ -1052,14 +1069,17 @@ FROM perpair
         "max_abs_err). The companion audit to q_dedup_lsh_recall — recall "
         "says what the bands MISS, this says how far the 16-perm estimate "
         "drifts on what they CATCH (expected stderr ~ sqrt(J(1-J)/16) ~ "
-        "0.12 at J=0.5). Costs one pipeline: signatures AND hashed "
-        "shingle sets ride the same single bucket shuffle, so est and "
-        "exact are computed side-by-side with zero extra joins."
+        "0.12 at J=0.5). Runs on the dup-closed doc_id %% 4 audit "
+        "sample (_AUG4_SQL): error statistics estimate fine from a "
+        "sample, and audits must not dominate the bench. Costs one "
+        "pipeline: signatures AND hashed shingle sets ride the same "
+        "single bucket shuffle, so est and exact are computed "
+        "side-by-side with zero extra joins."
     ),
 )
 def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(
-        minhash_signatures(augmented_documents(spark, sf_dir), hashed_shingles=True),
+        minhash_signatures(_audit_docs(spark, sf_dir), hashed_shingles=True),
         carry_shingles=True,
         shingle_col="shh",
     )
@@ -1079,18 +1099,6 @@ def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(err), 4).alias("mean_abs_err"),
         F.round(F.max(err), 4).alias("max_abs_err"),
     )
-
-
-# Recall audit corpus: the doc_id % 4 == 0 quarter. Dup-closed by
-# construction — every augmentation offset (1M/2M/3M) is divisible by 4, so
-# a sampled base doc's copies are sampled with it and within-sample recall
-# is well-defined. Sampling the audit (not the dedup itself) keeps the
-# ground-truth join from dominating the bench; the full-corpus exact join
-# remains q_dedup_prefix_filter.
-_AUG4_SQL = (
-    _AUG_SQL.replace("aug AS (", "aug_all AS (", 1)
-    + ",\naug AS (SELECT * FROM aug_all WHERE doc_id % 4 = 0)"
-)
 
 
 @register(
@@ -1162,7 +1170,7 @@ LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
     ),
 )
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = augmented_documents(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    docs = _audit_docs(spark, sf_dir)
     truth = exact_jaccard_pairs(spark, sf_dir, _PF_T, docs=docs).select(
         "doc_a", "doc_b"
     )
