@@ -272,3 +272,59 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "q_data_mixture",
+    oracle="""
+WITH grp AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT sum(n_docs) AS total_docs, count(*) AS n_groups FROM grp)
+SELECT g.source, g.lang, g.n_docs, g.n_chars,
+       round(CAST(g.n_docs AS DOUBLE) / t.total_docs, 6) AS actual_share,
+       round(1.0 / t.n_groups, 6) AS target_share,
+       round(least((1.0 / t.n_groups) /
+                   (CAST(g.n_docs AS DOUBLE) / t.total_docs), 1.0), 6)
+         AS sample_rate,
+       CAST(floor(least((1.0 / t.n_groups) /
+                        (CAST(g.n_docs AS DOUBLE) / t.total_docs), 1.0)
+                  * g.n_docs) AS BIGINT) AS expected_docs
+FROM grp g CROSS JOIN tot t
+""",
+    doc=(
+        "Training-mixture reweighting: per-(source, lang) corpus shares "
+        "vs a uniform target mixture, emitting the per-group downsampling "
+        "rate (capped at 1 — no upsampling) and expected post-sample doc "
+        "counts. The knob every pretraining data recipe turns before "
+        "sharding; compose with q_sample_hash's deterministic hash "
+        "sampling to materialize the mixture. ONE corpus-wide hash agg; "
+        "the group totals are a single broadcast-sized row joined back "
+        "map-side (the scalar cross join is a 1-row pack, whitelisted "
+        "like the other scalar packs)."
+    ),
+)
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grp = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = grp.agg(
+        F.sum("n_docs").alias("total_docs"), F.count("*").alias("n_groups")
+    )
+    actual = F.col("n_docs").cast("double") / F.col("total_docs")
+    target = F.lit(1.0) / F.col("n_groups")
+    rate = F.least(target / actual, F.lit(1.0))
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("n_docs")).cast("long").alias("expected_docs"),
+    )

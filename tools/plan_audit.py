@@ -45,7 +45,10 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   bloom-passed / true matches) with 1×1 cross joins.
 # - q_fuzzy_match: the probe set is 4 literal rows broadcast against the
 #   corpus scan; the edit-distance predicate is inherently non-equi.
+# - q_data_mixture: the (total_docs, n_groups) scalar is ONE row
+#   cross-joined back into the per-group share/rate projection.
 BNLJ_ALLOWED = {
+    "q_data_mixture",
     "q_fuzzy_match",
     "q_sim_topk",
     "q_sim_ivf",
