@@ -482,15 +482,15 @@ def connected_components(
     """
     # materialize the edge list ONCE — it is re-joined every round, and
     # leaving it lazy would re-execute the (expensive) upstream plan that
-    # produced the edges on every iteration
-    sym = (
-        edges.selectExpr("a", "b")
-        .union(edges.selectExpr("b AS a", "a AS b"))
-        .localCheckpoint(eager=True)
-    )
+    # produced the edges on every iteration. Checkpoint the HALF-size
+    # directed list; union-find treats an edge as symmetric already, so
+    # only the propagation path pays for the symmetrized union (lazily,
+    # over the checkpointed rows).
+    ed = edges.selectExpr("a", "b").localCheckpoint(eager=True)
 
-    if sym.count() <= local_max_edges:
-        return _cc_local(sym)
+    if ed.count() * 2 <= local_max_edges:
+        return _cc_local(ed)
+    sym = ed.union(ed.selectExpr("b AS a", "a AS b"))
     labels = (
         sym.select(F.col("a").alias("v"))
         .distinct()
