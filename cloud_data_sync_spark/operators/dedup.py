@@ -961,19 +961,19 @@ def exact_jaccard_pairs(
         .select("doc_id", F.explode("sh").alias("sh"))
         .select("doc_id", F.xxhash64("sh").alias("sh"))
     )
-    dfreq = shl.groupBy("sh").agg(F.count("*").alias("df"))
-    # keep (df, sh) structs so the prefix stage can prune df=1 members:
+    # global document frequency via a window over the shingle partition:
+    # ONE exchange (by sh) replaces the groupBy-then-join-back shape's two
+    # exchanges + join (measured -1 stage at every scale; same 100 TB
+    # story — df attachment is a co-partitioned computation either way).
+    # Keep (df, sh) structs so the prefix stage can prune df=1 members:
     # a globally-unique shingle can never match another doc's prefix, so
     # shipping it into the self-join only inflates the exchange (the df=1
     # tail is the bulk of a shingle universe even when the median df is ~9)
-    sets = (
-        shl.join(dfreq, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df").cast("int").alias("df"), "sh"))
-            ).alias("shs_df")
-        )
+    with_df = shl.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh")).cast("int")
+    )
+    sets = with_df.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("shs_df")
     )
     plen = F.size("shs_df") - F.ceil(F.lit(t) * F.size("shs_df")).cast("int") + 1
     pref = (
