@@ -290,17 +290,23 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % _CMS_W
     )
-    inc = toks.select("term", i_col).select("term", "i", bucket.alias("bucket"))
-    sketch = inc.groupBy("i", "bucket").agg(F.count("*").alias("c"))
-    probes = toks.distinct().select("term", i_col)
-    probe_cells = probes.select("term", "i", bucket.alias("bucket"))
+    # ONE corpus pass: the per-term exact counts are the only corpus-wide
+    # aggregation, and sketch cells / probes / verification all derive from
+    # that (term, n) table — incrementing a CMS cell once per occurrence or
+    # once per term weighted by its count is the same sum. (The previous
+    # shape tokenized the corpus three times and shuffled the ×d exploded
+    # increment stream; this one shuffles tokens once, then d×W partials.)
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_n"))
+    cells = exact.select("term", "exact_n", i_col).select(
+        "term", "exact_n", "i", bucket.alias("bucket")
+    )
+    sketch = cells.groupBy("i", "bucket").agg(F.sum("exact_n").alias("c"))
     est = (
-        probe_cells.join(F.broadcast(sketch), ["i", "bucket"])
-        .groupBy("term")
+        cells.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("term", "exact_n")
         .agg(F.min("c").alias("cms_est"))
     )
-    exact = toks.groupBy("term").agg(F.count("*").alias("exact_n"))
-    return est.join(exact, "term").select(
+    return est.select(
         "term",
         "exact_n",
         "cms_est",
