@@ -398,15 +398,31 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", bit_of(F.col("c_custkey")).alias("bit"))
         .distinct()
     )
-    probe = orders.select("o_orderkey", "o_custkey", i_col).select(
-        "o_orderkey", "o_custkey", "i", bit_of(F.col("o_custkey")).alias("bit")
-    )
-    passed = (
-        probe.join(F.broadcast(bits), ["i", "bit"])
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(F.count("*").alias("hits"))
-        .filter(F.col("hits") == _BLOOM_D)
-    )
+    # the Bloom probe is an AND of d membership tests — expressed as d
+    # chained broadcast LEFT SEMI joins, each a map-side hash probe against
+    # that hash-row's (tiny) bit set. Zero shuffles: the previous shape
+    # exploded the fact ×d and paid a corpus-wide groupBy to re-AND the
+    # hits; this one never widens or exchanges the fact stream.
+    def bit_of_i(i: int, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    passed = orders
+    for i in range(_BLOOM_D):
+        bits_i = bits.filter(F.col("i") == i).select("bit")
+        passed = passed.join(
+            F.broadcast(bits_i),
+            bit_of_i(i, F.col("o_custkey")) == F.col("bit"),
+            "left_semi",
+        )
     true_match = orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")
     n_orders = orders.agg(F.count("*").alias("n_orders"))
     n_passed = passed.agg(F.count("*").alias("n_passed"))
