@@ -628,3 +628,46 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w_norm), 6).alias("p"),
     )
+
+
+@register(
+    "q_tpch_custdist",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+    doc=(
+        "TPC-H Q13 shape: order-count-per-customer distribution, keeping "
+        "zero-order customers via the left join (the filter lives in the "
+        "join condition, NOT a WHERE — a WHERE would silently drop them). "
+        "The per-customer aggregate runs on the join's own custkey "
+        "partitioning (exchange reuse: join and groupBy share the key, "
+        "ONE fact shuffle), and the distribution aggregate shuffles only "
+        "|distinct counts| rows. Reference analog: the run-report "
+        "histogram family (per-mapping counters, sync.go:166-170) "
+        "generalized to a full distribution."
+    ),
+)
+def q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        customer.join(
+            orders,
+            (orders.o_custkey == customer.c_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
