@@ -671,3 +671,58 @@ def q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q_tpch_dormant",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+CROSS JOIN avg_bal
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+""",
+    doc=(
+        "TPC-H Q22 shape: customers with above-average positive balance "
+        "and no urgent orders, rolled up per nation (this corpus's orders "
+        "cover every custkey, so plain no-orders would be vacuously "
+        "empty — the urgent-subset anti keeps Q22's exact plan shape "
+        "with a non-degenerate answer). The global average is a ONE-row "
+        "scalar pack (broadcast cross join — the declarative alternative "
+        "to collecting the scalar into a literal); the membership test "
+        "is a left-anti join (the delete-phase shape, sync.go:212-214); "
+        "nation broadcasts. One fact-side shuffle (the anti join on "
+        "custkey); the rollup is 25 groups."
+    ),
+)
+def q_tpch_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

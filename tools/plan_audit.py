@@ -47,8 +47,11 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   corpus scan; the edit-distance predicate is inherently non-equi.
 # - q_data_mixture: the (total_docs, n_groups) scalar is ONE row
 #   cross-joined back into the per-group share/rate projection.
+# - q_tpch_dormant: the global-average balance is ONE broadcast row
+#   cross-joined into the filter (Q22's scalar subquery shape).
 BNLJ_ALLOWED = {
     "q_data_mixture",
+    "q_tpch_dormant",
     "q_fuzzy_match",
     "q_sim_topk",
     "q_sim_ivf",
