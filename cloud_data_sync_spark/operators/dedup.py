@@ -867,6 +867,54 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "q_semdedup",
+    oracle=f"""
+WITH pairs AS ({_embedding_oracle()}),
+dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pairs)
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS drop_frac
+FROM embeddings e
+LEFT JOIN dropped d ON d.vec_id = e.vec_id
+GROUP BY e.label
+""",
+    doc=(
+        "SemDeDup-style semantic dedup keep-policy over the embedding "
+        "near-dup graph: a vector is DROPPED when some lower-id vector in "
+        "its (label, LSH-band) block sits within the cosine threshold — "
+        "the deterministic id-order greedy rule; the kept set contains at "
+        "least one representative of every near-dup group (the minimum id "
+        "of a group has no lower-id neighbor, so it always survives). "
+        "Reported per label as keep/drop counts — the observability view "
+        "a curation pipeline checks before committing a semantic dedup "
+        "pass. Costs the pair pipeline (audited: pair keys shuffle ~16 B/"
+        "row, vectors attach post-dedup) plus an ids-only distinct + "
+        "broadcast-capable left join + hash agg."
+    ),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_embedding(spark, sf_dir)
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
+        "drp", F.lit(1)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    flagged = emb.join(dropped, "vec_id", "left")
+    is_drop = F.coalesce("drp", F.lit(0))
+    return flagged.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(is_drop).cast("long").alias("n_dropped"),
+        (F.count("*") - F.sum(is_drop)).cast("long").alias("n_kept"),
+        F.round(F.sum(is_drop).cast("double") / F.count("*"), 6).alias("drop_frac"),
+    )
+
+
 _PF_T = 0.7  # shingle-Jaccard threshold for the prefix-filter join
 
 
