@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         similarity,
         text,
+        tpch,
     )
     from cloud_data_sync_spark.streaming import enrich, stateful, windows  # noqa: F401
 

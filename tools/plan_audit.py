@@ -49,9 +49,12 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   cross-joined back into the per-group share/rate projection.
 # - q_tpch_dormant: the global-average balance is ONE broadcast row
 #   cross-joined into the filter (Q22's scalar subquery shape).
+# - q_tpch_topsupplier: the max-revenue scalar is ONE broadcast row
+#   cross-joined into the tie-keeping filter (Q15's scalar subquery shape).
 BNLJ_ALLOWED = {
     "q_data_mixture",
     "q_tpch_dormant",
+    "q_tpch_topsupplier",
     "q_fuzzy_match",
     "q_sim_topk",
     "q_sim_ivf",
