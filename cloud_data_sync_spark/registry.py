@@ -57,6 +57,6 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         tpch,
     )
-    from cloud_data_sync_spark.streaming import enrich, stateful, windows  # noqa: F401
+    from cloud_data_sync_spark.streaming import enrich, stateful, tws, windows  # noqa: F401
 
     return dict(_REGISTRY)

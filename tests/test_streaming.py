@@ -202,3 +202,59 @@ def test_stream_enrich_is_streaming_and_matches_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+class _FakeMapState:
+    """Dict-backed stand-in for pyspark's MapState (tuple keys/values)."""
+
+    def __init__(self):
+        self.d = {}
+
+    def getValue(self, key):
+        return self.d.get(key)
+
+    def updateValue(self, key, value):
+        self.d[key] = value
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.map_state = _FakeMapState()
+
+    def getMapState(self, name, user_key_schema, value_schema, ttlDurationMs=None):
+        return self.map_state
+
+
+def test_tws_processor_accumulates_across_batches():
+    """PerTypeTotals is pure pandas logic — verify MapState accumulation
+    without the (protobuf-gated) state server."""
+    import pandas as pd
+
+    from cloud_data_sync_spark.streaming.tws import PerTypeTotals
+
+    p = PerTypeTotals()
+    p.init(_FakeHandle())
+    b1 = pd.DataFrame({"event_type": ["a", "a", "b"], "value": [1.0, 2.0, 3.0]})
+    (out1,) = list(p.handleInputRows((7,), iter([b1]), None))
+    got1 = {
+        r.event_type: (r.n_events, r.total_value) for r in out1.itertuples()
+    }
+    assert got1 == {"a": (2, 3.0), "b": (1, 3.0)}
+    # second micro-batch accumulates onto existing sub-keys, adds a new one
+    b2 = pd.DataFrame({"event_type": ["a", "c"], "value": [4.0, 5.0]})
+    (out2,) = list(p.handleInputRows((7,), iter([b2]), None))
+    got2 = {
+        r.event_type: (r.n_events, r.total_value) for r in out2.itertuples()
+    }
+    assert got2 == {"a": (3, 7.0), "c": (1, 5.0)}
+    # untouched sub-key 'b' is not re-emitted but stays in state
+    assert p._per_type.getValue(("b",)) == (1, 3.0)
+    # empty batch emits nothing
+    assert list(p.handleInputRows((7,), iter([pd.DataFrame({"event_type": [], "value": []})]), None)) == []
+
+
+def test_tws_registration_matches_environment_gate():
+    from cloud_data_sync_spark.registry import all_queries
+    from cloud_data_sync_spark.streaming import tws
+
+    assert ("q_stream_map_state" in all_queries()) == tws.tws_supported()
