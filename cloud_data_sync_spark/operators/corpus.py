@@ -328,3 +328,107 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("sample_rate"),
         F.floor(rate * F.col("n_docs")).cast("long").alias("expected_docs"),
     )
+
+
+_TEMP = 0.5  # sampling temperature exponent (T=1 natural, T=0 uniform)
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+WITH grp AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT sum(n_docs) AS total_docs,
+         sum(pow(CAST(n_docs AS DOUBLE), {_TEMP})) AS z
+  FROM grp
+)
+SELECT g.lang, g.n_docs,
+       round(CAST(g.n_docs AS DOUBLE) / t.total_docs, 6) AS natural_share,
+       round(pow(CAST(g.n_docs AS DOUBLE), {_TEMP}) / t.z, 6) AS temp_share,
+       round((pow(CAST(g.n_docs AS DOUBLE), {_TEMP}) / t.z)
+             / (CAST(g.n_docs AS DOUBLE) / t.total_docs), 6) AS boost
+FROM grp g CROSS JOIN tot t
+""",
+    doc=(
+        "Temperature-scaled language mixture (the multilingual-pretraining "
+        "sampling formula): p_l ∝ n_l^T with T=0.5, flattening the "
+        "head-language dominance while keeping rank order — boost > 1 "
+        "means the language is upsampled relative to its natural share. "
+        "Complements q_data_mixture's capped-uniform target with the "
+        "power-law form every multilingual recipe actually uses. ONE "
+        "corpus hash agg; the (total, normalizer) scalar is a 1-row "
+        "broadcast pack joined back map-side (whitelisted scalar cross "
+        "join, like q_data_mixture)."
+    ),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grp = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    powed = F.pow(F.col("n_docs").cast("double"), F.lit(_TEMP))
+    tot = grp.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum(powed).alias("z")
+    )
+    natural = F.col("n_docs").cast("double") / F.col("total_docs")
+    temp = powed / F.col("z")
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(natural, 6).alias("natural_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / natural, 6).alias("boost"),
+    )
+
+
+@register(
+    "q_ngram_dup_mass",
+    oracle=f"""
+WITH {{aug}},
+tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM aug
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[g.i:g.i + {_NGRAM - 1}], ' ')) AS h
+  FROM tok, LATERAL unnest(generate_series(1, len(t) - {_NGRAM - 1})) AS g(i)
+  WHERE len(t) >= {_NGRAM}
+),
+per AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY h)
+SELECT CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       CAST(sum(df) AS BIGINT) AS total_incidences,
+       CAST(sum(CASE WHEN df > 1 THEN df ELSE 0 END) AS BIGINT) AS dup_incidences,
+       round(sum(CASE WHEN df > 1 THEN df ELSE 0 END)
+             / CAST(sum(df) AS DOUBLE), 6) AS dup_mass
+FROM per
+""".replace("{aug}", _AUG_SQL),
+    doc=(
+        "Corpus duplication-mass report: the fraction of (doc, word-8-gram) "
+        "incidences whose gram occurs in more than one document — the "
+        "single number dataset cards report as 'duplication rate', and the "
+        "health metric that decides whether a dedup pass is worth its "
+        "cost. Same shingle construction as q_decontaminate "
+        "(corpus.py:_shingle8). Shuffle carries md5 gram keys, never "
+        "text; the per-gram document-frequency agg combines map-side and "
+        "the final fold is ONE row. Uniform hash keys → skew-free "
+        "co-partition at any corpus size."
+    ),
+)
+def q_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = augmented_documents(spark, sf_dir).select(
+        "doc_id", F.explode(_shingle8(low_toks())).alias("h")
+    )
+    per = sh.groupBy("h").agg(F.count("*").alias("df"))
+    dup_df = F.when(F.col("df") > 1, F.col("df")).otherwise(F.lit(0))
+    return per.agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup_grams"),
+        F.sum("df").alias("total_incidences"),
+        F.sum(dup_df).alias("dup_incidences"),
+        F.round(
+            F.sum(dup_df).cast("double") / F.sum("df").cast("double"), 6
+        ).alias("dup_mass"),
+    )

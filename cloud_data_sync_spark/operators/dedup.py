@@ -1310,3 +1310,66 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+# -- incremental dedup (crawl batch vs historical index) ---------------------
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH {_AUG_SQL},
+idx AS (SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents),
+batch AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h FROM aug WHERE doc_id >= 1000000
+),
+marked AS (
+  SELECT b.doc_id, (i.h IS NOT NULL) AS in_index,
+         CAST(min(b.doc_id) OVER (PARTITION BY b.h) AS BIGINT) AS first_in_batch
+  FROM batch b LEFT JOIN idx i ON b.h = i.h
+)
+SELECT doc_id,
+       CASE WHEN in_index THEN 'dup_index'
+            WHEN doc_id > first_in_batch THEN 'dup_batch'
+            ELSE 'novel' END AS status
+FROM marked
+""",
+    doc=(
+        "Incremental dedup: a new crawl batch (the augmented copy rows, "
+        "doc_id >= 1M) checked against the historical corpus index (base "
+        "documents' content hashes) AND against itself. Every production "
+        "pipeline runs this shape per crawl: the index is hashes-only "
+        "(16 B/doc — never text), the probe is a hash equi-join, and the "
+        "within-batch tiebreak (min doc_id per hash) runs as a window on "
+        "the SAME hash key the probe joined on, so batch rows shuffle "
+        "once. At 100 TB the index side is itself huge — the join keys "
+        "are uniform md5s, so the hash co-partition is skew-free by "
+        "construction; here the index is broadcast-sized. Statuses: "
+        "dup_index (seen in a prior crawl), dup_batch (non-first copy "
+        "within this crawl), novel."
+    ),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    content_hash = F.md5(F.lower(F.trim(F.col("text"))))
+    idx = (
+        load_table(spark, sf_dir, "documents")
+        .select(content_hash.alias("h"))
+        .distinct()
+        .withColumn("in_index", F.lit(True))
+    )
+    batch = (
+        augmented_documents(spark, sf_dir)
+        .filter(F.col("doc_id") >= 1000000)
+        .select("doc_id", content_hash.alias("h"))
+    )
+    w = Window.partitionBy("h")
+    return (
+        batch.join(F.broadcast(idx), "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_index"), F.lit("dup_index"))
+            .when(F.col("doc_id") > F.min("doc_id").over(w), F.lit("dup_batch"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )

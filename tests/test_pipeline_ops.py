@@ -1,0 +1,50 @@
+"""Semantic tests for the incremental-dedup / mixture-temperature /
+duplication-mass operators (round-4 additions)."""
+
+from __future__ import annotations
+
+import math
+
+from cloud_data_sync_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_dedup_statuses(spark):
+    rows = all_queries()["q_dedup_incremental"].fn(spark, SF).collect()
+    assert rows
+    by_status: dict[str, int] = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + 1
+        assert r.doc_id >= 1000000
+    assert set(by_status) <= {"novel", "dup_index", "dup_batch"}
+    # exact copies (+2M, every 7th base doc) hash-match the index verbatim
+    exact = [r for r in rows if 2000000 <= r.doc_id < 3000000]
+    assert exact and all(r.status == "dup_index" for r in exact)
+    # near copies (+1M) append tokens, so they can never match the index
+    near = [r for r in rows if 1000000 <= r.doc_id < 2000000]
+    assert near and all(r.status != "dup_index" for r in near)
+
+
+def test_mixture_temperature_shares_and_boosts(spark):
+    rows = all_queries()["q_mixture_temperature"].fn(spark, SF).collect()
+    assert rows
+    assert math.isclose(sum(r.temp_share for r in rows), 1.0, abs_tol=1e-3)
+    assert math.isclose(sum(r.natural_share for r in rows), 1.0, abs_tol=1e-3)
+    # T<1 flattens: smaller languages get larger boosts, and boost order
+    # is inverse to size order
+    srt = sorted(rows, key=lambda r: r.n_docs)
+    boosts = [r.boost for r in srt]
+    assert boosts == sorted(boosts, reverse=True)
+    if len(srt) > 1 and srt[0].n_docs < srt[-1].n_docs:
+        assert srt[0].boost > srt[-1].boost
+
+
+def test_dup_mass_bounds_and_planted_duplication(spark):
+    row = all_queries()["q_ngram_dup_mass"].fn(spark, SF).collect()[0]
+    assert 0 < row.n_grams
+    assert 0 <= row.n_dup_grams <= row.n_grams
+    assert 0 <= row.dup_incidences <= row.total_incidences
+    assert 0.0 <= row.dup_mass <= 1.0
+    # the augmented corpus plants exact copies, so duplication exists
+    assert row.dup_mass > 0.0

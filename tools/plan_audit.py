@@ -51,8 +51,11 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   cross-joined into the filter (Q22's scalar subquery shape).
 # - q_tpch_topsupplier: the max-revenue scalar is ONE broadcast row
 #   cross-joined into the tie-keeping filter (Q15's scalar subquery shape).
+# - q_mixture_temperature: same 1-row (total, normalizer) scalar pack as
+#   q_data_mixture.
 BNLJ_ALLOWED = {
     "q_data_mixture",
+    "q_mixture_temperature",
     "q_tpch_dormant",
     "q_tpch_topsupplier",
     "q_fuzzy_match",
