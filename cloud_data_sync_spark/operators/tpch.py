@@ -1,12 +1,12 @@
 """TPC-H decision-support suite, adapted to the driver's reduced schema.
 
 The r1–r4 rounds covered Q1/Q3/Q5/Q13/Q18/Q22 shapes (analytics.py,
-relational.py). This module completes the classic suite with the remaining
-shapes that are expressible on the driver's tables — the corpus has no
-``partsupp`` table and lineitem lacks ``l_shipmode``/``l_commitdate``/
-``l_receiptdate``, so Q2/Q11/Q20/Q21 have no faithful analog and
-Q9/Q12/Q16/Q17 are re-anchored on columns that exist (each docstring says
-exactly how). Every query keeps the *plan shape* that matters at 100 TB:
+relational.py). This module completes the full 22-query suite — the
+corpus has no ``partsupp`` table and lineitem lacks ``l_shipmode``/
+``l_commitdate``/``l_receiptdate``, so Q2/Q9/Q11/Q12/Q16/Q17/Q20/Q21 are
+re-anchored on columns that exist (each docstring states exactly how the
+predicate moved; the join/aggregate/subquery SHAPE is what is preserved).
+Every query keeps the *plan shape* that matters at 100 TB:
 
 - dims (region, nation, supplier, part, filtered customer) broadcast;
   the only exchanges are fact⋈fact co-partitions and final aggregations;
@@ -634,4 +634,262 @@ def q_tpch_priorityclass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
         )
+    )
+
+
+@register(
+    "q_tpch_minsupplier",
+    oracle="""
+WITH eligible AS (
+  SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey AS suppkey FROM lineitem l
+),
+sup AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+parts AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15),
+cand AS (
+  SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal,
+         min(s.s_acctbal) OVER (PARTITION BY p.p_partkey) AS min_bal
+  FROM eligible e
+  JOIN parts p ON e.partkey = p.p_partkey
+  JOIN sup s ON e.suppkey = s.s_suppkey
+)
+SELECT p_partkey, p_name, s_name, s_acctbal
+FROM cand WHERE s_acctbal = min_bal
+""",
+    doc=(
+        "TPC-H Q2 min-cost supplier: per size-15 part, the EU supplier "
+        "observed shipping it with the lowest account balance (the "
+        "corpus has no partsupp, so ps_supplycost re-anchors on "
+        "s_acctbal and the part↔supplier relation derives from "
+        "lineitem shipments; ties kept, as Q2 keeps min-cost ties). "
+        "The correlated min becomes a window on the partkey partition "
+        "of the already-joined candidate set — same exchange, no "
+        "second pass. Distinct (part, supp) pairs shrink the fact "
+        "stream BEFORE any dim attaches; parts and EU suppliers "
+        "broadcast."
+    ),
+)
+def q_tpch_minsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eligible = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), nation.n_regionkey == region.r_regionkey
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    from pyspark.sql.window import Window
+
+    cand = (
+        eligible.join(F.broadcast(parts), eligible.partkey == parts.p_partkey)
+        .join(F.broadcast(sup), eligible.suppkey == sup.s_suppkey)
+        .withColumn(
+            "min_bal", F.min("s_acctbal").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return cand.filter(F.col("s_acctbal") == F.col("min_bal")).select(
+        "p_partkey", "p_name", "s_name", "s_acctbal"
+    )
+
+
+@register(
+    "q_tpch_importance",
+    oracle="""
+WITH val AS (
+  SELECT l.l_partkey AS partkey,
+         sum(l.l_quantity * p.p_retailprice) AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE n.n_name = 'NATION_5'
+  GROUP BY l.l_partkey
+),
+tot AS (SELECT sum(value) AS total FROM val)
+SELECT v.partkey, round(v.value, 2) AS value
+FROM val v CROSS JOIN tot t
+WHERE v.value > 0.001 * t.total
+""",
+    doc=(
+        "TPC-H Q11 important stock: per-part shipped value from one "
+        "nation's suppliers, keeping parts above a fixed fraction of "
+        "the nation total (value = quantity × retail price — the "
+        "corpus has no partsupp availqty/supplycost). The HAVING-"
+        "against-global-sum becomes a ONE-row total pack cross-joined "
+        "into the filter (whitelisted scalar pattern); the per-part "
+        "agg is the only data-bearing exchange — supplier+nation and "
+        "part both broadcast."
+    ),
+)
+def q_tpch_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    val = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+    )
+    tot = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.lit(0.001) * F.col("total"))
+        .select("partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "q_tpch_excess",
+    oracle="""
+WITH redparts AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+pairs AS (
+  SELECT l.l_suppkey AS suppkey, l.l_partkey AS partkey,
+         sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN l.l_quantity ELSE 0 END) AS qty_1997,
+         sum(l.l_quantity) AS qty_total
+  FROM lineitem l JOIN redparts rp ON l.l_partkey = rp.p_partkey
+  GROUP BY l.l_suppkey, l.l_partkey
+),
+qual AS (SELECT DISTINCT suppkey FROM pairs
+         WHERE qty_1997 > 0.5 * qty_total AND qty_total >= 80.0)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s JOIN qual q ON s.s_suppkey = q.suppkey
+""",
+    doc=(
+        "TPC-H Q20 excess-supply shape: suppliers having some '%red%' "
+        "part whose 1997 shipped quantity exceeds half that "
+        "(supplier, part) pair's all-time quantity, on pairs with "
+        "material volume (>= 80 units — the original also carries a "
+        "volume term via ps_availqty; without the floor every "
+        "single-line 1997 pair qualifies vacuously). The original "
+        "compares ps_availqty against half a year's shipments; with "
+        "no partsupp the one-year-vs-total concentration keeps the "
+        "conditional-sum + HAVING + supplier semi-join chain. "
+        "Quantities are integral doubles and 0.5× is exact in binary, "
+        "so the boundary is engine-portable. One (supp, part) "
+        "exchange; the qualifying-supplier set is distinct ids only; "
+        "red parts broadcast."
+    ),
+)
+def q_tpch_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    in_1997 = (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00")) & (
+        F.col("l_shipdate") < _ts("1998-01-01 00:00:00")
+    )
+    pairs = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_1997"
+            ),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+    )
+    qual = (
+        pairs.filter(
+            (F.col("qty_1997") > 0.5 * F.col("qty_total"))
+            & (F.col("qty_total") >= 80.0)
+        )
+        .select(F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return sup.join(qual, sup.s_suppkey == qual.suppkey).select("s_suppkey", "s_name")
+
+
+@register(
+    "q_tpch_waiting",
+    oracle="""
+WITH flags AS (
+  SELECT l_orderkey AS orderkey, l_suppkey AS suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT orderkey, suppkey, has_r,
+         count(*) OVER (PARTITION BY orderkey) AS n_supp,
+         sum(has_r) OVER (PARTITION BY orderkey) AS n_r_supp
+  FROM flags
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order p JOIN supplier s ON p.suppkey = s.s_suppkey
+WHERE p.has_r = 1 AND p.n_supp > 1 AND p.n_r_supp = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+    doc=(
+        "TPC-H Q21 waiting-supplier shape: suppliers who were the ONLY "
+        "supplier with a returned line in a multi-supplier order, "
+        "counted and top-10'd (the original's commit/receipt-date "
+        "lateness has no columns here; l_returnflag='R' is the fault "
+        "flag — the exists/not-exists pair over sibling lines is the "
+        "shape being kept, expressed as per-order window counts over "
+        "the (order, supplier) flag aggregate instead of two "
+        "correlated self-joins of the fact table). One (order, supp) "
+        "agg exchange + one orderkey window exchange — both fact-"
+        "sized but id+flag-narrow; supplier broadcasts; the top-10 "
+        "compiles to TakeOrderedAndProject."
+    ),
+)
+def q_tpch_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    flags = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
+    )
+    w = Window.partitionBy("orderkey")
+    per_order = flags.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_r_supp", F.sum("has_r").over(w)
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter(
+            (F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)
+        )
+        .join(F.broadcast(sup), F.col("suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
     )

@@ -148,3 +148,45 @@ def test_priorityclass_partitions_window_lines(spark):
     # every window line has an order (FK integrity), so the class counts
     # partition the window exactly
     assert sum(r.high_line_count + r.low_line_count for r in rows) == window_lines
+
+
+def test_minsupplier_keeps_per_part_minimum(spark):
+    rows = _run(spark, "q_tpch_minsupplier").collect()
+    if not rows:  # size-15 x EUROPE may be empty at tiny sf
+        return
+    by_part: dict[int, list] = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, []).append(r)
+    for grp in by_part.values():
+        # ties all share the same (minimal) balance
+        assert len({r.s_acctbal for r in grp}) == 1
+
+
+def test_importance_keeps_only_heavy_parts(spark):
+    rows = _run(spark, "q_tpch_importance").collect()
+    if not rows:
+        return
+    total_kept = sum(r.value for r in rows)
+    # every kept part individually exceeds 0.1% of the nation total, so
+    # the kept set is at most 1000 parts and each value is positive
+    assert len(rows) <= 1000
+    assert all(r.value > 0 for r in rows)
+    assert total_kept > 0
+
+
+def test_excess_is_a_strict_supplier_subset(spark):
+    rows = _run(spark, "q_tpch_excess").collect()
+    n_sup = load_table(spark, SF, "supplier").count()
+    # the volume floor makes the filter discriminating, never vacuous
+    assert len(rows) < n_sup
+    assert len({r.s_suppkey for r in rows}) == len(rows)
+
+
+def test_waiting_topk_sorted_and_sole_fault_semantics(spark):
+    rows = _run(spark, "q_tpch_waiting").collect()
+    assert len(rows) <= 10
+    counts = [r.numwait for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        if a.numwait == b.numwait:
+            assert a.s_name < b.s_name
