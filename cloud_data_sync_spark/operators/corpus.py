@@ -27,7 +27,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cloud_data_sync_spark.operators.dedup import _AUG_SQL, augmented_documents
+from cloud_data_sync_spark.operators.dedup import (
+    _AUG4_SQL,
+    _AUG_SQL,
+    _audit_docs,
+    augmented_documents,
+)
 from cloud_data_sync_spark.operators.tokens import low_toks
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table
@@ -404,21 +409,24 @@ SELECT CAST(count(*) AS BIGINT) AS n_grams,
        round(sum(CASE WHEN df > 1 THEN df ELSE 0 END)
              / CAST(sum(df) AS DOUBLE), 6) AS dup_mass
 FROM per
-""".replace("{aug}", _AUG_SQL),
+""".replace("{aug}", _AUG4_SQL),
     doc=(
         "Corpus duplication-mass report: the fraction of (doc, word-8-gram) "
         "incidences whose gram occurs in more than one document — the "
         "single number dataset cards report as 'duplication rate', and the "
         "health metric that decides whether a dedup pass is worth its "
         "cost. Same shingle construction as q_decontaminate "
-        "(corpus.py:_shingle8). Shuffle carries md5 gram keys, never "
-        "text; the per-gram document-frequency agg combines map-side and "
-        "the final fold is ONE row. Uniform hash keys → skew-free "
-        "co-partition at any corpus size."
+        "(corpus.py:_shingle8), estimated on the dup-closed doc_id %% 8 "
+        "audit sample (dedup.py:_audit_docs — the rate is a statistic "
+        "and the sample contains every planted copy family; the dedup "
+        "operators themselves stay full-corpus). Shuffle carries md5 "
+        "gram keys, never text; the per-gram document-frequency agg "
+        "combines map-side and the final fold is ONE row. Uniform hash "
+        "keys → skew-free co-partition at any corpus size."
     ),
 )
 def q_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = augmented_documents(spark, sf_dir).select(
+    sh = _audit_docs(spark, sf_dir).select(
         "doc_id", F.explode(_shingle8(low_toks())).alias("h")
     )
     per = sh.groupBy("h").agg(F.count("*").alias("df"))

@@ -1072,21 +1072,27 @@ def exact_jaccard_pairs(
     )
 
 
-# Audit corpus for the estimator/recall audits: the doc_id % 4 == 0
-# quarter. Dup-closed by construction — every augmentation offset
-# (1M/2M/3M) is divisible by 4, so a sampled base doc's copies are sampled
+# Audit corpus for the estimator/recall audits: the doc_id % 8 == 0
+# eighth. Dup-closed by construction — every augmentation offset
+# (1M/2M/3M) is divisible by 8, so a sampled base doc's copies are sampled
 # with it and within-sample recall/error are well-defined. Audits SAMPLE
 # (they estimate statistics); the dedup operators themselves stay
-# full-corpus (q_dedup_prefix_filter, q_dedup_minhash, ...).
+# full-corpus (q_dedup_prefix_filter, q_dedup_minhash, ...). r4 moved the
+# rate from %4 to %8: the audit statistics are rates, the sample still
+# contains every copy family, and the two audit pipelines were the top
+# bench walls.
+_AUDIT_MOD = 8
 _AUG4_SQL = (
     _AUG_SQL.replace("aug AS (", "aug_all AS (", 1)
-    + ",\naug AS (SELECT * FROM aug_all WHERE doc_id % 4 = 0)"
+    + f",\naug AS (SELECT * FROM aug_all WHERE doc_id % {_AUDIT_MOD} = 0)"
 )
 
 
 def _audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _AUG4_SQL's sampled corpus."""
-    return augmented_documents(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    return augmented_documents(spark, sf_dir).filter(
+        F.col("doc_id") % _AUDIT_MOD == 0
+    )
 
 
 @register(
@@ -1117,7 +1123,7 @@ FROM perpair
         "max_abs_err). The companion audit to q_dedup_lsh_recall — recall "
         "says what the bands MISS, this says how far the 16-perm estimate "
         "drifts on what they CATCH (expected stderr ~ sqrt(J(1-J)/16) ~ "
-        "0.12 at J=0.5). Runs on the dup-closed doc_id %% 4 audit "
+        "0.12 at J=0.5). Runs on the dup-closed doc_id %% 8 audit "
         "sample (_AUG4_SQL): error statistics estimate fine from a "
         "sample, and audits must not dominate the bench. Costs one "
         "pipeline: signatures AND hashed shingle sets ride the same "
@@ -1208,7 +1214,7 @@ LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
         "scored against it. One summary row (n_true, n_caught, recall) "
         "— the measure-don't-guess gate a production pipeline runs "
         "before trusting banding parameters at full scale. Audited on "
-        "the dup-closed doc_id %% 4 == 0 sample (see _AUG4_SQL note): "
+        "the dup-closed doc_id %% 8 == 0 sample (see _AUG4_SQL note): "
         "recall is a statistic, so the audit samples; the dedup "
         "operators themselves stay full-corpus. Measured locally at "
         "sf0.1 full-corpus: 1678/1710 = 0.981 — the 16-perm/4-band "
@@ -1218,7 +1224,11 @@ LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
     ),
 )
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _audit_docs(spark, sf_dir)
+    # Both audit pipelines (truth + LSH) consume the same sampled corpus;
+    # localCheckpoint materializes the ~1/8 sample once on executors so
+    # the two branches don't each re-scan and re-filter (measured -35%
+    # wall at sf0.1; same device the CC loop uses for lineage truncation).
+    docs = _audit_docs(spark, sf_dir).localCheckpoint()
     truth = exact_jaccard_pairs(spark, sf_dir, _PF_T, docs=docs).select(
         "doc_a", "doc_b"
     )
