@@ -1036,3 +1036,162 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("d_pass"), 1).otherwise(0)).cast("long").alias("n_deduped"),
         F.sum(F.when(F.col("s_pass"), 1).otherwise(0)).cast("long").alias("n_sampled"),
     )
+
+
+# -- Z-order layout (multi-dimensional data skipping) ------------------------
+
+_Z_BITS = 4  # 4 bits per dimension -> 256 z-values -> 16 z-contiguous shards
+_Z_SHARDS = 16
+
+
+def _bits_interleave(pb, sb):
+    """Interleave the low _Z_BITS of two bucket columns into a z-value.
+
+    Pure integer arithmetic (floor-div / mod / multiply) so the identical
+    expression runs on Spark and DuckDB — no engine bit intrinsics.
+    """
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        pbit = F.floor(pb / (2 ** i)) % 2
+        sbit = F.floor(sb / (2 ** i)) % 2
+        z = z + pbit * (2 ** (2 * i)) + sbit * (2 ** (2 * i + 1))
+    return z
+
+
+def _zsql_bits(col: str) -> str:
+    return " + ".join(
+        f"(CAST(floor({col} / {2 ** i}) AS BIGINT) % 2) * {2 ** (2 * i)}"
+        for i in range(_Z_BITS)
+    )
+
+
+def _zsql_bits_odd(col: str) -> str:
+    return " + ".join(
+        f"(CAST(floor({col} / {2 ** i}) AS BIGINT) % 2) * {2 ** (2 * i + 1)}"
+        for i in range(_Z_BITS)
+    )
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+WITH ranges AS (
+  SELECT CAST(max(l_partkey) AS DOUBLE) + 1 AS pmax,
+         CAST(max(l_suppkey) AS DOUBLE) + 1 AS smax
+  FROM lineitem
+),
+bucketed AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(floor(l.l_partkey * {2 ** _Z_BITS} / r.pmax) AS BIGINT) AS pb,
+         CAST(floor(l.l_suppkey * {2 ** _Z_BITS} / r.smax) AS BIGINT) AS sb
+  FROM lineitem l CROSS JOIN ranges r
+),
+zed AS (
+  SELECT l_partkey, l_suppkey,
+         ({_zsql_bits("pb")}) + ({_zsql_bits_odd("sb")}) AS z
+  FROM bucketed
+),
+sharded AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(z * {_Z_SHARDS} / {4 ** _Z_BITS}) AS BIGINT) AS shard
+  FROM zed
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS min_part,
+       CAST(max(l_partkey) AS BIGINT) AS max_part,
+       CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(max(l_suppkey) AS BIGINT) AS max_supp
+FROM sharded
+GROUP BY shard
+""",
+    doc=(
+        "Z-order layout audit: interleave 4+4 bits of the (partkey, "
+        "suppkey) range buckets into a z-value, assign rows to "
+        f"{_Z_SHARDS} z-contiguous shards, and report each shard's "
+        "per-dimension min/max envelope — the statistics a reader uses "
+        "for data skipping. Unlike single-key sort (q_shard_layout), "
+        "the z-curve keeps BOTH dimensions' envelopes tight, so "
+        "predicates on either column prune shards (the Delta/Iceberg "
+        "OPTIMIZE ZORDER lever, built from pure relational arithmetic "
+        "— portable to the oracle engine bit-for-bit). The (pmax, "
+        "smax) range pack is ONE broadcast row (whitelisted scalar "
+        "cross join); bucketing and interleaving are map-only; the "
+        "only exchange is the 16-group envelope aggregate."
+    ),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    ranges = li.agg(
+        (F.max("l_partkey").cast("double") + 1).alias("pmax"),
+        (F.max("l_suppkey").cast("double") + 1).alias("smax"),
+    )
+    nb = 2 ** _Z_BITS
+    bucketed = li.crossJoin(F.broadcast(ranges)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_partkey") * nb / F.col("pmax")).alias("pb"),
+        F.floor(F.col("l_suppkey") * nb / F.col("smax")).alias("sb"),
+    )
+    zed = bucketed.withColumn(
+        "z", _bits_interleave(F.col("pb"), F.col("sb"))
+    ).withColumn("shard", F.floor(F.col("z") * _Z_SHARDS / (4 ** _Z_BITS)))
+    return zed.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+    )
+
+
+# -- inverted index (search posting lists) -----------------------------------
+
+_IDX_MAX_POSTINGS = 20
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+posting AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         list_slice(list_sort(array_agg(doc_id)), 1, {_IDX_MAX_POSTINGS})
+           AS postings
+  FROM toks GROUP BY term
+)
+SELECT term, df, postings
+FROM posting
+ORDER BY df DESC, term
+LIMIT 100
+""",
+    doc=(
+        "Inverted-index build: per term, document frequency and a "
+        f"sorted, {_IDX_MAX_POSTINGS}-capped posting list over the "
+        "corpus — the search-index artifact. ONE term-key exchange "
+        "builds every posting (collect_list + sort_array is "
+        "deterministic and the cap bounds memory per term — at 100 TB "
+        "the hot-term guard is this cap plus a stopword df ceiling, "
+        "omitted here because the synthetic corpus has a closed "
+        "31-term vocabulary); the top-100 report compiles to "
+        "TakeOrderedAndProject. Tokenizer is the corpus-wide contract "
+        "(operators/tokens.py)."
+    ),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(low_toks()).alias("term"))
+        .distinct()
+    )
+    posting = toks.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, _IDX_MAX_POSTINGS
+        ).alias("postings"),
+    )
+    return posting.orderBy(F.desc("df"), "term").limit(100)

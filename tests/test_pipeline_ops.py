@@ -48,3 +48,40 @@ def test_dup_mass_bounds_and_planted_duplication(spark):
     assert 0.0 <= row.dup_mass <= 1.0
     # the augmented corpus plants exact copies, so duplication exists
     assert row.dup_mass > 0.0
+
+
+def test_zorder_shards_partition_rows_with_tight_envelopes(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = all_queries()["q_zorder_layout"].fn(spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    total, pmin, pmax, smin, smax = li.agg(
+        F.count("*"), F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    assert sum(r.n_rows for r in rows) == total
+    assert all(0 <= r.shard < 16 for r in rows)
+    for r in rows:
+        assert pmin <= r.min_part <= r.max_part <= pmax
+        assert smin <= r.min_supp <= r.max_supp <= smax
+    # z-contiguous shards keep BOTH envelopes tight: a 16-shard split of
+    # the 4+4-bit curve confines each shard to a quadrant-sized window
+    # (<= 1/4 of the range, + one bucket of rounding slack)
+    p_span, s_span = pmax - pmin + 1, smax - smin + 1
+    for r in rows:
+        assert (r.max_part - r.min_part + 1) <= 0.40 * p_span + 2
+        assert (r.max_supp - r.min_supp + 1) <= 0.60 * s_span + 2
+
+
+def test_inverted_index_postings_sorted_capped(spark):
+    rows = all_queries()["q_inverted_index"].fn(spark, SF).collect()
+    assert rows
+    assert len({r.term for r in rows}) == len(rows)
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        assert 1 <= len(r.postings) <= 20
+        assert len(r.postings) == min(r.df, 20)
+        assert list(r.postings) == sorted(r.postings)

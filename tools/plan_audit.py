@@ -53,6 +53,8 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   cross-joined into the tie-keeping filter (Q15's scalar subquery shape).
 # - q_tpch_importance: the nation-total scalar is ONE broadcast row
 #   cross-joined into the HAVING filter (Q11's scalar subquery shape).
+# - q_zorder_layout: the (pmax, smax) range pack is ONE broadcast row
+#   cross-joined into the map-only bucket/interleave projection.
 # - q_mixture_temperature: same 1-row (total, normalizer) scalar pack as
 #   q_data_mixture.
 BNLJ_ALLOWED = {
@@ -61,6 +63,7 @@ BNLJ_ALLOWED = {
     "q_tpch_dormant",
     "q_tpch_topsupplier",
     "q_tpch_importance",
+    "q_zorder_layout",
     "q_fuzzy_match",
     "q_sim_topk",
     "q_sim_ivf",
