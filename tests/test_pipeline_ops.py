@@ -85,3 +85,23 @@ def test_inverted_index_postings_sorted_capped(spark):
         assert 1 <= len(r.postings) <= 20
         assert len(r.postings) == min(r.df, 20)
         assert list(r.postings) == sorted(r.postings)
+
+
+def test_zorder_interleave_is_a_bijection_on_the_bucket_grid(spark):
+    """All 256 (pb, sb) bucket pairs must map to 256 distinct z-values in
+    [0, 256), and the shard split must give 16 z-values per shard —
+    otherwise envelopes silently overlap and skipping degrades."""
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.operators.text import _bits_interleave
+
+    grid = (
+        spark.range(16)
+        .withColumnRenamed("id", "pb")
+        .crossJoin(spark.range(16).withColumnRenamed("id", "sb"))
+    )
+    zs = grid.select(
+        _bits_interleave(F.col("pb"), F.col("sb")).cast("long").alias("z")
+    ).collect()
+    vals = sorted(r.z for r in zs)
+    assert vals == list(range(256))
