@@ -440,3 +440,61 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_rate"),
         )
     )
+
+
+@register(
+    "q_sketch_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tolerance
+FROM events
+GROUP BY event_type, date_trunc('week', ts)
+""",
+    doc=(
+        "Mergeable-sketch rollup (the incremental-aggregation pattern "
+        "every 100 TB metrics stack runs on): per-(event_type, day) "
+        "DataSketches HLL sketches of distinct users are UNION-merged "
+        "into weekly estimates — the weekly rollup touches only "
+        "|types|×7 fixed-size sketches, never re-scanning the events, "
+        "which is how pre-aggregated tiers roll up without a second "
+        "pass over raw data. Like q_agg_approx_distinct, sketch "
+        "estimates can't hash-match another engine, so the emitted "
+        "columns are the exact weekly distincts plus a deterministic "
+        "within_tolerance boolean (merged estimate within 5%% of "
+        "exact); the sketch pipeline still runs — a broken merge flips "
+        "the boolean and the hash. Daily sketch agg and the exact "
+        "twin each combine map-side; the merge agg ships sketches "
+        "(~4 KB), not rows."
+    ),
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("week"),
+    )
+    daily = ev.groupBy("event_type", "day", "week").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = daily.groupBy("event_type", "week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = ev.groupBy("event_type", "week").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    ok = (
+        F.abs(F.col("est_users") - F.col("exact_users"))
+        <= F.lit(0.05) * F.col("exact_users")
+    )
+    return (
+        exact.join(F.broadcast(weekly_est), ["event_type", "week"])
+        .select(
+            "event_type",
+            "week",
+            "exact_users",
+            ok.alias("within_tolerance"),
+        )
+    )

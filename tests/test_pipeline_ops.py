@@ -105,3 +105,13 @@ def test_zorder_interleave_is_a_bijection_on_the_bucket_grid(spark):
     ).collect()
     vals = sorted(r.z for r in zs)
     assert vals == list(range(256))
+
+
+def test_sketch_rollup_merge_stays_within_tolerance(spark):
+    rows = all_queries()["q_sketch_rollup"].fn(spark, SF).collect()
+    assert rows
+    # merged daily sketches must estimate the weekly distinct within 5%
+    assert all(r.within_tolerance for r in rows)
+    # date_trunc('week') pins Mondays
+    assert all(r.week.weekday() == 0 for r in rows)
+    assert all(r.exact_users >= 1 for r in rows)
