@@ -726,3 +726,54 @@ def q_tpch_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS prev1,
+         lag(event_type, 2) OVER w AS prev2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev2 || '>' || prev1 || '>' || event_type AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM ordered
+WHERE prev2 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 10
+""",
+    doc=(
+        "Sequential path mining: top-10 most-travelled 3-step event "
+        "paths across user journeys (the flow-analysis complement to "
+        "q_event_transitions' first-order matrix — 3-grams expose the "
+        "paths a Markov assumption factors away). ONE user_id exchange "
+        "drives the ordering window (lag ×2 share a single frame; ties "
+        "broken by event_id so the path set is deterministic); the "
+        "path aggregate shuffles |event_types|³ groups at most, and "
+        "the top-10 compiles to TakeOrderedAndProject."
+    ),
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    return (
+        ordered.filter(F.col("prev2").isNotNull())
+        .select(
+            F.concat_ws(">", "prev2", "prev1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

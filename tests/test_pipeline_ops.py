@@ -115,3 +115,20 @@ def test_sketch_rollup_merge_stays_within_tolerance(spark):
     # date_trunc('week') pins Mondays
     assert all(r.week.weekday() == 0 for r in rows)
     assert all(r.exact_users >= 1 for r in rows)
+
+
+def test_event_paths_are_valid_3grams(spark):
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = all_queries()["q_event_paths"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    types = {
+        r.event_type
+        for r in load_table(spark, SF, "events").select("event_type").distinct().collect()
+    }
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        steps = r.path.split(">")
+        assert len(steps) == 3
+        assert set(steps) <= types
