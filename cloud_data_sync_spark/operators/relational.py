@@ -1236,8 +1236,8 @@ def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey,
        CAST(c_nationkey AS INTEGER) AS c_nationkey,
        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pr,
-       round(cume_dist() OVER w, 6) AS cd
+       floor(percent_rank() OVER w * 1000000) / 1000000 AS pr,
+       floor(cume_dist() OVER w * 1000000) / 1000000 AS cd
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """,
@@ -1260,8 +1260,12 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        # floor-truncate instead of round: rank ratios like 41/640 land on
+        # EXACT decimal halves, where Spark rounds half-up and DuckDB
+        # half-even; floor is rounding-mode-free and both engines compute
+        # bit-identical IEEE doubles for k/n * 1e6 (caught at sf0.1).
+        (F.floor(F.percent_rank().over(w) * 1000000) / 1000000).alias("pr"),
+        (F.floor(F.cume_dist().over(w) * 1000000) / 1000000).alias("cd"),
     )
 
 
