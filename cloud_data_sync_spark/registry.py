@@ -9,7 +9,13 @@ compares row-count + schema + order-insensitive value-hash, so:
 - floating-point aggregates are rounded identically on both sides;
 - double→integer conversions go through ``floor``/``cast`` identically
   (DuckDB CAST rounds, Spark CAST truncates — never rely on bare CAST of a
-  fractional double to an integer type).
+  fractional double to an integer type);
+- NEVER ``round()`` a ratio whose denominator can be of the form 2^a·5^b
+  (rank ratios k/n, averages over power-of-ten-ish group sizes): such
+  ratios land on EXACT decimal halves where Spark rounds half-up and
+  DuckDB half-even (caught at sf0.1: cume_dist over a 640-row partition).
+  Use ``floor(x * 1e6) / 1e6`` on both sides — floor has no rounding mode
+  and both engines produce bit-identical IEEE doubles for the product.
 """
 
 from __future__ import annotations
