@@ -533,6 +533,57 @@ def asof_attribute(ev: DataFrame) -> DataFrame:
 
 
 @register(
+    "q_join_asof_tolerance",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+         CASE WHEN event_type = 'click' THEN ts END AS c_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+attributed AS (
+  SELECT event_id, user_id, ts, is_p,
+         last_value(c_id IGNORE NULLS) OVER w AS click_id,
+         last_value(c_ts IGNORE NULLS) OVER w AS click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN click_id END
+         AS click_id,
+       CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN click_ts END
+         AS click_ts,
+       (click_ts IS NOT NULL AND click_ts >= ts - INTERVAL 1 HOUR)
+         AS attributed
+FROM attributed WHERE is_p = 1
+""",
+    doc=(
+        "As-of join with a match tolerance (the attribution-window form "
+        "every ads/analytics pipeline actually runs): a purchase only "
+        "attributes to a click within the trailing hour — older matches "
+        "null out rather than attach stale context. Same union-and-sweep "
+        "plan as q_join_asof (ONE user_id shuffle, running "
+        "last_value-ignore-nulls, never a range-probe join); the "
+        "tolerance is a map-side CASE after the sweep, so the bound "
+        "costs zero extra exchanges at any scale."
+    ),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    swept = asof_attribute(load_table(spark, sf_dir, "events"))
+    fresh = F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+    return swept.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(fresh, F.col("click_id")).alias("click_id"),
+        F.when(fresh, F.col("click_ts")).alias("click_ts"),
+        (F.col("click_ts").isNotNull() & fresh).alias("attributed"),
+    )
+
+
+@register(
     "q_pivot",
     oracle="""
 SELECT l_returnflag,

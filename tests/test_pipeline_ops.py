@@ -132,3 +132,23 @@ def test_event_paths_are_valid_3grams(spark):
         steps = r.path.split(">")
         assert len(steps) == 3
         assert set(steps) <= types
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from cloud_data_sync_spark.registry import all_queries as _aq
+
+    base = {r.purchase_id: r for r in _aq()["q_join_asof"].fn(spark, SF).collect()}
+    tol = {r.purchase_id: r for r in _aq()["q_join_asof_tolerance"].fn(spark, SF).collect()}
+    assert set(base) == set(tol)
+    hour = 3600
+    for pid, t in tol.items():
+        b = base[pid]
+        if t.attributed:
+            # attributed rows carry exactly the untolerated sweep's match
+            assert t.click_id == b.click_id and t.click_ts == b.click_ts
+            assert (t.purchase_ts - t.click_ts).total_seconds() <= hour
+        else:
+            assert t.click_id is None and t.click_ts is None
+            # and the stale/missing base match really was out of window
+            if b.click_ts is not None:
+                assert (b.purchase_ts - b.click_ts).total_seconds() > hour
