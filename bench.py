@@ -61,7 +61,15 @@ def build_inline_line(
             break  # only pinned failures remain
         inline.pop(key)
         omitted += 1
-    return _line(inline, omitted)
+    out = _line(inline, omitted)
+    if len(out) > budget:
+        # Catastrophic runs: enough pinned failures that even the
+        # failures-only map overflows the tail buffer. Per-query detail
+        # lives in BENCH_FULL.json; keep the line parseable — a
+        # parsed=null round (r2) is worse than a summarized one.
+        omitted += len(inline)
+        out = _line({}, omitted)
+    return out
 
 
 def main() -> None:

@@ -87,14 +87,33 @@ def _apply_object_meta(
     best-effort — filesystems without xattr support keep the payload copy."""
     from cloud_data_sync_spark.sources.listing import CONTENT_TYPE_XATTR
 
-    items = [(f"user.{k}", v) for k, v in metadata.items()]
-    if content_type:
-        items.append((CONTENT_TYPE_XATTR, content_type))
+    # Clear whatever user.* attrs a previous copy left: an overwrite reuses
+    # the inode (open 'wb' truncates in place), so without this a key
+    # REMOVED on the source would survive on the target and the next
+    # list→reconcile pass would see phantom metadata the state row (which
+    # records the new, smaller map) disagrees with.
+    try:
+        for existing in os.listxattr(dst_path):
+            if existing.startswith("user."):
+                try:
+                    os.removexattr(dst_path, existing)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    # Content type first: it is the attribute the reference's upload
+    # signature carries explicitly (gcp/client.go:107), so a partial
+    # failure mid-list must not drop it.
+    items = [(CONTENT_TYPE_XATTR, content_type)] if content_type else []
+    items += [(f"user.{k}", v) for k, v in metadata.items()]
     for name, val in items:
         try:
             os.setxattr(dst_path, name, str(val).encode("utf-8"))
         except OSError:
-            return
+            # per-attr best effort: one oversized value (E2BIG) must not
+            # abort the remaining attrs; unsupported filesystems
+            # (ENOTSUP on every call) degrade to payload-only copies
+            continue
 
 
 def _delete_one(dst_path: str) -> tuple[str, str | None]:

@@ -379,11 +379,14 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     i_col = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_D - 1))).alias("i")
 
-    def bit_of(key):
+    def bit_of(i_expr, key):
+        """The ONE bit-index formula (md5 of 'i:key' → 6 hex → % m). Build
+        and probe sides — and the oracle SQL — must all agree; sharing the
+        definition means an edit cannot desynchronize them silently."""
         return (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), key.cast("string"))),
+                    F.md5(F.concat(i_expr.cast("string"), F.lit(":"), key.cast("string"))),
                     1,
                     6,
                 ),
@@ -395,7 +398,7 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bits = (
         dim.select("c_custkey", i_col)
-        .select("i", bit_of(F.col("c_custkey")).alias("bit"))
+        .select("i", bit_of(F.col("i"), F.col("c_custkey")).alias("bit"))
         .distinct()
     )
     # the Bloom probe is an AND of d membership tests — expressed as d
@@ -403,24 +406,12 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that hash-row's (tiny) bit set. Zero shuffles: the previous shape
     # exploded the fact ×d and paid a corpus-wide groupBy to re-AND the
     # hits; this one never widens or exchanges the fact stream.
-    def bit_of_i(i: int, key):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 6
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _BLOOM_M
-        )
-
     passed = orders
     for i in range(_BLOOM_D):
         bits_i = bits.filter(F.col("i") == i).select("bit")
         passed = passed.join(
             F.broadcast(bits_i),
-            bit_of_i(i, F.col("o_custkey")) == F.col("bit"),
+            bit_of(F.lit(i), F.col("o_custkey")) == F.col("bit"),
             "left_semi",
         )
     true_match = orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")

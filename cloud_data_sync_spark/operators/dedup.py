@@ -434,10 +434,14 @@ def _cc_local(sym: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    # one collect, not toLocalIterator: the ≤2M-edge guard bounds this at
-    # ~32 MB on the driver, and toLocalIterator's sequential per-partition
-    # fetches cost a scheduling round-trip each (measured ~1s at sf0.1)
-    for a, b in sym.select("a", "b").collect():
+    # one Arrow transfer, not collect() and not toLocalIterator:
+    # toLocalIterator's sequential per-partition fetches cost a scheduling
+    # round-trip each (measured ~1s at sf0.1), and collect() materializes
+    # pyspark Row objects at ~150-250 B each — ~5-10x the "32 MB of longs"
+    # the guard was sized for. toPandas ships two int64 numpy columns:
+    # 16 B/edge, so the ≤2M-edge guard really is ~32 MB on the driver.
+    pdf = sym.select("a", "b").toPandas()
+    for a, b in zip(pdf["a"].to_numpy().tolist(), pdf["b"].to_numpy().tolist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:

@@ -54,9 +54,14 @@ KEYS = ["mapping_id", "object_name"]
 # additive evolution; the marker catches everything else — a state table
 # written by an incompatible engine version fails loudly instead of being
 # silently misread. Underscore-prefixed, so Spark's parquet reader ignores it.
-# v2: added the per-object `metadata` map (user metadata carried through the
-# copy path); v1 tables fail the gate and re-sync from scratch or migrate.
-STATE_VERSION = 2
+# NOTE: the per-object `metadata` map (r4) did NOT bump this. It is a
+# nullable additive column and load_state reads with an explicit schema, so
+# v1 tables read back with metadata=null — exactly the additive-evolution
+# path this comment promises. Bumping would have bricked every existing
+# deployment (only recovery: delete state and re-copy the whole bucket)
+# for a change the reader already tolerates. Bump ONLY for reinterpreted
+# or removed columns / changed key semantics.
+STATE_VERSION = 1
 _VERSION_FILE = "_state_version.json"
 
 

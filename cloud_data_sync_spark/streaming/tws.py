@@ -63,12 +63,17 @@ class PerTypeTotals(StatefulProcessor):
         for pdf in rows:
             if pdf.empty:
                 continue
-            g = pdf.groupby("event_type")["value"].agg(["count", "sum"])
+            # 'size' counts ROWS (matching the oracle's count(*)); 'count'
+            # would skip null/NaN values and diverge by one per null row.
+            # 'sum' skips NaN like SQL sum skips NULL (an all-null group
+            # yields 0.0 here vs SQL NULL — acceptable for a non-null
+            # value column, noted for reuse).
+            g = pdf.groupby("event_type")["value"].agg(["size", "sum"])
             for etype, row in g.iterrows():
                 n, total = touched.get(etype) or (
                     self._per_type.getValue((etype,)) or (0, 0.0)
                 )
-                touched[etype] = (int(n + row["count"]), float(total + row["sum"]))
+                touched[etype] = (int(n + row["size"]), float(total + row["sum"]))
         if not touched:
             return
         for etype, (n, total) in touched.items():

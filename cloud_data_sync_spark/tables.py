@@ -82,9 +82,11 @@ def load_tables(
     return out
 
 
-# spread decision cache: keyed by (session, input file set) so the listing +
-# size stat happens once per table per session, not per query build.
-_SPREAD_CACHE: dict[tuple[int, tuple[str, ...]], int] = {}
+# spread decision cache: keyed by (session, (file, size) pairs) so the
+# packing arithmetic happens once per table vintage per session, and a
+# rewritten file (same path, new size) misses the cache instead of reusing
+# a stale estimate. File-less frames never enter the cache.
+_SPREAD_CACHE: dict[tuple[int, tuple[tuple[str, int], ...]], int] = {}
 
 
 _BYTE_SUFFIX = {
@@ -117,10 +119,13 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     planning + codegen on the driver for every uncached call)."""
     spark = df.sparkSession
     files = df.inputFiles()
-    key = (id(spark), tuple(sorted(files)))
-    cached = _SPREAD_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if not files:
+        # File-less frames (localCheckpoint'ed, in-memory relations) have no
+        # listing to estimate from, and they must NOT share a cache entry on
+        # the empty key — a checkpointed frame is already materialized, so
+        # its RDD partition count is available without the physical-planning
+        # cost the listing path exists to avoid.
+        return df.rdd.getNumPartitions()
     local = []
     for f in files:
         if f.startswith("file:"):
@@ -130,14 +135,20 @@ def _estimated_scan_splits(df: DataFrame) -> int:
         else:
             # non-local FS: can't stat cheaply; assume the scan already
             # parallelizes (real clusters list >= cores splits)
-            _SPREAD_CACHE[key] = 1 << 30
             return 1 << 30
-    total = 0
+    sizes = []
     for p in local:
         try:
-            total += os.path.getsize(p)
+            sizes.append(os.path.getsize(p))
         except OSError:
-            pass
+            sizes.append(0)
+    # sizes participate in the key so files rewritten in-session at the
+    # same path don't reuse a stale split estimate
+    key = (id(spark), tuple(sorted(zip(local, sizes))))
+    cached = _SPREAD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    total = sum(sizes)
     open_cost = _parse_bytes(
         spark.conf.get("spark.sql.files.openCostInBytes", "4194304"), 4 << 20
     )
@@ -148,11 +159,7 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     bytes_per_core = (total + open_cost * len(local)) / max(cores, 1)
     max_split = min(max_part, max(open_cost, int(bytes_per_core)))
     splits = 0
-    for p in local:
-        try:
-            sz = os.path.getsize(p)
-        except OSError:
-            sz = 0
+    for sz in sizes:
         splits += max(1, -(-sz // max(max_split, 1)))
     splits = max(splits, 1)
     _SPREAD_CACHE[key] = splits

@@ -73,3 +73,20 @@ def test_bench_inline_line_pins_failures():
     assert parsed["failed_queries"] == 3
     for name in failed:
         assert parsed["queries"][name] == -1.0
+
+
+def test_bench_inline_line_survives_catastrophic_failure_count():
+    """Enough pinned -1.0 failures to overflow the budget must degrade to a
+    summary line (failed count, no per-query map), never an unparseable
+    overflow (the r2 parsed=null regression)."""
+    import json
+
+    from bench import build_inline_line
+
+    timings = {f"q_very_long_query_name_number_{i:04d}": -1.0 for i in range(150)}
+    line = build_inline_line(timings, total=-1.0, sf=0.1)
+    assert len(line) <= 1900
+    payload = json.loads(line)
+    assert payload["failed_queries"] == 150
+    assert payload["queries"] == {}
+    assert payload["full"] == "BENCH_FULL.json"

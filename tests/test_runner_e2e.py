@@ -287,3 +287,33 @@ def test_metadata_and_content_type_survive_copy(spark, env):
     # object without explicit metadata falls back to extension sniffing
     assert st["nested/b.txt"]["content_type"] == "text/plain"
     assert st["nested/b.txt"]["metadata"] in ({}, None)
+
+
+def test_removed_source_metadata_clears_from_target(spark, env):
+    """Overwrites reuse the target inode, so a metadata key REMOVED on the
+    source must be actively cleared from the target — otherwise a stale
+    xattr survives the re-copy and disagrees with the state row."""
+    cfg, src, tgt, state_path = env
+    import os as _os
+
+    try:
+        _os.setxattr(src / "a.txt", "user.content-type", b"text/x-custom")
+        _os.setxattr(src / "a.txt", "user.cache-control", b"max-age=60")
+    except OSError:
+        pytest.skip("filesystem has no user-xattr support")
+
+    from cloud_data_sync_spark.sources.listing import object_meta_local
+
+    sync_all(spark, cfg, state_path)
+    ct, md = object_meta_local(str(tgt / "a.txt"))
+    assert md == {"cache-control": "max-age=60"}
+
+    # drop the metadata key on the source, change content so it re-copies
+    _os.removexattr(src / "a.txt", "user.cache-control")
+    (src / "a.txt").write_text("changed payload")
+    _os.setxattr(src / "a.txt", "user.content-type", b"text/x-custom")
+    sync_all(spark, cfg, state_path)
+
+    ct, md = object_meta_local(str(tgt / "a.txt"))
+    assert ct == "text/x-custom"
+    assert md == {}, f"stale metadata survived the overwrite: {md}"
