@@ -338,3 +338,135 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+# -- linear probe (logistic regression by unrolled gradient descent) ---------
+
+_LR = 5.0  # step size; embeddings are unit-norm so the loss Lipschitz
+#            constant is ~1/4 per dim-average and this stays stable
+
+
+def _dot(w: Column, x: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(w, x, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+@register(
+    "q_logreg_probe",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS x,
+         CASE WHEN label < 4 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+),
+g1 AS (
+  SELECT k.i AS i, avg((0.5 - p.y) * p.x[k.i]) AS g
+  FROM pts p, LATERAL unnest(generate_series(1, 64)) AS k(i)
+  GROUP BY k.i
+),
+w1 AS (SELECT array_agg(-{_LR} * g ORDER BY i) AS w FROM g1),
+s1 AS (
+  SELECT p.y, p.x,
+         1 / (1 + exp(-list_inner_product(p.x, w1.w))) AS p1
+  FROM pts p CROSS JOIN w1
+),
+g2 AS (
+  SELECT k.i AS i, avg((s.p1 - s.y) * s.x[k.i]) AS g
+  FROM s1 s, LATERAL unnest(generate_series(1, 64)) AS k(i)
+  GROUP BY k.i
+),
+w2 AS (
+  SELECT array_agg(-{_LR} * g1.g - {_LR} * g2.g ORDER BY g1.i) AS w
+  FROM g1 JOIN g2 ON g1.i = g2.i
+),
+s2 AS (
+  SELECT p.y,
+         1 / (1 + exp(-list_inner_product(p.x, w2.w))) AS p2,
+         list_inner_product(p.x, w2.w) AS m2
+  FROM pts p CROSS JOIN w2
+),
+l1 AS (SELECT round(avg(-y * ln(p1) - (1 - y) * ln(1 - p1)), 4) AS loss1 FROM s1),
+l2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(avg(-y * ln(p2) - (1 - y) * ln(1 - p2)), 4) AS loss2,
+         round(avg(CASE WHEN (m2 > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 4)
+           AS train_acc
+  FROM s2
+)
+SELECT l2.n, round(ln(2), 4) AS loss0, l1.loss1, l2.loss2, l2.train_acc
+FROM l2 CROSS JOIN l1
+""",
+    doc=(
+        "Linear-probe training ON the engine: two unrolled gradient-descent "
+        "steps of logistic regression (labels: embedding cluster id < 4) — "
+        "the fastText-style quality-classifier / probe-training primitive a "
+        "data pipeline runs to gate corpora by learned scores. Step 1's "
+        "gradient is EXACT (w=0 ⇒ sigmoid ≡ 0.5, no transcendentals), so "
+        "both engines agree to float ulp; step 2 passes through one exp() "
+        "layer and all outputs round to 4 decimals. Plan shape per step: "
+        "ONE dim-key exchange for the gradient (posexplode → 64-group avg, "
+        "map-side combined — partials, never vectors), the weight vector is "
+        "ONE broadcast row cross-joined into the map-only scoring "
+        "projection (whitelisted scalar pack, the k-means centroid "
+        "pattern), and the loss/accuracy folds are 1-row aggregates. "
+        "Iterations unrolled to a static DAG exactly like q_kmeans, which "
+        "is what keeps it oracle-replayable."
+    ),
+)
+def q_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("x"),
+        F.when(F.col("label") < 4, 1.0).otherwise(0.0).alias("y"),
+    )
+
+    def grad(scored: DataFrame, p_col: Column) -> DataFrame:
+        """(i, g): per-dimension gradient avg((p - y) * x_i)."""
+        return (
+            scored.select("y", p_col.alias("p"), F.posexplode("x").alias("i", "xv"))
+            .groupBy("i")
+            .agg(F.avg((F.col("p") - F.col("y")) * F.col("xv")).alias("g"))
+        )
+
+    g1 = grad(pts, F.lit(0.5))
+    w1 = g1.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "g"))), lambda s: -_LR * s["g"]
+        ).alias("w")
+    )
+    s1 = pts.crossJoin(F.broadcast(w1)).withColumn(
+        "p1", 1 / (1 + F.exp(-_dot(F.col("w"), F.col("x"))))
+    )
+    g2 = grad(s1, F.col("p1"))
+    w2 = (
+        g1.withColumnRenamed("g", "ga")
+        .join(g2, "i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ga", "g"))),
+                lambda s: -_LR * s["ga"] - _LR * s["g"],
+            ).alias("w")
+        )
+    )
+    s2 = pts.crossJoin(F.broadcast(w2)).withColumn(
+        "m2", _dot(F.col("w"), F.col("x"))
+    ).withColumn("p2", 1 / (1 + F.exp(-F.col("m2"))))
+    xent = lambda y, p: -y * F.log(p) - (1 - y) * F.log(1 - p)  # noqa: E731
+    l1 = s1.agg(F.round(F.avg(xent(F.col("y"), F.col("p1"))), 4).alias("loss1"))
+    l2 = s2.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(xent(F.col("y"), F.col("p2"))), 4).alias("loss2"),
+        F.round(
+            F.avg(
+                F.when((F.col("m2") > 0) == (F.col("y") > 0.5), 1.0).otherwise(0.0)
+            ),
+            4,
+        ).alias("train_acc"),
+    )
+    return l2.crossJoin(F.broadcast(l1)).select(
+        "n",
+        F.round(F.log(F.lit(2.0)), 4).alias("loss0"),
+        "loss1",
+        "loss2",
+        "train_acc",
+    )

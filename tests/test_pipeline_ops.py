@@ -152,3 +152,15 @@ def test_asof_tolerance_nulls_stale_matches(spark):
             # and the stale/missing base match really was out of window
             if b.click_ts is not None:
                 assert (b.purchase_ts - b.click_ts).total_seconds() > hour
+
+
+def test_logreg_probe_learns(spark):
+    import math
+
+    row = all_queries()["q_logreg_probe"].fn(spark, SF).collect()[0]
+    assert math.isclose(row.loss0, round(math.log(2), 4), abs_tol=1e-9)
+    # gradient descent on a convex loss from w=0 with a sane step: strictly
+    # non-increasing, and the probe beats coin-flip accuracy
+    assert row.loss1 <= row.loss0
+    assert row.loss2 <= row.loss1
+    assert 0.5 <= row.train_acc <= 1.0

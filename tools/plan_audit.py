@@ -55,6 +55,9 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   cross-joined into the HAVING filter (Q11's scalar subquery shape).
 # - q_zorder_layout: the (pmax, smax) range pack is ONE broadcast row
 #   cross-joined into the map-only bucket/interleave projection.
+# - q_logreg_probe: the weight vector (64 doubles) and the loss scalars are
+#   ONE-row broadcast packs cross-joined into map-only scoring — the
+#   k-means centroid pattern.
 # - q_mixture_temperature: same 1-row (total, normalizer) scalar pack as
 #   q_data_mixture.
 BNLJ_ALLOWED = {
@@ -64,6 +67,7 @@ BNLJ_ALLOWED = {
     "q_tpch_topsupplier",
     "q_tpch_importance",
     "q_zorder_layout",
+    "q_logreg_probe",
     "q_fuzzy_match",
     "q_sim_topk",
     "q_sim_ivf",
