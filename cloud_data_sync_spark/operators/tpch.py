@@ -726,16 +726,19 @@ WITH val AS (
   WHERE n.n_name = 'NATION_5'
   GROUP BY l.l_partkey
 ),
-tot AS (SELECT sum(value) AS total FROM val)
+tot AS (SELECT sum(value) AS total, count(*) AS n_parts FROM val)
 SELECT v.partkey, round(v.value, 2) AS value
 FROM val v CROSS JOIN tot t
-WHERE v.value > 0.001 * t.total
+WHERE v.value > 2.0 * t.total / t.n_parts
 """,
     doc=(
         "TPC-H Q11 important stock: per-part shipped value from one "
-        "nation's suppliers, keeping parts above a fixed fraction of "
-        "the nation total (value = quantity × retail price — the "
-        "corpus has no partsupp availqty/supplycost). The HAVING-"
+        "nation's suppliers, keeping parts above 2× the mean part value "
+        "(the original's fixed 0.0001 fraction is calibrated to TPC-H's "
+        "part count; a fixed fraction goes vacuous as parts grow with "
+        "sf, so the threshold is expressed scale-free — value = "
+        "quantity × retail price; the corpus has no partsupp "
+        "availqty/supplycost). The HAVING-"
         "against-global-sum becomes a ONE-row total pack cross-joined "
         "into the filter (whitelisted scalar pattern); the per-part "
         "agg is the only data-bearing exchange — supplier+nation and "
@@ -759,10 +762,10 @@ def q_tpch_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
     )
-    tot = val.agg(F.sum("value").alias("total"))
+    tot = val.agg(F.sum("value").alias("total"), F.count("*").alias("n_parts"))
     return (
         val.crossJoin(F.broadcast(tot))
-        .filter(F.col("value") > F.lit(0.001) * F.col("total"))
+        .filter(F.col("value") > F.lit(2.0) * F.col("total") / F.col("n_parts"))
         .select("partkey", F.round("value", 2).alias("value"))
     )
 
