@@ -164,3 +164,49 @@ def test_logreg_probe_learns(spark):
     assert row.loss1 <= row.loss0
     assert row.loss2 <= row.loss1
     assert 0.5 <= row.train_acc <= 1.0
+
+
+def test_tokenizer_contract_cross_engine_fuzz(spark):
+    """The corpus-wide tokenizer contract (operators/tokens.py): Spark's
+    split(trim(lower(text)), '\\s+') and DuckDB's
+    string_split_regex(trim(lower(text)), '\\s+') must agree token-for-token
+    on adversarial inputs — unicode whitespace, empty strings, repeated
+    separators, punctuation runs (the r3-advice divergence class)."""
+    import duckdb
+
+    from cloud_data_sync_spark.operators.tokens import low_toks
+
+    cases = [
+        "",
+        " ",
+        "   \t  \n ",
+        "plain words here",
+        "  leading and trailing  ",
+        "tab\tseparated\ttokens",
+        "newline\nseparated\nlines",
+        "mixed \t\n whitespace   runs",
+        "UPPER lower MiXeD",
+        "punct, marks! and? symbols#",
+        "unicode café naïve über",
+        "cjk 中文 tokens",
+        "emoji \U0001f600 token",
+        "single",
+        "a b c d e f g",
+        "nbsp inside",  # U+00A0 is NOT \s in either engine's ASCII class
+        "ideographic　space",  # U+3000 likewise
+    ]
+    sdf = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, text string")
+    got = {
+        r.i: [t for t in r.toks if t != ""]
+        for r in sdf.select("i", low_toks().alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cases (i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO cases VALUES (?, ?)", list(enumerate(cases)))
+    want = {
+        r[0]: [t for t in r[1] if t != ""]
+        for r in con.execute(
+            r"SELECT i, string_split_regex(trim(lower(text)), '\s+') FROM cases"
+        ).fetchall()
+    }
+    assert got == want
