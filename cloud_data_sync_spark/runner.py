@@ -41,8 +41,14 @@ from cloud_data_sync_spark.sources.listing import (
     ensure_bucket_exists,
     list_objects,
     list_objects_binaryfile,
+    provider_conf,
 )
-from cloud_data_sync_spark.sync import ACTION_COPY, ACTION_DELETE, sync_diff
+from cloud_data_sync_spark.sync import (
+    ACTION_COPY,
+    ACTION_DELETE,
+    ACTION_SKIP,
+    sync_diff,
+)
 
 
 # Structured logging: one JSON record per mapping/run — the reference's
@@ -71,16 +77,40 @@ class SyncReport:
         return sum(v for k, v in self.counts.items() if k.endswith("_failed"))
 
 
-def _bucket_root(cfg: Config, provider_id: str, bucket: str) -> str:
-    """Resolve a (provider, bucket) pair to a URI root. Local/minio endpoints
-    map to file: paths for tests; real deployments point at s3a://gs://abfss
-    URIs — same code path (factory.go:24-77 collapses to this lookup)."""
+def _provider(cfg: Config, provider_id: str) -> dict:
     for p in cfg.providers:
         if p.get("id") == provider_id:
-            for key in ("minioConfig", "awsConfig", "gcsConfig", "azureConfig"):
-                endpoint = (p.get(key) or {}).get("endpoint")
-                if endpoint:
-                    return f"{endpoint.rstrip('/')}/{bucket}"
+            return p
+    return {}
+
+
+def _bucket_root(cfg: Config, provider_id: str, bucket: str) -> str:
+    """Resolve a (provider, bucket) pair to a URI root with the scheme the
+    provider type implies (factory.go:24-77 collapses to this lookup):
+
+    - aws/minio → ``s3a://bucket`` (the endpoint — a custom S3 API host —
+      is Hadoop conf, applied by ``provider_conf``, NOT part of the URI);
+    - gcs → ``gs://bucket``; azure → ``abfss://container@account...``;
+    - a path-like endpoint (``file:/...`` or a bare filesystem path, the
+      test fixture form) keeps mapping to ``endpoint/bucket``.
+
+    Falling back to the bare bucket name would resolve it RELATIVE to the
+    default FS working directory — an almost-certainly-absent path whose
+    empty listing the empty-source guard below would then have to catch."""
+    p = _provider(cfg, provider_id)
+    ptype = p.get("type")
+    for key in ("minioConfig", "awsConfig", "gcsConfig", "azureConfig"):
+        endpoint = (p.get(key) or {}).get("endpoint")
+        if endpoint and not endpoint.startswith(("http://", "https://")):
+            return f"{endpoint.rstrip('/')}/{bucket}"
+    if ptype in ("aws", "minio"):
+        return f"s3a://{bucket}"
+    if ptype == "gcs":
+        return f"gs://{bucket}"
+    if ptype == "azure":
+        account = (p.get("azureConfig") or {}).get("accountName")
+        if account:
+            return f"abfss://{bucket}@{account}.dfs.core.windows.net/"
     return bucket
 
 
@@ -125,14 +155,37 @@ def sync_buckets(
     mapping: BucketMapping,
     state_path: str,
     distributed_listing: bool = False,
+    allow_empty_source: bool = False,
 ) -> SyncReport:
     mid = mapping.mapping_id
     src_root = _bucket_root(cfg, mapping.source_provider_id, mapping.source_bucket)
     tgt_root = _bucket_root(cfg, mapping.target_provider_id, mapping.target_bucket)
 
+    # 0. apply both providers' credentials/endpoints onto the Hadoop conf —
+    # without this the s3a/abfss roots built above cannot authenticate
+    # (the reference's factory.NewFactory client construction, collapsed
+    # to session configuration)
+    provider_conf(spark, _provider(cfg, mapping.source_provider_id))
+    provider_conf(spark, _provider(cfg, mapping.target_provider_id))
+
     # 1. catalogs (metadata only — no payload reads)
     src = _catalog(spark, src_root, mid, distributed_listing)
     tgt = _catalog(spark, tgt_root, mid, distributed_listing)
+
+    # SAFETY GATE: an empty SOURCE combined with a non-empty target/state
+    # turns the whole plan into deletes. A typo'd bucket URI, an unmounted
+    # volume, or a transient lister bug must not wipe the target — the
+    # reference has the same blast radius and no guard (sync.go:199-234);
+    # we refuse instead. A genuinely emptied source is actioned by
+    # explicitly passing allow_empty_source=True.
+    if not allow_empty_source and src.limit(1).count() == 0:
+        tgt_has = tgt.limit(1).count() > 0
+        if tgt_has:
+            raise RuntimeError(
+                f"mapping {mid}: source listing at {src_root!r} is EMPTY but "
+                f"the target is not — refusing the all-delete plan. Pass "
+                f"allow_empty_source=True if the source was genuinely emptied."
+            )
 
     # ensure target root exists (EnsureBucketExists, sync.go:88-91) —
     # Hadoop FS path, so cloud schemes work, not just file:
@@ -172,11 +225,16 @@ def sync_buckets(
 
     # 5. report (the counters the reference logs, sync.go:166-170, 231-233)
     counts = count_actions(results)
-    skipped = plan.filter(F.col("action") == "skip").count()
+    skipped = plan.filter(F.col("action") == ACTION_SKIP).count()
     if skipped:
         counts["skip"] = skipped
 
     state_mod.save_state(new_state, state_path)
+    # dynamic overwrite cannot clear a partition with no rows in the write;
+    # if this mapping's state just emptied, remove its stale files so the
+    # deleted rows don't resurrect on the next load (state.py doc)
+    if new_state.filter(F.col("mapping_id") == mid).limit(1).count() == 0:
+        state_mod.clear_mapping_partition(spark, state_path, mid)
     _log_event(logging.INFO, "mapping_synced", mapping_id=mid, counts=counts)
     return SyncReport(mapping_id=mid, counts=counts)
 
@@ -186,13 +244,21 @@ def sync_all(
     cfg: Config,
     state_path: str,
     distributed_listing: bool = False,
+    allow_empty_source: bool = False,
 ) -> list[SyncReport]:
     """FOREACH mapping, continue-on-error (sync.go:32-53)."""
     reports = []
     for mapping in cfg.mappings:
         try:
             reports.append(
-                sync_buckets(spark, cfg, mapping, state_path, distributed_listing)
+                sync_buckets(
+                    spark,
+                    cfg,
+                    mapping,
+                    state_path,
+                    distributed_listing,
+                    allow_empty_source,
+                )
             )
         except Exception as e:  # noqa: BLE001 - per-mapping isolation
             reports.append(

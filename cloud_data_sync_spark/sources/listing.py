@@ -78,7 +78,19 @@ def provider_conf(spark: SparkSession, provider: dict) -> None:
                 f"fs.azure.account.key.{cfg['accountName']}.blob.core.windows.net",
                 cfg["accountKey"],
             )
-    # gcs: fs.gs.* via service-account json keyfile conf; nothing to do for file:
+            conf.set(
+                f"fs.azure.account.key.{cfg['accountName']}.dfs.core.windows.net",
+                cfg["accountKey"],
+            )
+    elif ptype == "gcs":
+        cfg = provider.get("gcsConfig") or {}
+        if cfg.get("credentialsFile"):
+            conf.set("google.cloud.auth.service.account.enable", "true")
+            conf.set(
+                "google.cloud.auth.service.account.json.keyfile",
+                cfg["credentialsFile"],
+            )
+    # nothing to do for file:
 
 
 def ensure_bucket_exists(spark: SparkSession, root_uri: str) -> bool:
@@ -199,7 +211,16 @@ def list_objects_binaryfile(
 
     Column-prunes to metadata unless ``with_content`` — Spark's binaryFile
     reader only materializes ``content`` when the column is referenced, so
-    the metadata-only plan never reads payload bytes."""
+    the metadata-only plan never reads payload bytes.
+
+    KNOWN DIVERGENCE from ``list_objects``: Spark's file index filters
+    hidden entries (names starting with ``_`` or ``.``, at any depth)
+    with no conf to disable, so such objects are INVISIBLE to this
+    lister while the driver-side lister (and the reference's
+    ListObjects) returns them. A bucket relying on dot-/underscore-
+    prefixed keys must use the default driver-side listing; do NOT flip
+    a mapping between modes across ticks or those objects will oscillate
+    between synced and delete-candidates."""
     df = spark.read.format("binaryFile").option("recursiveFileLookup", "true").load(
         root_uri
     )

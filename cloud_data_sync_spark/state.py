@@ -93,8 +93,8 @@ def _read_marker(path: str, spark: SparkSession | None = None) -> str | None:
     fs = jpath.getFileSystem(hconf)
     if not fs.exists(jpath):
         return None
-    def _read() -> str:
-        stream = fs.open(jpath)
+    def _read(handle) -> str:
+        stream = handle.open(jpath)
         try:
             # InputStream.readAllBytes (Java 9+) → py4j returns Python bytes
             return bytes(stream.readAllBytes()).decode("utf-8")
@@ -102,16 +102,22 @@ def _read_marker(path: str, spark: SparkSession | None = None) -> str | None:
             stream.close()
 
     try:
-        return _read()
+        return _read(fs)
     except Exception:  # noqa: BLE001
         # External writers (an operator's editor, an older engine) update
         # the marker without refreshing ChecksumFileSystem's .crc sibling;
-        # the gate must still see actual content, so retry unverified.
-        fs.setVerifyChecksum(False)
+        # the gate must still see actual content, so retry unverified — on
+        # a PRIVATE FileSystem instance: setVerifyChecksum on the shared
+        # JVM-cached one would silently disable checksum verification for
+        # every concurrent reader of this scheme during the window.
+        fs2 = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+            jpath.toUri(), hconf
+        )
         try:
-            return _read()
+            fs2.setVerifyChecksum(False)
+            return _read(fs2)
         finally:
-            fs.setVerifyChecksum(True)
+            fs2.close()
 
 
 def check_state_version(path: str, spark: SparkSession | None = None) -> None:
@@ -178,12 +184,18 @@ def state_exists(spark: SparkSession, path: str) -> bool:
 
 
 def load_state(spark: SparkSession, path: str) -> DataFrame:
-    """Load the state table, or an empty frame if it doesn't exist yet."""
+    """Load the state table, or an empty frame if it doesn't exist yet.
+
+    ONLY a cleanly-absent path reads as empty. An existing-but-unreadable
+    table (transient I/O, auth, corrupt footer) must RAISE: swallowing it
+    would classify every source object as 'new' and re-copy the bucket —
+    the same first-run-vs-failure distinction the listing path enforces
+    (runner._catalog).
+    """
     check_state_version(path, spark)
-    try:
-        return spark.read.schema(STATE_SCHEMA).parquet(path)
-    except Exception:  # noqa: BLE001 - missing path on first run
+    if not state_exists(spark, path):
         return empty_state(spark)
+    return spark.read.schema(STATE_SCHEMA).parquet(path)
 
 
 def upsert(existing: DataFrame, updates: DataFrame) -> DataFrame:
@@ -228,6 +240,34 @@ def save_state(state: DataFrame, path: str) -> None:
         .parquet(path)
     )
     _write_state_version(path, state.sparkSession)
+
+
+def clear_mapping_partition(spark: SparkSession, path: str, mapping_id: str) -> None:
+    """Remove a mapping's partition directory outright.
+
+    Dynamic partition overwrite only rewrites partitions PRESENT in the
+    write; a mapping whose state became empty contributes no rows, so its
+    old files would survive the save and resurrect deleted state rows on
+    the next load. Callers invoke this after save_state whenever the new
+    state holds zero rows for a mapping that previously had some.
+    """
+    from urllib.parse import unquote
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return
+    # Partition directory names are Spark-escaped (%-hex for ':', '=', …),
+    # so the raw mapping_id cannot be joined into a path — list and
+    # unescape instead (the escaping is percent-encoding, which unquote
+    # reverses exactly).
+    prefix = "mapping_id="
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith(prefix) and unquote(name[len(prefix):]) == mapping_id:
+            fs.delete(status.getPath(), True)
 
 
 def state_for_mapping(state: DataFrame, mapping_id: str) -> DataFrame:

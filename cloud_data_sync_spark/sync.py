@@ -56,14 +56,22 @@ def sync_diff(src: DataFrame, tgt: DataFrame, state: DataFrame) -> DataFrame:
         F.col("etag").alias("st_etag"),
         F.col("last_modified").alias("st_last_modified"),
         F.col("sync_status").alias("st_sync_status"),
+        # row-presence marker: 'no state row' must be tested on a column
+        # that is NEVER null in a real row — sync_status is nullable in
+        # STATE_SCHEMA, so using it as the proxy would misclassify a
+        # present-but-null-status row as 'new' (and diverge from the
+        # oracle's st.object_name IS NULL test)
+        F.lit(True).alias("_st_present"),
     )
 
     # Null-safe comparisons: a state row with NULL etag/last_modified must
     # classify as changed (the reference resyncs such objects, sync.go:111-114);
     # plain != yields NULL, falls through every when(), and would mis-land on
-    # 'unchanged' → skip.
+    # 'unchanged' → skip. (The status check deliberately keeps plain-!=
+    # fall-through semantics: the oracle's `st.sync_status <> 'success'`
+    # behaves identically on NULL.)
     reason = (
-        F.when(F.col("st_sync_status").isNull(), F.lit("new"))
+        F.when(F.col("_st_present").isNull(), F.lit("new"))
         .when(~F.col("st_etag").eqNullSafe(F.col("etag")), F.lit("etag_changed"))
         .when(
             ~F.col("st_last_modified").eqNullSafe(F.col("last_modified")),
@@ -299,7 +307,10 @@ FROM plan2 GROUP BY mapping_id, action, reason
 def q_sync_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base_catalog(load_table(spark, sf_dir, "orders"))
     k = F.col("k")
-    src, _tgt, _state = synthetic_catalogs(spark, sf_dir)
+    # tick-1 source = the same filter synthetic_catalogs applies; derived
+    # from the ONE base frame here rather than calling synthetic_catalogs,
+    # which would load and project the orders table a second time
+    src = base.filter(k % 50 != 0).drop("k")
     state2 = src.select(
         "mapping_id",
         "object_name",

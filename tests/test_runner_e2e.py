@@ -317,3 +317,65 @@ def test_removed_source_metadata_clears_from_target(spark, env):
     ct, md = object_meta_local(str(tgt / "a.txt"))
     assert ct == "text/x-custom"
     assert md == {}, f"stale metadata survived the overwrite: {md}"
+
+
+def test_empty_source_with_nonempty_target_refuses_mass_delete(spark, env):
+    """A typo'd or unmounted source lists empty; the plan would then delete
+    every target object. The guard refuses unless explicitly overridden."""
+    import shutil as _shutil
+
+    cfg, src, tgt, state_path = env
+    sync_all(spark, cfg, state_path)
+    assert (tgt / "a.txt").exists()
+
+    _shutil.rmtree(src)
+    src.mkdir(parents=True)
+    # guarded call: mapping fails, target untouched
+    reports = sync_all(spark, cfg, state_path)
+    assert reports[0].counts.get("mapping_failed") == 1
+    assert (tgt / "a.txt").exists()
+    # explicit override: the emptied source is actioned
+    reports = sync_all(spark, cfg, state_path, allow_empty_source=True)
+    assert reports[0].counts.get("delete_success", 0) >= 2
+    assert not (tgt / "a.txt").exists()
+
+
+def test_emptied_mapping_state_partition_is_cleared(spark, env):
+    """Dynamic overwrite cannot clear a no-rows partition; the runner must
+    delete it so removed state rows don't resurrect on the next load."""
+    import shutil as _shutil
+
+    cfg, src, tgt, state_path = env
+    sync_all(spark, cfg, state_path)
+    mid = cfg.mappings[0].mapping_id
+    assert (
+        state_mod.load_state(spark, state_path)
+        .filter(f"mapping_id = '{mid}'")
+        .count()
+        > 0
+    )
+
+    _shutil.rmtree(src)
+    src.mkdir(parents=True)
+    sync_all(spark, cfg, state_path, allow_empty_source=True)
+    remaining = state_mod.load_state(spark, state_path).filter(
+        f"mapping_id = '{mid}'"
+    )
+    assert remaining.count() == 0, "deleted state rows resurrected"
+
+
+def test_load_state_raises_on_unreadable_table(spark, tmp_path):
+    """Absent path -> empty state; present-but-corrupt table must RAISE,
+    not silently classify the whole corpus as 'new'."""
+    import pytest as _pytest
+
+    state_path = str(tmp_path / "state")
+    assert state_mod.load_state(spark, state_path).count() == 0
+
+    import os as _os
+
+    _os.makedirs(f"{state_path}/mapping_id=m", exist_ok=True)
+    with open(f"{state_path}/mapping_id=m/part-corrupt.parquet", "wb") as f:
+        f.write(b"this is not parquet")
+    with _pytest.raises(Exception):
+        state_mod.load_state(spark, state_path).collect()
