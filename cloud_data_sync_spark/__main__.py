@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
         "(for very large buckets; default is driver-side listing)",
     )
     p.add_argument(
+        "--allow-empty-source",
+        action="store_true",
+        help="permit a sync whose SOURCE lists empty while the target has "
+        "objects (the implied plan deletes everything on the target; "
+        "without this flag such a mapping fails instead)",
+    )
+    p.add_argument(
         "--state-path",
         default=None,
         help="state-table directory (default: <config.database_path>.parquet)",
@@ -64,7 +71,11 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.once:
             reports = sync_all(
-                spark, cfg, state_path, args.distributed_listing
+                spark,
+                cfg,
+                state_path,
+                args.distributed_listing,
+                args.allow_empty_source,
             )
         else:
             reports = [
@@ -75,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
                     state_path,
                     interval_sec=args.interval,
                     distributed_listing=args.distributed_listing,
+                    allow_empty_source=args.allow_empty_source,
                 )
                 for r in tick
             ]

@@ -281,6 +281,7 @@ def run_continuous(
     max_ticks: int | None = None,
     stop_file: str | None = None,
     distributed_listing: bool = False,
+    allow_empty_source: bool = False,
 ) -> list[list[SyncReport]]:
     """main.go:85-115: initial run + fixed-interval re-runs until stopped.
 
@@ -304,7 +305,9 @@ def run_continuous(
         previous = {}
 
     try:
-        all_reports = [sync_all(spark, cfg, state_path, distributed_listing)]
+        all_reports = [
+            sync_all(spark, cfg, state_path, distributed_listing, allow_empty_source)
+        ]
         ticks = 1
         while (
             (max_ticks is None or ticks < max_ticks)
@@ -317,7 +320,9 @@ def run_continuous(
                 time.sleep(min(0.2, max(0.0, deadline - time.monotonic())))
             if stop_requested or (stop_file and os.path.exists(stop_file)):
                 break
-            all_reports.append(sync_all(spark, cfg, state_path, distributed_listing))
+            all_reports.append(
+                sync_all(spark, cfg, state_path, distributed_listing, allow_empty_source)
+            )
             ticks += 1
         return all_reports
     finally:
