@@ -26,6 +26,23 @@ from pyspark.sql import functions as F
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table
 
+# Codec availability, probed ONCE at import: a per-row failed `import PIL`
+# would pay a full sys.path scan per payload inside the mapInPandas hot
+# loop (failed imports are not cached in sys.modules).
+import importlib.util as _ilu
+
+HAS_PIL = _ilu.find_spec("PIL") is not None
+
+
+def media_type_of(doc_id_col):
+    """The ONE doc_id -> media_type mapping (mirrors the oracle CASE);
+    binary_table and q_multimodal_dedup must never drift apart on it."""
+    return (
+        F.when(doc_id_col % 3 == 0, F.lit("image/png"))
+        .when(doc_id_col % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+
 FEATURE_SCHEMA = (
     "doc_id long, byte_len long, n_frames long, head_checksum long, codec string"
 )
@@ -38,10 +55,7 @@ def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("content"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
-        .otherwise(F.lit("video/mp4"))
-        .alias("media_type"),
+        media_type_of(F.col("doc_id")).alias("media_type"),
         "n_chars",
     )
 
@@ -51,12 +65,11 @@ def decode_payload(content: bytes, media_type: str) -> dict:
     container; when they are, replace the fake branch per media_type.
     The fake is deterministic: frame count and checksum derive only from
     the bytes."""
-    try:  # pragma: no cover - codec libs absent by design
-        import PIL  # noqa: F401
-
+    if HAS_PIL:  # pragma: no cover - codec libs absent by design
+        # the real decode path is intentionally unwired; fail loudly and
+        # ONCE-per-task-visible rather than silently faking when a codec
+        # is actually available
         raise NotImplementedError("real image decode path not wired in this container")
-    except ImportError:
-        pass
     head = content[:8]
     return {
         "byte_len": len(content),
@@ -242,10 +255,7 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # media_type derives from the NEW doc_id, matching the oracle's CASE
     bt = base.unionByName(copies).withColumn(
-        "media_type",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
-        .otherwise(F.lit("video/mp4")),
+        "media_type", media_type_of(F.col("doc_id"))
     )
     return (
         bt.select("doc_id", "media_type", F.md5("content").alias("content_md5"))

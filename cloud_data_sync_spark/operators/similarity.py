@@ -29,6 +29,17 @@ from cloud_data_sync_spark.tables import load_table, spread
 N_PLANES = 8
 DIM = 64
 TOP_K = 5
+
+
+def _rank_topk(scored):
+    """THE per-query ranking contract, shared by all three ANN variants:
+    rank by cosine descending with vec_id tiebreak, keep rank <= TOP_K.
+    One definition so a tiebreak/dtype change cannot diverge per family."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
 # Query set: vec_id % 100 == 0 AND vec_id < QUERY_CAP — at most
 # QUERY_CAP/QUERY_MOD queries regardless of corpus size, so the broadcast of
 # the query side is a constant, not a corpus fraction (round-1 verdict:
@@ -112,11 +123,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return _rank_topk(pairs)
 
 
 def _plane_signs() -> list[list[float]]:
@@ -225,11 +232,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return _rank_topk(scored)
 
 
 @register(
@@ -367,11 +370,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return _rank_topk(scored)
 
 
 @register(

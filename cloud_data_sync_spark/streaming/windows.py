@@ -112,12 +112,16 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "value",
+        # full microsecond precision: cast-to-long truncates to SECONDS,
+        # which under-measures a gap like 1800.5s as 1800 and merges
+        # sessions the oracle's INTERVAL comparison splits (latent on the
+        # seed data, real on any dataset with a gap in (1800s, 1801s])
         F.when(
             prev.isNull()
             | (
-                F.col("ts").cast("timestamp").cast("long")
-                - prev.cast("timestamp").cast("long")
-                > 1800
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+                > 1800 * 1_000_000
             ),
             1,
         )

@@ -258,3 +258,38 @@ def test_tws_registration_matches_environment_gate():
     from cloud_data_sync_spark.streaming import tws
 
     assert ("q_stream_map_state" in all_queries()) == tws.tws_supported()
+
+
+def test_session_gap_uses_microsecond_precision(spark, tmp_path):
+    """A 1800.5s gap must START a new session: seconds-truncated epoch math
+    measured it as 1800 and merged what the oracle's INTERVAL comparison
+    splits (latent until a dataset has a gap inside (1800s, 1801s])."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from cloud_data_sync_spark.streaming.windows import q_stream_session
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0, 200000)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [
+                t0,
+                t0 + dt.timedelta(seconds=1800, microseconds=500000),  # 1800.5s
+                t0 + dt.timedelta(seconds=1800 + 1799),  # same session as #2
+            ],
+            "user_id": [7, 7, 7],
+            "event_type": ["click"] * 3,
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    rows.to_parquet(sf_dir / "events.parquet", index=False)
+    sessions = q_stream_session(spark, str(sf_dir)).collect()
+    assert len(sessions) == 2, f"1800.5s gap must split sessions, got {sessions}"
+    by_start = sorted(sessions, key=lambda r: r.session_start)
+    assert by_start[0].n_events == 1
+    assert by_start[1].n_events == 2
