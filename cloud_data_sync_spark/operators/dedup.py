@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.operators.tokens import low_toks
-from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import load_table, spread as _spread
 
 N_PERM = 16
@@ -373,8 +373,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_AUG_SQL},
 {_ORACLE_SIG_CTES}
 SELECT DISTINCT c.doc_a, c.doc_b,
-       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
+       floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+             * 10000) / 10000
          AS jaccard
 FROM cand c
 JOIN shl x ON x.doc_id = c.doc_a
@@ -403,7 +404,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size("shh_a") + F.size("shh_b") - F.size(F.array_intersect("shh_a", "shh_b"))
     return (
         pairs.select(
-            "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"),
+            "doc_a", "doc_b", floor_ratio(inter / union, 4).alias("jaccard"),
             (inter / union).alias("_raw"),
         )
         .filter(F.col("_raw") >= 0.5)
@@ -492,7 +493,7 @@ def connected_components(
     # over the checkpointed rows).
     ed = edges.selectExpr("a", "b").localCheckpoint(eager=True)
 
-    if ed.count() * 2 <= local_max_edges:
+    if ed.count() <= local_max_edges:
         return _cc_local(ed)
     sym = ed.union(ed.selectExpr("b AS a", "a AS b"))
     labels = (
@@ -531,6 +532,16 @@ def connected_components(
         labels = stepped.select("v", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with labels still moving means some chain is
+        # longer than 2*max_iter hops — returning the partial labels would
+        # silently emit cluster_ids that are NOT the component minimum.
+        # Fail loudly; the caller raises max_iter (or the threshold that
+        # produced so elongated a duplicate graph deserves a look).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing)"
+        )
     return labels
 
 
@@ -698,8 +709,8 @@ SELECT c.vec_a, c.vec_b, CAST(a.label AS BIGINT) AS label,
 FROM cand c
 JOIN n a ON a.vec_id = c.vec_a
 JOIN n b ON b.vec_id = c.vec_b AND b.label = a.label
-WHERE list_sum(list_transform(range(1, len(a.v) + 1),
-      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.4
+WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.4
 """
 
 
@@ -810,10 +821,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             "label",
             F.round(cos, 6).alias("cos_sim"),
-            cos.alias("_raw"),
         )
-        .filter(F.col("_raw") >= 0.4)
-        .drop("_raw")
+        # threshold on the ROUNDED value both engines emit: the raw dot
+        # product differs by ~1 ulp between numpy-einsum and the oracle's
+        # sequential list_sum, so a raw >= 0.4 filter could keep a
+        # boundary pair on one engine only
+        .filter(F.col("cos_sim") >= 0.4)
     )
 
 
@@ -823,10 +836,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_AUG_SQL},
 {_ORACLE_SIG_CTES}
 SELECT DISTINCT c.doc_a, c.doc_b,
-       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh), 4)
-         AS cont_a,
-       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh), 4)
-         AS cont_b
+       floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh)
+             * 10000) / 10000 AS cont_a,
+       floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh)
+             * 10000) / 10000 AS cont_b
 FROM cand c
 JOIN shl x ON x.doc_id = c.doc_a
 JOIN shl y ON y.doc_id = c.doc_b
@@ -861,8 +874,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             "doc_a",
             "doc_b",
-            F.round(cont_a, 4).alias("cont_a"),
-            F.round(cont_b, 4).alias("cont_b"),
+            floor_ratio(cont_a, 4).alias("cont_a"),
+            floor_ratio(cont_b, 4).alias("cont_b"),
             F.greatest(cont_a, cont_b).alias("_m"),
         )
         .filter(F.col("_m") >= 0.8)
@@ -883,8 +896,8 @@ SELECT CAST(e.label AS BIGINT) AS label,
          AS n_dropped,
        CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_kept,
-       round(CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-             / count(*), 6) AS drop_frac
+       floor(CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*) * 1000000) / 1000000 AS drop_frac
 FROM embeddings e
 LEFT JOIN dropped d ON d.vec_id = e.vec_id
 GROUP BY e.label
@@ -915,7 +928,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.sum(is_drop).cast("long").alias("n_dropped"),
         (F.count("*") - F.sum(is_drop)).cast("long").alias("n_kept"),
-        F.round(F.sum(is_drop).cast("double") / F.count("*"), 6).alias("drop_frac"),
+        floor_ratio(F.sum(is_drop).cast("double") / F.count("*"), 6).alias(
+            "drop_frac"
+        ),
     )
 
 
@@ -957,9 +972,9 @@ cand AS (
    AND CAST(least(a.n, b.n) AS DOUBLE) >= {_PF_T} * greatest(a.n, b.n)
 )
 SELECT c.doc_a, c.doc_b,
-       round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+       floor(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
              / (len(x.shs) + len(y.shs)
-                - len(list_intersect(x.shs, y.shs))), 4) AS jaccard
+                - len(list_intersect(x.shs, y.shs))) * 10000) / 10000 AS jaccard
 FROM cand c
 JOIN sets x ON x.doc_id = c.doc_a
 JOIN sets y ON y.doc_id = c.doc_b
@@ -1072,7 +1087,7 @@ def exact_jaccard_pairs(
         .join(y, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("_raw"))
         .filter(F.col("_raw") >= t)
-        .select("doc_a", "doc_b", F.round("_raw", 4).alias("jaccard"))
+        .select("doc_a", "doc_b", floor_ratio(F.col("_raw"), 4).alias("jaccard"))
     )
 
 
@@ -1117,8 +1132,8 @@ perpair AS (
   JOIN shl yy ON yy.doc_id = c.doc_b
 )
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-       round(avg(abs(est - exact)), 4) AS mean_abs_err,
-       round(max(abs(est - exact)), 4) AS max_abs_err
+       floor(avg(abs(est - exact)) * 10000) / 10000 AS mean_abs_err,
+       floor(max(abs(est - exact)) * 10000) / 10000 AS max_abs_err
 FROM perpair
 """,
     doc=(
@@ -1154,8 +1169,8 @@ def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.abs(F.col("est") - F.col("exact"))
     return per.agg(
         F.count("*").alias("n_pairs"),
-        F.round(F.avg(err), 4).alias("mean_abs_err"),
-        F.round(F.max(err), 4).alias("max_abs_err"),
+        floor_ratio(F.avg(err), 4).alias("mean_abs_err"),
+        floor_ratio(F.max(err), 4).alias("max_abs_err"),
     )
 
 
@@ -1207,7 +1222,8 @@ lsh AS (SELECT DISTINCT doc_a, doc_b FROM cand)
 SELECT CAST(count(*) AS BIGINT) AS n_true,
        CAST(sum(CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
          AS n_caught,
-       round(avg(CASE WHEN l.doc_a IS NULL THEN 0.0 ELSE 1.0 END), 4) AS recall
+       floor(avg(CASE WHEN l.doc_a IS NULL THEN 0.0 ELSE 1.0 END) * 10000)
+         / 10000 AS recall
 FROM truth t
 LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
 """,
@@ -1245,7 +1261,9 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.join(lsh, ["doc_a", "doc_b"], "left").agg(
         F.count("*").alias("n_true"),
         F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_caught"),
-        F.round(F.avg(F.coalesce("hit", F.lit(0)).cast("double")), 4).alias("recall"),
+        floor_ratio(
+            F.avg(F.coalesce("hit", F.lit(0)).cast("double")), 4
+        ).alias("recall"),
     )
 
 
@@ -1271,8 +1289,8 @@ SELECT c.doc_id,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
          AS n_shared,
-       round(CAST(sum(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-             / count(*), 6) AS shared_frac
+       floor(CAST(sum(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*) * 1000000) / 1000000 AS shared_frac
 FROM chunks c LEFT JOIN shared s ON s.h = c.h
 GROUP BY c.doc_id
 """,
@@ -1318,7 +1336,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum(F.coalesce("is_shared", F.lit(0))).cast("long").alias("n_shared"),
-            F.round(
+            floor_ratio(
                 F.sum(F.coalesce("is_shared", F.lit(0))).cast("double") / F.count("*"),
                 6,
             ).alias("shared_frac"),

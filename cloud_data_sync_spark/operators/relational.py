@@ -15,11 +15,11 @@ Reference parity notes are cited per-query (files under /root/reference).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import load_table
 
 
@@ -743,8 +743,8 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey,
        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       floor(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000) / 1000000 AS cume,
        round(coalesce(lead(o_totalprice) OVER w, 0.0), 2) AS next_price
 FROM orders
 WHERE o_custkey % 10 = 0
@@ -765,8 +765,10 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.ntile(4).over(w).cast("long").alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            # floor-truncated, not round(): rank ratios are dyadic (see
+            # registry.floor_ratio / the q_window_distribution fix)
+            floor_ratio(F.percent_rank().over(w), 6).alias("pct_rank"),
+            floor_ratio(F.cume_dist().over(w), 6).alias("cume"),
             F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)), 2).alias(
                 "next_price"
             ),
@@ -1036,7 +1038,7 @@ WITH stats AS (
 SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
        round((e.value - s.mu) / s.sd, 4) AS z
 FROM events e JOIN stats s USING (event_type)
-WHERE abs((e.value - s.mu) / s.sd) > 2.5
+WHERE abs(round((e.value - s.mu) / s.sd, 4)) > 2.5
 """,
     doc=(
         "Per-group z-score outlier detection: one aggregate pass computes "
@@ -1054,7 +1056,10 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) > 2.5)
+        # threshold the ROUNDED z both engines emit: mu/sd accumulate in
+        # different orders, so a raw |z| > 2.5 could keep an ulp-boundary
+        # row on one engine only
+        .filter(F.abs(F.round(z, 4)) > 2.5)
         .select(
             "event_id",
             "event_type",

@@ -27,6 +27,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def floor_ratio(expr, digits: int):
+    """Mode-free fixed-point truncation for emitted ratios (see module
+    docstring): ``floor(x * 10^d) / 10^d``. Use for ANY ratio whose
+    denominator can be dyadic (rank ratios, count fractions, set-overlap
+    ratios) — ``round()`` diverges between Spark (half-up) and DuckDB
+    (half-even) on the exact decimal halves such ratios produce. The SQL
+    twin is ``floor(x * 10^d) / 10^d`` verbatim."""
+    from pyspark.sql import functions as F
+
+    p = 10 ** digits
+    return F.floor(expr * p) / p
+
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
 

@@ -16,7 +16,9 @@ def test_lsh_recall_bounds_and_consistency(spark):
     if row.n_true:
         assert 0.0 <= row.recall <= 1.0
         assert math.isclose(
-            row.recall, round(row.n_caught / row.n_true, 4), abs_tol=1e-9
+            row.recall,
+            math.floor(row.n_caught / row.n_true * 10000) / 10000,
+            abs_tol=1e-9,
         )
     # exact copies are LSH-guaranteed (identical signatures collide in
     # every band), so recall over a corpus containing exact copies can
