@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import load_table
 
 # BPE-ish tokenization: word pieces + standalone punctuation — the
@@ -349,12 +349,12 @@ SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
              WHERE EXISTS (SELECT 1 FROM dim d
                            WHERE d.c_custkey = o.o_custkey)) AS BIGINT)
          AS n_true,
-       round(CAST((SELECT count(*) FROM passed)
+       floor(CAST((SELECT count(*) FROM passed)
                   - (SELECT count(*) FROM orders o
                      WHERE EXISTS (SELECT 1 FROM dim d
                                    WHERE d.c_custkey = o.o_custkey))
              AS DOUBLE)
-             / (SELECT count(*) FROM orders), 6) AS fp_rate
+             / (SELECT count(*) FROM orders) * 1000000) / 1000000 AS fp_rate
 """,
     doc=(
         "Bloom-filter semi-join pruning from relational primitives: the "
@@ -425,8 +425,9 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "n_passed",
             "n_true",
-            F.round(
-                (F.col("n_passed") - F.col("n_true")).cast("double") / F.col("n_orders"),
+            floor_ratio(
+                (F.col("n_passed") - F.col("n_true")).cast("double")
+                / F.col("n_orders"),
                 6,
             ).alias("fp_rate"),
         )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import load_table
 
 
@@ -543,8 +543,8 @@ WITH counts AS (
 ),
 tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total, count(*) AS n_keys FROM counts)
 SELECT c.l_suppkey, c.cnt,
-       round(c.cnt / t.total, 6) AS share,
-       round(c.cnt * t.n_keys / t.total, 4) AS x_mean
+       floor(c.cnt / t.total * 1000000) / 1000000 AS share,
+       floor(c.cnt * t.n_keys / t.total * 10000) / 10000 AS x_mean
 FROM counts c CROSS JOIN tot t
 ORDER BY c.cnt DESC, c.l_suppkey
 LIMIT 10
@@ -573,8 +573,10 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_suppkey",
             "cnt",
-            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
-            F.round(F.col("cnt") * F.col("n_keys") / F.col("total"), 4).alias("x_mean"),
+            floor_ratio(F.col("cnt") / F.col("total"), 6).alias("share"),
+            floor_ratio(
+                F.col("cnt") * F.col("n_keys") / F.col("total"), 4
+            ).alias("x_mean"),
         )
         .orderBy(F.desc("cnt"), "l_suppkey")
         .limit(10)
@@ -596,8 +598,8 @@ trans AS (
   GROUP BY prev_type, event_type
 )
 SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
-       round(CAST(n AS DOUBLE)
-             / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+       floor(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type) * 1000000) / 1000000 AS p
 FROM trans
 """,
     doc=(
@@ -626,7 +628,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(w_norm), 6).alias("p"),
+        floor_ratio(F.col("n").cast("double") / F.sum("n").over(w_norm), 6).alias(
+            "p"
+        ),
     )
 
 

@@ -34,7 +34,7 @@ from cloud_data_sync_spark.operators.dedup import (
     augmented_documents,
 )
 from cloud_data_sync_spark.operators.tokens import low_toks
-from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import load_table
 
 
@@ -238,8 +238,8 @@ SELECT t.source,
        CAST(count(*) AS BIGINT) AS total_tokens,
        CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS oov_tokens,
-       round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS oov_rate
+       floor(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000) / 1000000 AS oov_rate
 FROM toks t LEFT JOIN vocab v ON v.term = t.term
 GROUP BY t.source
 """,
@@ -274,7 +274,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("total_tokens"),
             F.sum(oov).cast("long").alias("oov_tokens"),
-            F.round(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
+            floor_ratio(F.sum(oov).cast("double") / F.count("*"), 6).alias(
+                "oov_rate"
+            ),
         )
     )
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.operators.tokens import low_toks
-from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import load_table
 
 # Tiny embedded stopword lexicons for the n-gram/stopword language-ID
@@ -183,11 +183,13 @@ WITH feats AS (
   FROM documents
 )
 SELECT doc_id, lang, n_tokens, n_punct,
-       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-       round(CAST(n_punct AS DOUBLE) / n_len, 6) AS punct_ratio,
-       round(least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
-             + least(CAST(n_stop AS DOUBLE) / n_tokens * 10.0, 1.0) * 0.5, 6)
-         AS quality_score
+       floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000) / 1000000
+         AS stopword_ratio,
+       floor(CAST(n_punct AS DOUBLE) / n_len * 1000000) / 1000000
+         AS punct_ratio,
+       floor((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+              + least(CAST(n_stop AS DOUBLE) / n_tokens * 10.0, 1.0) * 0.5)
+             * 1000000) / 1000000 AS quality_score
 FROM feats
 """,
     doc="Quality scoring: length/punct/stopword-ratio features + composite score.",
@@ -223,9 +225,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_tokens",
         "n_punct",
-        F.round(stop_d / tok_d, 6).alias("stopword_ratio"),
-        F.round(F.col("n_punct").cast("double") / F.col("n_len"), 6).alias("punct_ratio"),
-        F.round(
+        # floor-truncated, not round(): per-doc count ratios are dyadic
+        # when a doc has 2^a*5^b tokens/chars (registry.floor_ratio)
+        floor_ratio(stop_d / tok_d, 6).alias("stopword_ratio"),
+        floor_ratio(F.col("n_punct").cast("double") / F.col("n_len"), 6).alias(
+            "punct_ratio"
+        ),
+        floor_ratio(
             F.least(tok_d / 64.0, F.lit(1.0)) * 0.5
             + F.least(stop_d / tok_d * 10.0, F.lit(1.0)) * 0.5,
             6,
@@ -424,10 +430,12 @@ top AS (
 )
 SELECT bg.doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS dup_token_frac,
-       round(1.0 - len(list_distinct(bgs)) / CAST(len(bgs) AS DOUBLE), 6)
-         AS dup_bigram_frac,
-       round(top_c / CAST(len(bgs) AS DOUBLE), 6) AS top_bigram_frac
+       floor((1.0 - n_distinct / CAST(n_tokens AS DOUBLE)) * 1000000)
+         / 1000000 AS dup_token_frac,
+       floor((1.0 - len(list_distinct(bgs)) / CAST(len(bgs) AS DOUBLE))
+             * 1000000) / 1000000 AS dup_bigram_frac,
+       floor(top_c / CAST(len(bgs) AS DOUBLE) * 1000000) / 1000000
+         AS top_bigram_frac
 FROM bg JOIN top USING (doc_id)
 """,
     doc=(
@@ -480,13 +488,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
-        F.round(1.0 - F.size(F.array_distinct(F.col("t"))) / n_d, 6).alias(
+        floor_ratio(1.0 - F.size(F.array_distinct(F.col("t"))) / n_d, 6).alias(
             "dup_token_frac"
         ),
-        F.round(1.0 - F.size(F.array_distinct(F.col("bg"))) / nb_d, 6).alias(
+        floor_ratio(1.0 - F.size(F.array_distinct(F.col("bg"))) / nb_d, 6).alias(
             "dup_bigram_frac"
         ),
-        F.round(top_c / nb_d, 6).alias("top_bigram_frac"),
+        floor_ratio(top_c / nb_d, 6).alias("top_bigram_frac"),
     )
 
 

@@ -42,9 +42,13 @@ def test_repetition_fractions(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, [(1, "a a a b", "en", "s", 7)])
     r = q_text_repetition(spark, sf).collect()[0]
     assert r.n_tokens == 4
+    import math
+
+    # fractions are floor-truncated to 6 dp (registry.floor_ratio), not
+    # rounded — mode-free so Spark and DuckDB agree on dyadic ratios
     assert float(r.dup_token_frac) == 0.5
-    assert float(r.dup_bigram_frac) == round(1 - 2 / 3, 6)
-    assert float(r.top_bigram_frac) == round(2 / 3, 6)
+    assert float(r.dup_bigram_frac) == math.floor((1 - 2 / 3) * 1e6) / 1e6
+    assert float(r.top_bigram_frac) == math.floor(2 / 3 * 1e6) / 1e6
 
 
 def test_repetition_distinct_doc_is_zero(spark, tmp_path):
