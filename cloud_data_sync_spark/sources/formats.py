@@ -76,6 +76,7 @@ def compact_table(
     dst_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
+    schema: str | None = None,
 ) -> int:
     """Small-files compaction: rewrite ``src_path`` into ``dst_path`` with
     file counts sized to ``target_file_bytes``; returns the output file
@@ -101,12 +102,22 @@ def compact_table(
     fs = jpath.getFileSystem(jconf)
     total_bytes = fs.getContentSummary(jpath).getLength()
     n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil div
-    df = read_table(spark, src_path, fmt=fmt)
-    df.coalesce(n_files).write.format(fmt).mode("error").save(dst_path)
+    # schema passes through for csv/json (read_table requires it there —
+    # without the parameter, half the FORMATS could never be compacted)
+    df = read_table(spark, src_path, fmt=fmt, schema=schema)
+    writer = df.coalesce(n_files).write.format(fmt).mode("error")
+    if fmt == "csv":
+        # mirror write_table's option: a headerless compacted output would
+        # lose its first data row to the header-consuming reader
+        writer = writer.option("header", "true")
+    writer.save(dst_path)
     dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    # the DESTINATION's own filesystem: reusing the source-scheme fs
+    # throws "Wrong FS" when src and dst live on different schemes
+    dst_fs = dst.getFileSystem(jconf)
     out = [
         f
-        for f in fs.listStatus(dst)
+        for f in dst_fs.listStatus(dst)
         if f.isFile() and not f.getPath().getName().startswith("_")
     ]
     return len(out)

@@ -33,18 +33,55 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 # plan cache: building a scan DataFrame costs a driver round-trip for footer
-# schema inference; queries re-load the same tables constantly. Keyed per
-# session so stale sessions never leak across tests.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# schema inference; queries re-load the same tables constantly. Keyed by the
+# session's applicationId (unique per SparkContext — id() can be reused
+# after GC) plus the file's (size, mtime) vintage so an in-session rewrite
+# misses the cache instead of returning a stale file index. Entries of
+# stopped sessions are purged on each miss.
+_PLAN_CACHE: dict[tuple[str, str, str, tuple], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 - stopped/odd sessions: no caching
+        return f"id-{id(spark)}"
+
+
+def _file_vintage(path: str) -> tuple:
+    try:
+        st = os.stat(path.replace("file://", "").replace("file:", ""))
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return ()
+
+
+def _purge_dead_sessions() -> None:
+    dead = []
+    for k, df in _PLAN_CACHE.items():
+        try:
+            if df.sparkSession.sparkContext._jsc is None:
+                dead.append(k)
+        except Exception:  # noqa: BLE001
+            dead.append(k)
+    for k in dead:
+        _PLAN_CACHE.pop(k, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    key = (id(spark), sf_dir, name)
+    # The conf re-pin below must run on EVERY call, cache hit included — a
+    # harness that flips session timeZone between calls would otherwise
+    # render cached ltz timestamps in the wrong zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (_session_key(spark), sf_dir, name, _file_vintage(table_path(sf_dir, name)))
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    _purge_dead_sessions()
     # External harnesses hand us vanilla SparkSessions that never went through
     # get_spark(), so the two confs correctness depends on are (re)pinned here
     # at read time — both are runtime-settable:
@@ -55,9 +92,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #   and the bigint branch stays dormant;
     # - session timeZone: collected timestamps render in session tz, and the
     #   DuckDB oracle compares against naive-UTC wall times.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # (both confs were already pinned above, before the cache lookup)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong — truncate ns → µs exactly as
@@ -86,12 +121,13 @@ def load_tables(
 # packing arithmetic happens once per table vintage per session, and a
 # rewritten file (same path, new size) misses the cache instead of reusing
 # a stale estimate. File-less frames never enter the cache.
-_SPREAD_CACHE: dict[tuple[int, tuple[tuple[str, int], ...]], int] = {}
+_SPREAD_CACHE: dict[tuple[str, tuple[tuple[str, int], ...]], int] = {}
 
 
 _BYTE_SUFFIX = {
-    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
     "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
 }
 
 
@@ -104,10 +140,12 @@ def _parse_bytes(s: str, default: int) -> int:
     while i > 0 and not s[i - 1].isdigit():
         i -= 1
     num, suffix = s[:i], s[i:]
-    if not num:
+    if not num or suffix not in _BYTE_SUFFIX:
+        # unknown unit = unparseable: fall back to the documented default
+        # rather than silently treating the number as raw bytes
         return default
     try:
-        return int(num) * _BYTE_SUFFIX.get(suffix, 1)
+        return int(num) * _BYTE_SUFFIX[suffix]
     except ValueError:
         return default
 
@@ -126,12 +164,16 @@ def _estimated_scan_splits(df: DataFrame) -> int:
         # its RDD partition count is available without the physical-planning
         # cost the listing path exists to avoid.
         return df.rdd.getNumPartitions()
+    from urllib.parse import unquote
+
     local = []
     for f in files:
+        # inputFiles() returns percent-encoded URIs; decode so paths with
+        # spaces/special chars stat correctly instead of contributing 0
         if f.startswith("file:"):
-            local.append(f[len("file:"):])
+            local.append(unquote(f[len("file:"):]))
         elif "://" not in f:
-            local.append(f)
+            local.append(unquote(f))
         else:
             # non-local FS: can't stat cheaply; assume the scan already
             # parallelizes (real clusters list >= cores splits)
@@ -144,7 +186,7 @@ def _estimated_scan_splits(df: DataFrame) -> int:
             sizes.append(0)
     # sizes participate in the key so files rewritten in-session at the
     # same path don't reuse a stale split estimate
-    key = (id(spark), tuple(sorted(zip(local, sizes))))
+    key = (_session_key(spark), tuple(sorted(zip(local, sizes))))
     cached = _SPREAD_CACHE.get(key)
     if cached is not None:
         return cached

@@ -92,3 +92,46 @@ def test_compact_table_respects_target_size(spark, tmp_path):
     target = total // 3
     n = compact_table(spark, src, dst, target_file_bytes=target)
     assert n == -(-total // target)
+
+
+def test_compact_csv_with_schema(spark, tmp_path):
+    """compact_table must work for every member of FORMATS — csv/json need
+    the schema passed through (read_table requires it for those)."""
+    from cloud_data_sync_spark.sources.formats import compact_table
+
+    nation = load_table(spark, SF_DIR, "nation")
+    src = str(tmp_path / "csv_src")
+    write_table(nation, src, "csv")
+    n = compact_table(
+        spark, src, str(tmp_path / "csv_out"), fmt="csv", schema=SCHEMA
+    )
+    assert n >= 1
+    back = read_table(spark, str(tmp_path / "csv_out"), "csv", schema=SCHEMA)
+    assert back.count() == nation.count()
+
+
+def test_parse_bytes_unknown_suffix_falls_back(spark):
+    from cloud_data_sync_spark.tables import _parse_bytes
+
+    assert _parse_bytes("128m", 1) == 128 << 20
+    assert _parse_bytes("1pb", 7) == 1 << 50
+    assert _parse_bytes("12xyz", 42) == 42  # unknown unit -> default
+    assert _parse_bytes("", 42) == 42
+
+
+def test_plan_cache_misses_after_rewrite(spark, tmp_path):
+    """Rewriting a table in-session must invalidate the plan cache (the
+    cache key carries the file's size+mtime vintage)."""
+    import shutil
+
+    from cloud_data_sync_spark.tables import load_table as lt
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy(f"{SF_DIR}/nation.parquet", sf / "nation.parquet")
+    first = lt(spark, str(sf), "nation").count()
+    # rewrite with fewer rows
+    lt(spark, SF_DIR, "nation").limit(3).toPandas().to_parquet(
+        sf / "nation.parquet", index=False
+    )
+    assert lt(spark, str(sf), "nation").count() == 3 != first
