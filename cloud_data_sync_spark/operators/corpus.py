@@ -442,3 +442,66 @@ def q_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dup_df).cast("double") / F.sum("df").cast("double"), 6
         ).alias("dup_mass"),
     )
+
+
+@register(
+    "q_token_budget",
+    oracle="""
+WITH grp AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM grp)
+SELECT source, lang, n_docs, n_tokens,
+       floor(n_tokens / CAST(t AS DOUBLE) * 1000000) / 1000000 AS share,
+       floor(CAST(sum(n_tokens) OVER
+               (ORDER BY n_tokens DESC, source, lang) AS DOUBLE)
+             / t * 1000000) / 1000000 AS cum_share,
+       CAST(CASE WHEN CAST(sum(n_tokens) OVER
+                    (ORDER BY n_tokens DESC, source, lang) AS DOUBLE)
+                    - n_tokens < 0.9 * t
+            THEN 1 ELSE 0 END AS BIGINT) AS in_budget
+FROM grp, tot
+""",
+    doc=(
+        "Token-budget accounting: per-(source, lang) token totals with "
+        "descending cumulative share and a 90%%-budget membership flag — "
+        "the report a training-data pipeline produces before committing "
+        "a mixture (which sources fund the token budget, which are "
+        "long-tail). ONE corpus hash agg (token counts are map-only "
+        "size(split()) expressions — no explode; partials combine "
+        "map-side) onto a bounded group set (sources x langs — a config "
+        "cardinality, not a data cardinality), then a 1-row total pack "
+        "and a running-sum window over that bounded aggregate (the "
+        "q_vocab pattern: windows over config-bounded sets are "
+        "single-partition by construction and stay KB-sized at any "
+        "corpus scale). Ratios truncated via floor 1e-6 (dyadic-safe); "
+        "the budget flag compares exact integer cumulative sums against "
+        "0.9*total with strict <, identical arithmetic on both engines."
+    ),
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grp = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(low_toks())).cast("long").alias("n_tokens"),
+    )
+    tot = grp.agg(F.sum("n_tokens").alias("t"))
+    w = Window.orderBy(F.desc("n_tokens"), "source", "lang")
+    cum = F.sum("n_tokens").over(w).cast("double")
+    td = F.col("t").cast("double")
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        floor_ratio(F.col("n_tokens") / td, 6).alias("share"),
+        floor_ratio(cum / F.col("t"), 6).alias("cum_share"),
+        F.when(cum - F.col("n_tokens") < 0.9 * F.col("t"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("in_budget"),
+    )

@@ -714,25 +714,12 @@ WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
 """
 
 
-@register(
-    "q_dedup_embedding",
-    oracle=_embedding_oracle(),
-    doc=(
-        "Embedding near-dup: cosine ≥ 0.4 over pairs blocked on (label, "
-        "hyperplane-LSH band). Label blocking alone is quadratic within a "
-        "hot label at corpus scale (round-1 verdict); adding the LSH band "
-        "as a second blocking key (2 bands × 4 planes of the similarity "
-        "module's 8-plane signature) bounds bucket size at ~N_label/2^4 per "
-        "band — the standard recall/cost LSH trade, deterministic on both "
-        "engines. The dot product is the hot loop, so it runs as a "
-        "vectorized Arrow pandas UDF (numpy einsum over the batch matrix — "
-        "measured ~5× the interpreted zip_with/aggregate HOF at 200k pairs). "
-        "Products of float-origin doubles are exact; only the 64-term add "
-        "order differs from the oracle's sequential sum, ulp-level noise "
-        "absorbed by the 6 dp rounding."
-    ),
-)
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, label, cos_sim) for every (label × LSH-band) candidate
+    pair, cosine rounded to 6 dp — the shared pair pipeline behind
+    q_dedup_embedding (threshold consumer) and q_sim_knn_graph (top-k
+    consumer). One definition so the blocking keys and the rounding
+    contract cannot diverge between the two."""
     from cloud_data_sync_spark.operators.similarity import _bucket_col
 
     @F.pandas_udf("double")
@@ -815,18 +802,39 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_b",
     )
     cos = _pair_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-    return (
-        pairs.select(
-            "vec_a",
-            "vec_b",
-            "label",
-            F.round(cos, 6).alias("cos_sim"),
-        )
-        # threshold on the ROUNDED value both engines emit: the raw dot
-        # product differs by ~1 ulp between numpy-einsum and the oracle's
-        # sequential list_sum, so a raw >= 0.4 filter could keep a
-        # boundary pair on one engine only
-        .filter(F.col("cos_sim") >= 0.4)
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        "label",
+        F.round(cos, 6).alias("cos_sim"),
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=_embedding_oracle(),
+    doc=(
+        "Embedding near-dup: cosine ≥ 0.4 over pairs blocked on (label, "
+        "hyperplane-LSH band). Label blocking alone is quadratic within a "
+        "hot label at corpus scale (round-1 verdict); adding the LSH band "
+        "as a second blocking key (2 bands × 4 planes of the similarity "
+        "module's 8-plane signature) bounds bucket size at ~N_label/2^4 per "
+        "band — the standard recall/cost LSH trade, deterministic on both "
+        "engines. The dot product is the hot loop, so it runs as a "
+        "vectorized Arrow pandas UDF (numpy einsum over the batch matrix — "
+        "measured ~5× the interpreted zip_with/aggregate HOF at 200k pairs). "
+        "Products of float-origin doubles are exact; only the 64-term add "
+        "order differs from the oracle's sequential sum, ulp-level noise "
+        "absorbed by the 6 dp rounding."
+    ),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold on the ROUNDED value both engines emit: the raw dot
+    # product differs by ~1 ulp between numpy-einsum and the oracle's
+    # sequential list_sum, so a raw >= 0.4 filter could keep a
+    # boundary pair on one engine only
+    return embedding_candidate_cosines(spark, sf_dir).filter(
+        F.col("cos_sim") >= 0.4
     )
 
 

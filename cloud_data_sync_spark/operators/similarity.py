@@ -565,3 +565,81 @@ def q_embedding_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("d"), 6).alias("max_dist"),
         )
     )
+
+
+@register(
+    "q_sim_knn_graph",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+{_ORACLE_SIG},
+bands AS (
+  SELECT vec_id, 0 AS band_id, substr(bucket, 1, 4) AS band_sig FROM sig
+  UNION ALL
+  SELECT vec_id, 1, substr(bucket, 5, 4) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+              AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_sum(list_transform(range(1, len(a.v) + 1),
+               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM cand c
+  JOIN n a ON a.vec_id = c.vec_a
+  JOIN n b ON b.vec_id = c.vec_b AND b.label = a.label
+),
+sym AS (
+  SELECT vec_a AS vec_id, vec_b AS nbr_id, cos_sim FROM scored
+  UNION ALL
+  SELECT vec_b, vec_a, cos_sim FROM scored
+)
+SELECT vec_id, nbr_id, cos_sim, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rn
+  FROM sym
+) WHERE rn <= 3
+""",
+    doc=(
+        "Approximate kNN graph over the embedding corpus: top-3 cosine "
+        "neighbors per vector among its (label x LSH-band) candidates — "
+        "the input artifact for graph-based semantic dedup (SemDeDup "
+        "clustering), label-propagation QA, and kNN-classifier eval. "
+        "Reuses the SAME candidate pipeline as q_dedup_embedding "
+        "(dedup.embedding_candidate_cosines: pair keys shuffle ~16 B/row, "
+        "vectors attach after pair-dedup, einsum pandas-UDF cosine), so "
+        "the graph is consistent with the dedup pass by construction. "
+        "Symmetrization is a union of two projections of the SAME pair "
+        "set (each pair scored once, emitted twice); the per-vector "
+        "ranking window partitions on vec_id — bounded partitions "
+        "(candidates per vector are capped by the LSH bucket size "
+        "~N_label/2^4), no global sort. Ranking is by the 6 dp-rounded "
+        "cosine with nbr_id tiebreak, the module-wide cross-engine "
+        "ranking contract."
+    ),
+)
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.operators.dedup import embedding_candidate_cosines
+
+    pairs = embedding_candidate_cosines(spark, sf_dir).select(
+        "vec_a", "vec_b", "cos_sim"
+    )
+    sym = pairs.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("nbr_id"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("nbr_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )

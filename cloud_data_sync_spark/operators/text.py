@@ -566,10 +566,11 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_ngram_lm",
-    oracle="""
-WITH base AS (
+# Shared bigram-LM scoring CTEs: q_ngram_lm emits the per-doc scores,
+# q_perplexity_buckets consumes them for the head/middle/tail split. One
+# SQL definition so the two oracles cannot diverge on the LM estimator.
+_LM_SCORE_CTES = """
+base AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents
 ),
@@ -583,15 +584,25 @@ cab AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2),
 ca AS (
   SELECT w, count(*) AS n_a
   FROM (SELECT unnest(t) AS w FROM base) GROUP BY w
+),
+lm_scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln(n_ab / CAST(n_a AS DOUBLE))), 4) AS avg_logp
+  FROM bg
+  JOIN cab USING (w1, w2)
+  JOIN ca ON ca.w = bg.w1
+  WHERE doc_id % 10 = 0
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(ln(n_ab / CAST(n_a AS DOUBLE))), 4) AS avg_logp
-FROM bg
-JOIN cab USING (w1, w2)
-JOIN ca ON ca.w = bg.w1
-WHERE doc_id % 10 = 0
-GROUP BY doc_id
+"""
+
+
+@register(
+    "q_ngram_lm",
+    oracle=f"""
+WITH {_LM_SCORE_CTES}
+SELECT doc_id, n_bigrams, avg_logp FROM lm_scored
 """,
     doc=(
         "Bigram language-model scoring (CCNet-style LM quality filter): "
@@ -1203,3 +1214,195 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings"),
     )
     return posting.orderBy(F.desc("df"), "term").limit(100)
+
+
+# BM25 parameters (the Robertson/Lucene defaults) and a fixed query-term
+# set drawn from the corpus vocabulary. Literal terms keep the query
+# deterministic; in production the terms arrive as a broadcast config dim
+# with the identical plan shape.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "table", "join")
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len(t)) AS avgdl FROM base
+),
+tf AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         CAST(len(list_filter(t, x -> x = '{_BM25_TERMS[0]}')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(t, x -> x = '{_BM25_TERMS[1]}')) AS BIGINT) AS tf2,
+         CAST(len(list_filter(t, x -> x = '{_BM25_TERMS[2]}')) AS BIGINT) AS tf3
+  FROM base
+),
+hits AS (SELECT * FROM tf WHERE tf1 + tf2 + tf3 > 0),
+dfs AS (
+  SELECT CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+  FROM hits
+),
+scored AS (
+  SELECT doc_id, tf1 + tf2 + tf3 AS n_hits,
+         round(
+           (CASE WHEN tf1 > 0 THEN
+              ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+              * tf1 * ({_BM25_K1} + 1)
+              / (tf1 + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+            ELSE 0 END)
+         + (CASE WHEN tf2 > 0 THEN
+              ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+              * tf2 * ({_BM25_K1} + 1)
+              / (tf2 + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+            ELSE 0 END)
+         + (CASE WHEN tf3 > 0 THEN
+              ln(1 + (n_docs - df3 + 0.5) / (df3 + 0.5))
+              * tf3 * ({_BM25_K1} + 1)
+              / (tf3 + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+            ELSE 0 END), 6) AS score
+  FROM hits, stats, dfs
+)
+SELECT doc_id, n_hits, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+""",
+    doc=(
+        "BM25 full-text ranking: top-20 documents for a fixed query-term "
+        "set under the Robertson/Lucene formulation (idf = ln(1 + (N - df "
+        "+ 0.5)/(df + 0.5)), k1=1.2, b=0.75 length normalization). "
+        "Entirely join-free on the corpus side: per-term frequencies are "
+        "map-only array_size(filter(tokens)) expressions (no explode, no "
+        "per-term shuffle), the (N, avgdl) and (df1..df3) statistics are "
+        "two ONE-row broadcast packs cross-joined back (the q_tfidf "
+        "scalar pattern), and the top-20 compiles to "
+        "TakeOrderedAndProject. Determinism: every score input is an "
+        "integer or an exact integer-sum average, the per-term expression "
+        "order is fixed, and terms sum in fixed left-to-right order — the "
+        "6 dp rounding is belt-and-braces, not load-bearing. At 100 TB "
+        "the same plan serves: the scan is the only corpus pass and the "
+        "packs stay constant-size."
+    ),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = low_toks()
+    base = docs.select("doc_id", F.size(t).cast("long").alias("dl"), t.alias("t"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    def _eq(term: str):
+        # one-arg lambda via closure: a `term=term` default would make
+        # pyspark's HOF introspection treat it as an (element, index)
+        # two-arg lambda and bind `term` to the array index
+        return lambda x: x == term
+
+    tf_cols = [
+        F.size(F.filter("t", _eq(term))).cast("long").alias(f"tf{i + 1}")
+        for i, term in enumerate(_BM25_TERMS)
+    ]
+    hits = base.select("doc_id", "dl", *tf_cols).filter(
+        sum(F.col(f"tf{i + 1}") for i in range(len(_BM25_TERMS))) > 0
+    )
+    dfs = hits.agg(
+        *[
+            F.sum((F.col(f"tf{i + 1}") > 0).cast("long")).alias(f"df{i + 1}")
+            for i in range(len(_BM25_TERMS))
+        ]
+    )
+    joined = hits.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i + 1}")
+        df_t = F.col(f"df{i + 1}")
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        norm = tf + _BM25_K1 * (
+            1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return F.when(tf > 0, idf * tf * (_BM25_K1 + 1) / norm).otherwise(
+            F.lit(0.0)
+        )
+
+    score = F.round(term_score(0) + term_score(1) + term_score(2), 6)
+    n_hits = sum(F.col(f"tf{i + 1}") for i in range(len(_BM25_TERMS)))
+    return (
+        joined.select(
+            "doc_id", n_hits.cast("long").alias("n_hits"), score.alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q_perplexity_buckets",
+    oracle=f"""
+WITH {_LM_SCORE_CTES},
+b AS (
+  SELECT [round(quantile_cont(avg_logp, 1.0/3), 6),
+          round(quantile_cont(avg_logp, 2.0/3), 6)] AS bs
+  FROM lm_scored
+),
+bucketed AS (
+  SELECT doc_id, avg_logp,
+         len(list_filter(b.bs, x -> x < avg_logp)) AS bk
+  FROM lm_scored, b
+)
+SELECT CASE bk WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(avg_logp), 4) AS mean_logp,
+       min(avg_logp) AS min_logp,
+       max(avg_logp) AS max_logp
+FROM bucketed GROUP BY 1
+""",
+    doc=(
+        "CCNet-style perplexity bucketing: documents scored by the "
+        "corpus bigram LM (the exact q_ngram_lm pipeline — one shared "
+        "definition) are split into head/middle/tail tertiles by LM "
+        "score, the standard quality-stratification step before "
+        "mixture sampling (head = most fluent under the LM). The "
+        "tertile boundaries come from ONE aggregation and enter the "
+        "plan as a broadcast 1-row array (the q_histogram_equidepth "
+        "shape — no global sort, no unpartitioned window over data); "
+        "bucket assignment is a map-only strict-less-than count. "
+        "Cross-engine determinism: scores are 4 dp-rounded BEFORE the "
+        "quantile pass, so both engines interpolate over bit-identical "
+        "inputs; boundaries are rounded to 6 dp (interpolation at "
+        "f ∈ {{0, 1/3, 2/3}} between 1e-4-grid values yields 7th-digit "
+        "expansions of 0/3/6 — never the half-digit where Spark and "
+        "DuckDB rounding modes diverge) so interpolation-formula ulp "
+        "noise cannot move a document across a bucket edge."
+    ),
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q_ngram_lm(spark, sf_dir).select("doc_id", "avg_logp")
+    bounds = scored.agg(
+        F.transform(
+            F.percentile("avg_logp", F.lit([1.0 / 3, 2.0 / 3])),
+            lambda x: F.round(x, 6),
+        ).alias("bs")
+    )
+    bk = F.size(F.filter("bs", lambda x: x < F.col("avg_logp")))
+    label = (
+        F.when(bk == 2, "head").when(bk == 1, "middle").otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(bounds))
+        .select("doc_id", "avg_logp", label.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("avg_logp"), 4).alias("mean_logp"),
+            F.min("avg_logp").alias("min_logp"),
+            F.max("avg_logp").alias("max_logp"),
+        )
+    )

@@ -1,0 +1,144 @@
+"""Semantic tests for the retrieval/quality-stratification additions:
+BM25 ranking, perplexity bucketing, token-budget accounting, and the
+approximate kNN graph."""
+
+from __future__ import annotations
+
+import math
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    from cloud_data_sync_spark.registry import all_queries
+
+    return all_queries()[name].fn(spark, SF).collect()
+
+
+def test_bm25_ranking_invariants(spark):
+    rows = _run(spark, "q_bm25")
+    assert 0 < len(rows) <= 20
+    scores = [r.score for r in rows]
+    # driver returns in plan order for TakeOrderedAndProject; sort-check
+    # on the (score desc, doc_id) contract
+    assert scores == sorted(scores, reverse=True) or [
+        (-r.score, r.doc_id) for r in rows
+    ] == sorted((-r.score, r.doc_id) for r in rows)
+    for r in rows:
+        assert r.n_hits >= 1
+        assert r.score > 0.0
+
+
+def test_bm25_score_matches_reference_formula(spark):
+    """Recompute one returned doc's score from raw corpus counts."""
+    from cloud_data_sync_spark.operators.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = _run(spark, "q_bm25")
+    target = rows[0]
+    docs = [
+        (r.doc_id, r.text.strip().lower().split())
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    n_docs = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n_docs
+    hit_docs = [
+        (d, t) for d, t in docs if any(term in t for term in _BM25_TERMS)
+    ]
+    score = 0.0
+    tdoc = dict(docs)[target.doc_id]
+    for term in _BM25_TERMS:
+        tf = tdoc.count(term)
+        if not tf:
+            continue
+        df = sum(1 for _, t in hit_docs if term in t)
+        idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+        score += (
+            idf
+            * tf
+            * (_BM25_K1 + 1)
+            / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(tdoc) / avgdl))
+        )
+    assert math.isclose(target.score, round(score, 6), abs_tol=2e-6)
+
+
+def test_perplexity_buckets_partition_scored_docs(spark):
+    rows = _run(spark, "q_perplexity_buckets")
+    by = {r.bucket: r for r in rows}
+    assert set(by) <= {"head", "middle", "tail"}
+    scored = _run(spark, "q_ngram_lm")
+    assert sum(r.n_docs for r in rows) == len(scored)
+    # head = most fluent (highest mean log-prob); ordering must hold
+    # whenever both buckets are present
+    if "head" in by and "middle" in by:
+        assert by["head"].mean_logp >= by["middle"].mean_logp
+        assert by["head"].min_logp >= by["middle"].max_logp - 1e-9
+    if "middle" in by and "tail" in by:
+        assert by["middle"].mean_logp >= by["tail"].mean_logp
+        assert by["middle"].min_logp >= by["tail"].max_logp - 1e-9
+    for r in rows:
+        assert r.min_logp <= r.mean_logp + 1e-4
+        assert r.mean_logp <= r.max_logp + 1e-4
+
+
+def test_token_budget_shares_and_prefix_flag(spark):
+    rows = _run(spark, "q_token_budget")
+    assert rows
+    assert math.isclose(sum(r.share for r in rows), 1.0, abs_tol=1e-3)
+    ordered = sorted(rows, key=lambda r: (-r.n_tokens, r.source, r.lang))
+    cum = 0
+    total = sum(r.n_tokens for r in rows)
+    for r in ordered:
+        # in_budget is exactly "cumulative BEFORE this group < 90%"
+        assert r.in_budget == (1 if cum < 0.9 * total else 0)
+        cum += r.n_tokens
+        assert math.isclose(
+            r.cum_share, math.floor(cum / total * 1e6) / 1e6, abs_tol=1e-9
+        )
+    # cumulative share is nondecreasing and ends at ~1
+    assert math.isclose(ordered[-1].cum_share, 1.0, abs_tol=1e-5)
+    # the largest group is always inside the budget
+    assert ordered[0].in_budget == 1
+
+
+def test_knn_graph_ranks_and_dedup_consistency(spark):
+    rows = _run(spark, "q_sim_knn_graph")
+    assert rows
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.rank <= 3
+        assert r.nbr_id != r.vec_id
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vec_id, nbrs in by_vec.items():
+        nbrs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in nbrs] == list(range(1, len(nbrs) + 1))
+        keys = [(-r.cos_sim, r.nbr_id) for r in nbrs]
+        assert keys == sorted(keys)
+    # graph edges are the dedup pipeline's candidate pairs: every near-dup
+    # pair (cos >= 0.4) involving a vector must rank at least as high as
+    # that vector's rank-last neighbor
+    from cloud_data_sync_spark.registry import all_queries
+
+    dups = all_queries()["q_dedup_embedding"].fn(spark, SF).collect()
+    for d in dups:
+        nbrs = by_vec.get(d.vec_a)
+        assert nbrs, "near-dup member missing from kNN graph"
+        assert nbrs[-1].cos_sim <= d.cos_sim or any(
+            n.nbr_id == d.vec_b for n in nbrs
+        )
+
+
+def test_knn_graph_edge_symmetry_of_scores(spark):
+    """An edge present in both directions carries the same cosine (scored
+    once, emitted twice)."""
+    rows = _run(spark, "q_sim_knn_graph")
+    cos = {(r.vec_id, r.nbr_id): r.cos_sim for r in rows}
+    for (a, b), c in cos.items():
+        if (b, a) in cos:
+            assert cos[(b, a)] == c

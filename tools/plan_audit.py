@@ -60,7 +60,16 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   k-means centroid pattern.
 # - q_mixture_temperature: same 1-row (total, normalizer) scalar pack as
 #   q_data_mixture.
+# - q_bm25: the (n_docs, avgdl) and (df1..df3) statistics are two ONE-row
+#   broadcast packs cross-joined into the map-only scoring projection.
+# - q_perplexity_buckets: the tertile-boundary array is ONE broadcast row
+#   (the q_histogram_equidepth shape) cross-joined into bucket assignment.
+# - q_token_budget: the corpus token total is ONE broadcast row
+#   cross-joined into the per-group share projection.
 BNLJ_ALLOWED = {
+    "q_bm25",
+    "q_perplexity_buckets",
+    "q_token_budget",
     "q_data_mixture",
     "q_mixture_temperature",
     "q_tpch_dormant",
@@ -132,6 +141,12 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_funnel": {"require": ("partial_min",)},
     # LM scoring joins the count dims as broadcasts against the bigram scan
     "q_ngram_lm": {"require": ("BroadcastHashJoin",)},
+    # BM25: corpus side is one map-only scan (tf via array expressions, no
+    # explode → no per-term shuffle join) and the top-20 is a heap merge
+    "q_bm25": {
+        "require": ("TakeOrderedAndProject",),
+        "forbid": ("SortMergeJoin", "Generate"),
+    },
     # TPC-H shapes: map-side combine on Q1; broadcast dims + heap top-k on
     # Q3; all four dims broadcast on Q5 (the only shuffle join is the
     # orders⋈lineitem fact join)
