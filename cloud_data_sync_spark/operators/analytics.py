@@ -781,3 +781,60 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.01), 6) AS lo,
+         round(quantile_cont(value, 0.99), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       min(b.lo) AS p01,
+       max(b.hi) AS p99,
+       round(avg(e.value), 4) AS mean_raw,
+       round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS mean_winsor
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+""",
+    doc=(
+        "Winsorized robust scaling: per-event-type p01/p99 clipping of "
+        "the value column with a before/after report — the standard "
+        "feature-prep step that stops metric outliers (bot bursts, "
+        "sentinel values) from dominating downstream aggregates and "
+        "model features. The clip boundaries come from one per-group "
+        "percentile aggregation (exact here; approx_percentile's "
+        "t-digest is the drop-in at 100 TB with the identical plan "
+        "shape) and join back as a broadcast group-keyed dim (an "
+        "event-type-bounded pack — a BroadcastHashJoin, not a scalar "
+        "cross join); clipping is map-only least/greatest. Boundaries "
+        "are rounded to 6 dp on BOTH engines before comparison so "
+        "interpolation-formula ulp noise cannot flip a row's clip flag "
+        "(the q_perplexity_buckets contract)."
+    ),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.01)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("hi"),
+    )
+    j = ev.join(F.broadcast(b), "event_type")
+    clipped = F.least(F.greatest("value", F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clip_lo"),
+        F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clip_hi"),
+        F.min("lo").alias("p01"),
+        F.max("hi").alias("p99"),
+        F.round(F.avg("value"), 4).alias("mean_raw"),
+        F.round(F.avg(clipped), 4).alias("mean_winsor"),
+    )

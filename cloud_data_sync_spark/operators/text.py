@@ -99,10 +99,12 @@ def _lexicon_values_sql() -> str:
     return f"(VALUES {rows}) lex(cand_lang, word)"
 
 
-@register(
-    "q_lang_id",
-    oracle=f"""
-WITH toks AS (
+# Shared language-ID CTEs: q_lang_id emits the per-doc prediction,
+# q_lang_confusion aggregates it into the confusion matrix. One SQL
+# definition so the two oracles cannot diverge on the argmax rule.
+def _lang_id_ctes() -> str:
+    return f"""
+toks AS (
   SELECT doc_id, lang,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
   FROM documents
@@ -117,9 +119,19 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY n_hits DESC, cand_lang) AS rn
   FROM scores
+),
+lang_pred AS (
+  SELECT doc_id, lang, cand_lang AS pred_lang, n_hits
+  FROM ranked WHERE rn = 1
 )
-SELECT doc_id, lang, cand_lang AS pred_lang, n_hits
-FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+WITH {_lang_id_ctes()}
+SELECT doc_id, lang, pred_lang, n_hits FROM lang_pred
 """,
     doc=(
         "Stopword-lexicon language ID: per-doc hit counts against each "
@@ -1405,4 +1417,44 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("avg_logp").alias("min_logp"),
             F.max("avg_logp").alias("max_logp"),
         )
+    )
+
+
+@register(
+    "q_lang_confusion",
+    oracle=f"""
+WITH {_lang_id_ctes()}
+SELECT lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang)
+             AS DOUBLE) * 1000000) / 1000000 AS row_share
+FROM lang_pred
+GROUP BY lang, pred_lang
+""",
+    doc=(
+        "Language-ID confusion matrix: (declared lang x predicted lang) "
+        "counts plus each cell's share of its true-lang row — the "
+        "evaluation artifact that decides whether the lang-ID gate is "
+        "trustworthy enough to route documents (high off-diagonal mass "
+        "on a language = don't filter on it). Built on the exact "
+        "q_lang_id prediction (one shared argmax definition, map-only "
+        "per doc); the matrix aggregation is ONE hash agg onto a "
+        "langs^2-bounded group set, and the row-share window partitions "
+        "on lang over that bounded aggregate — KB-sized at any corpus "
+        "scale. Shares truncated via floor 1e-6: doc counts per cell "
+        "over row totals are exactly the dyadic-ratio shape where "
+        "round() diverges between engines."
+    ),
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = q_lang_id(spark, sf_dir)
+    cells = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        floor_ratio(
+            F.col("n") / F.sum("n").over(w).cast("double"), 6
+        ).alias("row_share"),
     )

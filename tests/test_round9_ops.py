@@ -142,3 +142,35 @@ def test_knn_graph_edge_symmetry_of_scores(spark):
     for (a, b), c in cos.items():
         if (b, a) in cos:
             assert cos[(b, a)] == c
+
+
+def test_lang_confusion_matches_lang_id(spark):
+    preds = _run(spark, "q_lang_id")
+    cells = _run(spark, "q_lang_confusion")
+    # cell counts must re-aggregate the per-doc predictions exactly
+    want: dict[tuple, int] = {}
+    for p in preds:
+        want[(p.lang, p.pred_lang)] = want.get((p.lang, p.pred_lang), 0) + 1
+    got = {(c.lang, c.pred_lang): c.n for c in cells}
+    assert got == want
+    # row shares sum to ~1 within each true lang (floor-truncated cells)
+    by_lang: dict[str, float] = {}
+    for c in cells:
+        by_lang[c.lang] = by_lang.get(c.lang, 0.0) + c.row_share
+    for lang, s in by_lang.items():
+        assert 1.0 - 1e-4 <= s <= 1.0 + 1e-9, (lang, s)
+
+
+def test_winsorize_bounds_and_means(spark):
+    rows = _run(spark, "q_winsorize")
+    assert rows
+    for r in rows:
+        assert r.p01 <= r.p99
+        # clipping can only pull the mean toward the [p01, p99] interval
+        assert r.p01 - 1e-9 <= r.mean_winsor <= r.p99 + 1e-9
+        assert r.n_clip_lo + r.n_clip_hi <= r.n
+        # ~1% tails: clip counts are a small fraction of the group
+        assert r.n_clip_lo <= max(3, 0.05 * r.n)
+        assert r.n_clip_hi <= max(3, 0.05 * r.n)
+        if r.n_clip_lo == 0 and r.n_clip_hi == 0:
+            assert math.isclose(r.mean_raw, r.mean_winsor, abs_tol=1e-9)
