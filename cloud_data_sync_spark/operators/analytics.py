@@ -838,3 +838,198 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("mean_raw"),
         F.round(F.avg(clipped), 4).alias("mean_winsor"),
     )
+
+
+@register(
+    "q_ab_welch",
+    oracle="""
+WITH s AS (
+  SELECT
+    CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_a,
+    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_b,
+    avg(CASE WHEN event_type = 'click' THEN value END) AS m_a,
+    avg(CASE WHEN event_type = 'view' THEN value END) AS m_b,
+    var_samp(CASE WHEN event_type = 'click' THEN value END) AS v_a,
+    var_samp(CASE WHEN event_type = 'view' THEN value END) AS v_b
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT n_a, n_b,
+       round(m_a, 4) AS mean_treat,
+       round(m_b, 4) AS mean_ctrl,
+       round(m_a - m_b, 4) AS mean_diff,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 3) AS t_stat,
+       round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1)
+                + pow(v_b / n_b, 2) / (n_b - 1)), 1) AS df_welch,
+       CAST(CASE WHEN abs(round((m_a - m_b)
+                  / sqrt(v_a / n_a + v_b / n_b), 3)) > 1.96
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM s
+""",
+    doc=(
+        "Experiment readout: Welch's unequal-variance t-test between a "
+        "treatment and control metric stream ('click' vs 'view' value "
+        "here; in production the arms arrive as an assignment column) — "
+        "the decision statistic an A/B pipeline computes over raw event "
+        "logs. ONE conditional aggregation with the arm filter pushed "
+        "to the scan: count/mean/var_samp for both arms ride the same "
+        "single-pass partial aggregates (no per-arm scan, no join, no "
+        "1-row cross pack — the t/df arithmetic is a projection over "
+        "the one-row aggregate). Welch-Satterthwaite df included. The "
+        "significance flag compares the ROUNDED t-statistic on both "
+        "engines, so variance ulp noise (different partial-merge orders) "
+        "cannot flip the decision."
+    ),
+)
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    is_t = F.col("event_type") == "click"
+    s = ev.agg(
+        F.count(F.when(is_t, 1)).alias("n_a"),
+        F.count(F.when(~is_t, 1)).alias("n_b"),
+        F.avg(F.when(is_t, F.col("value"))).alias("m_a"),
+        F.avg(F.when(~is_t, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(is_t, F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(~is_t, F.col("value"))).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    t = F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 3)
+    df_w = F.round(
+        F.pow(se2, 2)
+        / (
+            F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+            + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+        ),
+        1,
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_treat"),
+        F.round("m_b", 4).alias("mean_ctrl"),
+        F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
+        t.alias("t_stat"),
+        df_w.alias("df_welch"),
+        (F.abs(t) > 1.96).cast("long").alias("significant"),
+    )
+
+
+# PSI binning: fixed-width value bins (width 20, clamped to [0, 9]) and
+# +0.5 additive smoothing so empty bins cannot produce ln(0). Fixed bins
+# keep the op map-only; production swaps in stored training-time bin
+# edges with the identical plan.
+_PSI_BINS = 10
+_PSI_WIDTH = 20.0
+
+
+@register(
+    "q_psi_drift",
+    oracle=f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / {_PSI_WIDTH}), 0),
+                    {_PSI_BINS - 1}) AS BIGINT) AS bin
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY event_type, bin
+),
+grid AS (
+  SELECT e.event_type, b.bin, coalesce(c.c, 0) AS c
+  FROM (SELECT DISTINCT event_type FROM counts) e
+  CROSS JOIN range(0, {_PSI_BINS}) b(bin)
+  LEFT JOIN counts c ON c.event_type = e.event_type AND c.bin = b.bin
+),
+tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM grid
+  GROUP BY event_type
+),
+probs AS (
+  SELECT g.event_type, g.bin,
+         (g.c + 0.5) / (t.n + {_PSI_BINS} * 0.5) AS p
+  FROM grid g JOIN tot t USING (event_type)
+),
+base AS (SELECT bin, p AS q FROM probs WHERE event_type = 'view')
+SELECT p.event_type,
+       CAST(max(t.n) AS BIGINT) AS n_events,
+       round(sum((p.p - b.q) * ln(p.p / b.q)), 6) AS psi
+FROM probs p
+JOIN base b USING (bin)
+JOIN tot t ON t.event_type = p.event_type
+WHERE p.event_type <> 'view'
+GROUP BY p.event_type
+""",
+    doc=(
+        "Population-stability-index drift monitor: per-segment PSI of "
+        "the value distribution against a reference segment ('view' "
+        "here; in production the reference is the training-time "
+        "snapshot) — the standard gate that decides whether a feature "
+        "has drifted enough to block a model refresh (PSI > 0.2 rule "
+        "of thumb). Binning is a map-only fixed-width expression (bin "
+        "edges are plan constants — stored training edges in "
+        "production), counts are ONE hash agg onto a segments x 10-bin "
+        "bounded set, and the dense bin grid + reference join touch "
+        "only that bounded aggregate. +0.5 additive smoothing keeps "
+        "empty bins finite on both engines. PSI terms are ratios of "
+        "exact integers passed through identical ln/mul arithmetic; "
+        "the 10-term sum rounds at 6 dp (irrational ln values — not "
+        "the dyadic-halves shape)."
+    ),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bin_col = (
+        F.least(
+            F.greatest(F.floor(F.col("value") / _PSI_WIDTH), F.lit(0)),
+            F.lit(_PSI_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    counts = (
+        ev.select("event_type", bin_col)
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    # dense (segment × bin) grid via explode of a literal bin sequence —
+    # map-only Generate over the tiny distinct-segment set, no join
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(_PSI_BINS - 1).cast("long")
+                )
+            ).alias("bin"),
+        )
+        .join(counts, ["event_type", "bin"], "left")
+        .select("event_type", "bin", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = grid.groupBy("event_type").agg(F.sum("c").alias("n"))
+    probs = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        "n",
+        ((F.col("c") + 0.5) / (F.col("n") + _PSI_BINS * 0.5)).alias("p"),
+    )
+    base = (
+        probs.filter(F.col("event_type") == "view")
+        .select("bin", F.col("p").alias("q"))
+    )
+    return (
+        probs.filter(F.col("event_type") != "view")
+        .join(F.broadcast(base), "bin")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                6,
+            ).alias("psi"),
+        )
+    )

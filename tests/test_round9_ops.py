@@ -174,3 +174,77 @@ def test_winsorize_bounds_and_means(spark):
         assert r.n_clip_hi <= max(3, 0.05 * r.n)
         if r.n_clip_lo == 0 and r.n_clip_hi == 0:
             assert math.isclose(r.mean_raw, r.mean_winsor, abs_tol=1e-9)
+
+
+def test_ab_welch_readout(spark):
+    rows = _run(spark, "q_ab_welch")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert math.isclose(r.mean_diff, round(r.mean_treat - r.mean_ctrl, 4), abs_tol=2e-4)
+    assert r.df_welch > 0
+    # Welch df is bounded by n_a + n_b - 2
+    assert r.df_welch <= r.n_a + r.n_b - 2 + 0.5
+    assert r.significant == (1 if abs(r.t_stat) > 1.96 else 0)
+
+
+def test_ab_welch_against_scipy_free_recompute(spark):
+    """Recompute t from raw per-arm stats pulled directly off the table."""
+    import statistics
+
+    from cloud_data_sync_spark.tables import load_table
+
+    vals: dict[str, list] = {"click": [], "view": []}
+    for row in (
+        load_table(spark, SF, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        if row.event_type in vals:
+            vals[row.event_type].append(row.value)
+    a, b = vals["click"], vals["view"]
+    m_a, m_b = statistics.fmean(a), statistics.fmean(b)
+    v_a, v_b = statistics.variance(a), statistics.variance(b)
+    t = (m_a - m_b) / math.sqrt(v_a / len(a) + v_b / len(b))
+    r = _run(spark, "q_ab_welch")[0]
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert math.isclose(r.t_stat, round(t, 3), abs_tol=2e-3)
+
+
+def test_psi_drift_properties(spark):
+    rows = _run(spark, "q_psi_drift")
+    assert rows
+    types = {r.event_type for r in rows}
+    assert "view" not in types  # reference never scores itself
+    for r in rows:
+        # PSI is a sum of (p-q)ln(p/q) terms, each nonnegative
+        assert r.psi >= 0.0
+        assert r.n_events > 0
+
+
+def test_psi_drift_zero_for_identical_distribution(spark):
+    """PSI of a segment against itself must be exactly 0 — build the
+    probs pipeline manually for 'view' vs 'view'."""
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.operators.analytics import (
+        _PSI_BINS,
+        _PSI_WIDTH,
+    )
+    from cloud_data_sync_spark.tables import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.least(
+                F.greatest(F.floor(F.col("value") / _PSI_WIDTH), F.lit(0)),
+                F.lit(_PSI_BINS - 1),
+            ).alias("bin")
+        )
+    )
+    counts = ev.groupBy("bin").count().collect()
+    n = sum(r["count"] for r in counts)
+    probs = {r.bin: (r["count"] + 0.5) / (n + _PSI_BINS * 0.5) for r in counts}
+    psi = sum((p - p) * math.log(p / p) for p in probs.values())
+    assert psi == 0.0
