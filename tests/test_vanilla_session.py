@@ -25,10 +25,13 @@ def test_events_queries_pass_under_vanilla_session():
             "q_map_funcs",
             "q_stream_tumbling",
             "q_join_asof",
+            # percentile-over-events canary: exercises quantile
+            # interpolation + value hashing under the bare session
+            "q_winsorize",
         ],
         capture_output=True,
         text=True,
         timeout=420,
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
-    assert "4/4 queries match" in proc.stdout
+    assert "5/5 queries match" in proc.stdout
