@@ -685,24 +685,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_oracle() -> str:
-    # Reuses the similarity module's hyperplane-signature SQL so the oracle
-    # blocks on the exact same LSH bands as the Spark plan.
-    from cloud_data_sync_spark.operators.similarity import _ORACLE_SIG, _ORACLE_VECS
+    # Reuses the similarity module's hyperplane-signature AND band/cand SQL
+    # so the oracle blocks on the exact same LSH bands as the Spark plan
+    # (one fragment shared with q_sim_knn_graph's oracle — a banding change
+    # cannot desync the two).
+    from cloud_data_sync_spark.operators.similarity import (
+        _EMBEDDING_BANDS_CTES,
+        _ORACLE_SIG,
+        _ORACLE_VECS,
+    )
 
     return f"""
 WITH {_ORACLE_VECS},
 {_ORACLE_SIG},
-bands AS (
-  SELECT vec_id, 0 AS band_id, substr(bucket, 1, 4) AS band_sig FROM sig
-  UNION ALL
-  SELECT vec_id, 1, substr(bucket, 5, 4) FROM sig
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-              AND a.vec_id < b.vec_id
-)
+{_EMBEDDING_BANDS_CTES}
 SELECT c.vec_a, c.vec_b, CAST(a.label AS BIGINT) AS label,
        round(list_sum(list_transform(range(1, len(a.v) + 1),
              i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos_sim

@@ -567,11 +567,11 @@ def q_embedding_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_sim_knn_graph",
-    oracle=f"""
-WITH {_ORACLE_VECS},
-{_ORACLE_SIG},
+# Shared band/candidate CTEs for the embedding pair pipeline — used by
+# this module's kNN-graph oracle AND dedup._embedding_oracle, mirroring
+# the Spark-side single definition (dedup.embedding_candidate_cosines) so
+# a banding change cannot desync the two oracles.
+_EMBEDDING_BANDS_CTES = """
 bands AS (
   SELECT vec_id, 0 AS band_id, substr(bucket, 1, 4) AS band_sig FROM sig
   UNION ALL
@@ -582,7 +582,16 @@ cand AS (
   FROM bands a
   JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
               AND a.vec_id < b.vec_id
-),
+)
+"""
+
+
+@register(
+    "q_sim_knn_graph",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+{_ORACLE_SIG},
+{_EMBEDDING_BANDS_CTES},
 scored AS (
   SELECT c.vec_a, c.vec_b,
          round(list_sum(list_transform(range(1, len(a.v) + 1),
@@ -627,17 +636,26 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_candidate_cosines(spark, sf_dir).select(
         "vec_a", "vec_b", "cos_sim"
     )
+    # map-only symmetrization: explode a 2-element struct array so every
+    # pair is cosine-scored exactly once and emitted twice. (A union of
+    # two projections of `pairs` would compile to two physical branches —
+    # the candidate join and the pandas-UDF cosine would run twice.)
     sym = pairs.select(
-        F.col("vec_a").alias("vec_id"),
-        F.col("vec_b").alias("nbr_id"),
-        "cos_sim",
-    ).unionByName(
-        pairs.select(
-            F.col("vec_b").alias("vec_id"),
-            F.col("vec_a").alias("nbr_id"),
-            "cos_sim",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("vec_id"),
+                    F.col("vec_b").alias("nbr_id"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("vec_id"),
+                    F.col("vec_a").alias("nbr_id"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.vec_id", "e.nbr_id", "e.cos_sim")
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
     return (
         sym.withColumn("rank", F.row_number().over(w).cast("long"))

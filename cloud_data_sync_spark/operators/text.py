@@ -1244,9 +1244,6 @@ WITH base AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents
 ),
-stats AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len(t)) AS avgdl FROM base
-),
 tf AS (
   SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
          CAST(len(list_filter(t, x -> x = '{_BM25_TERMS[0]}')) AS BIGINT) AS tf1,
@@ -1254,13 +1251,14 @@ tf AS (
          CAST(len(list_filter(t, x -> x = '{_BM25_TERMS[2]}')) AS BIGINT) AS tf3
   FROM base
 ),
-hits AS (SELECT * FROM tf WHERE tf1 + tf2 + tf3 > 0),
-dfs AS (
-  SELECT CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
          CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
          CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
-  FROM hits
+  FROM tf
 ),
+hits AS (SELECT * FROM tf WHERE tf1 + tf2 + tf3 > 0),
 scored AS (
   SELECT doc_id, tf1 + tf2 + tf3 AS n_hits,
          round(
@@ -1279,7 +1277,7 @@ scored AS (
               * tf3 * ({_BM25_K1} + 1)
               / (tf3 + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
             ELSE 0 END), 6) AS score
-  FROM hits, stats, dfs
+  FROM hits, stats
 )
 SELECT doc_id, n_hits, score
 FROM scored ORDER BY score DESC, doc_id LIMIT 20
@@ -1290,24 +1288,22 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20
         "+ 0.5)/(df + 0.5)), k1=1.2, b=0.75 length normalization). "
         "Entirely join-free on the corpus side: per-term frequencies are "
         "map-only array_size(filter(tokens)) expressions (no explode, no "
-        "per-term shuffle), the (N, avgdl) and (df1..df3) statistics are "
-        "two ONE-row broadcast packs cross-joined back (the q_tfidf "
-        "scalar pattern), and the top-20 compiles to "
-        "TakeOrderedAndProject. Determinism: every score input is an "
-        "integer or an exact integer-sum average, the per-term expression "
-        "order is fixed, and terms sum in fixed left-to-right order — the "
-        "6 dp rounding is belt-and-braces, not load-bearing. At 100 TB "
-        "the same plan serves: the scan is the only corpus pass and the "
-        "packs stay constant-size."
+        "per-term shuffle join), and the (N, avgdl, df1..df3) statistics "
+        "collapse into ONE 1-row broadcast pack cross-joined back (the "
+        "q_tfidf scalar pattern). Two corpus passes total — one builds "
+        "the pack, one scores the hit set — and the top-20 compiles to "
+        "TakeOrderedAndProject. (At 100 TB the pack pass disappears "
+        "entirely when N/avgdl/df come from a standing corpus-profile "
+        "table.) Determinism: every score input is an integer or an "
+        "exact integer-sum average, the per-term expression order is "
+        "fixed, and terms sum in fixed left-to-right order — the 6 dp "
+        "rounding is belt-and-braces, not load-bearing."
     ),
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = low_toks()
-    base = docs.select("doc_id", F.size(t).cast("long").alias("dl"), t.alias("t"))
-    stats = base.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+
     def _eq(term: str):
         # one-arg lambda via closure: a `term=term` default would make
         # pyspark's HOF introspection treat it as an (element, index)
@@ -1315,19 +1311,26 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lambda x: x == term
 
     tf_cols = [
-        F.size(F.filter("t", _eq(term))).cast("long").alias(f"tf{i + 1}")
+        F.size(F.filter(t, _eq(term))).cast("long").alias(f"tf{i + 1}")
         for i, term in enumerate(_BM25_TERMS)
     ]
-    hits = base.select("doc_id", "dl", *tf_cols).filter(
-        sum(F.col(f"tf{i + 1}") for i in range(len(_BM25_TERMS))) > 0
+    base = docs.select(
+        "doc_id", F.size(t).cast("long").alias("dl"), *tf_cols
     )
-    dfs = hits.agg(
+    # ONE pack pass: N, avgdl AND per-term df in a single aggregation
+    # (df over all docs equals df over hits — tf_i > 0 implies a hit)
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
         *[
             F.sum((F.col(f"tf{i + 1}") > 0).cast("long")).alias(f"df{i + 1}")
             for i in range(len(_BM25_TERMS))
-        ]
+        ],
     )
-    joined = hits.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+    hits = base.filter(
+        sum(F.col(f"tf{i + 1}") for i in range(len(_BM25_TERMS))) > 0
+    )
+    joined = hits.crossJoin(F.broadcast(stats))
 
     def term_score(i: int):
         tf = F.col(f"tf{i + 1}")
