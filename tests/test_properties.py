@@ -247,3 +247,45 @@ def test_cdc_apply_latest_wins_and_tombstones(spark, tmp_path_factory, keys):
         k: (round(price, 2), op, versions[k]) for k, (price, op) in table.items()
     }
     assert got == want
+
+
+def test_floor_ratio_agrees_with_duckdb_on_dyadic_hazards(spark):
+    """THE cross-engine rounding contract: floor_ratio (Spark) must equal
+    floor(x * 10^d) / 10^d (DuckDB) bit-for-bit, including on the dyadic
+    ratios a / (2^b * 5^c) that land on exact decimal halves — the class
+    where round() half-up (Spark) vs half-even (DuckDB) diverges and the
+    reason the registry mandates floor truncation for emitted ratios."""
+    import duckdb
+
+    from cloud_data_sync_spark.registry import floor_ratio
+    from pyspark.sql import functions as F
+
+    vals: list[float] = []
+    # adversarial dyadic / dyadic-times-five ratios (exact decimal halves)
+    for a in range(1, 40):
+        for b in (2, 4, 8, 16, 32, 64, 1024):
+            vals.append(a / b)
+            vals.append(a / (b * 5))
+            vals.append(-a / b)
+    # rank-ratio shapes k/n for awkward n
+    for n in (3, 6, 7, 640, 1000):
+        vals.extend(k / n for k in range(0, n, max(1, n // 7)))
+    # deterministic pseudo-random spread
+    vals.extend(((h * 2654435761) % 10_000_019) / 9973.0 for h in range(200))
+
+    for digits in (4, 6):
+        sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
+            floor_ratio(F.col("x"), digits).alias("y")
+        )
+        got = [r.y for r in sdf.collect()]
+        p = 10**digits
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT floor(x * {p}) / {p} FROM (SELECT unnest(?) AS x)",
+                params=[vals],
+            ).fetchall()
+        ]
+        assert got == want, [
+            (v, g, w) for v, g, w in zip(vals, got, want) if g != w
+        ][:5]
