@@ -21,6 +21,11 @@ from pyspark.sql import SparkSession
 _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Spark's tuning guide recommends false so coalescing respects the
+    # advisory size instead of maximizing parallelism — at 100 TB this
+    # yields right-sized shuffle partitions; locally it cuts per-stage
+    # task-dispatch overhead (many sub-MB tasks → a few)
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
