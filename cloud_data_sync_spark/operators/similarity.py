@@ -621,8 +621,10 @@ FROM (
         "(dedup.embedding_candidate_cosines: pair keys shuffle ~16 B/row, "
         "vectors attach after pair-dedup, einsum pandas-UDF cosine), so "
         "the graph is consistent with the dedup pass by construction. "
-        "Symmetrization is a union of two projections of the SAME pair "
-        "set (each pair scored once, emitted twice); the per-vector "
+        "Symmetrization is a map-only explode of a 2-element struct "
+        "array over the scored pair set (each pair cosine-scored once, "
+        "emitted in both directions — a union of two projections would "
+        "compile to two physical branches and score twice); the per-vector "
         "ranking window partitions on vec_id — bounded partitions "
         "(candidates per vector are capped by the LSH bucket size "
         "~N_label/2^4), no global sort. Ranking is by the 6 dp-rounded "

@@ -275,17 +275,18 @@ def test_floor_ratio_agrees_with_duckdb_on_dyadic_hazards(spark):
 
     for digits in (4, 6):
         sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
-            floor_ratio(F.col("x"), digits).alias("y")
+            "x", floor_ratio(F.col("x"), digits).alias("y")
         )
-        got = [r.y for r in sdf.collect()]
+        # compare as input→output mappings: SQL output order is not
+        # guaranteed, and equal inputs must produce equal outputs anyway
+        got = {r.x: r.y for r in sdf.collect()}
         p = 10**digits
-        want = [
-            r[0]
-            for r in duckdb.sql(
-                f"SELECT floor(x * {p}) / {p} FROM (SELECT unnest(?) AS x)",
+        want = dict(
+            duckdb.sql(
+                f"SELECT x, floor(x * {p}) / {p} FROM (SELECT unnest(?) AS x)",
                 params=[vals],
             ).fetchall()
-        ]
+        )
         assert got == want, [
-            (v, g, w) for v, g, w in zip(vals, got, want) if g != w
+            (x, got[x], want.get(x)) for x in got if got[x] != want.get(x)
         ][:5]
