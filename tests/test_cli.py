@@ -39,3 +39,23 @@ def test_once_end_to_end(spark, tmp_path):
     assert (tmp_path / "tgt" / "bucket-b" / "a.txt").read_bytes() == b"payload"
     # the --once run must not tear down the embedding caller's session
     assert spark.range(1).count() == 1
+
+
+def test_package_root_exports_public_api():
+    """The library-embedding surface (SURVEY.md §3.3): every documented
+    entry point resolves lazily from the package root, and the lazy
+    __getattr__ rejects unknown names with AttributeError."""
+    import cloud_data_sync_spark as pkg
+
+    for name in pkg.__all__:
+        assert getattr(pkg, name) is not None
+    assert callable(pkg.load_config)
+    assert callable(pkg.sync_all)
+    assert callable(pkg.all_queries)
+    assert isinstance(pkg.__version__, str)
+    try:
+        pkg.definitely_not_an_export
+    except AttributeError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("unknown attribute must raise AttributeError")
