@@ -29,10 +29,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.streaming.runner import (
+    keep_first,
     read_events_stream,
     run_available_now,
 )
@@ -102,27 +102,22 @@ FROM (
     ),
 )
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Stable per-(session, sf_dir) log dir, wiped on entry: repeated
-    # invocations (bench min-of-2, oracle gates) reuse instead of leaking a
-    # fresh mkdtemp each call. Wiping at the START keeps the returned
-    # DataFrame's lazy read of THIS run's log valid after return.
+    # Stable per-(process, session, sf_dir) log dir, wiped on entry:
+    # repeated invocations (bench min-of-2, oracle gates) reuse instead of
+    # leaking a fresh mkdtemp each call; the pid component keeps two
+    # concurrent processes (which CAN collide on hash((id(spark), ...))
+    # under a pinned PYTHONHASHSEED) from rmtree-ing each other's live
+    # log. Wiping at the START keeps the returned DataFrame's lazy read
+    # of THIS run's log valid after return.
     log_dir = os.path.join(
         tempfile.gettempdir(),
-        f"stream_upsert_log_{abs(hash((id(spark), sf_dir)))}",
+        f"stream_upsert_log_{os.getpid()}_{abs(hash((id(spark), sf_dir)))}",
     )
     shutil.rmtree(log_dir, ignore_errors=True)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    latest = (["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
 
     def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
-        (
-            batch.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-            .write.mode("append")
-            .parquet(log_dir)
-        )
+        keep_first(batch, *latest).write.mode("append").parquet(log_dir)
 
     stream = read_events_stream(spark, sf_dir)
     q = (
@@ -131,9 +126,14 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if not os.path.isdir(log_dir):
+        # zero micro-batches executed (no file matched the source glob):
+        # name the real problem instead of a PATH_NOT_FOUND on the temp log
+        raise RuntimeError(
+            f"stream upsert drained zero batches from {sf_dir!r} — no "
+            "events file matched the stream source; nothing was upserted"
+        )
     log = spark.read.parquet(log_dir)
-    return (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    return keep_first(log, *latest).select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
     )

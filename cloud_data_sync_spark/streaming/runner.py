@@ -23,6 +23,8 @@ kafka/parquet in production).
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,12 +61,18 @@ def _assert_micros_vintage(sf_dir: str) -> None:
     except Exception:  # noqa: BLE001 - probe is advisory; reader errors rule
         return
     t = str(field.type)
-    if t not in ("timestamp[us]", "timestamp[us, tz=UTC]"):
+    # timestamp[us, tz=UTC] (isAdjustedToUTC) is NOT accepted: the fixed
+    # stream schema declares timestamp_ntz and Spark's parquet reader
+    # refuses to convert an adjusted-to-UTC column to TimestampNTZType —
+    # accepting it here would trade this curated error for a mid-query
+    # SchemaColumnConvertNotSupportedException
+    if t != "timestamp[us]":
         raise RuntimeError(
             f"events.parquet ts vintage is {t!r}, but the stream reader "
-            "requires TIMESTAMP(MICROS). Batch load_table tolerates legacy "
-            "TIMESTAMP(NANOS) via nanosAsLong; the file-source stream's "
-            "fixed schema cannot — regenerate the testdata or read batch."
+            "requires naive TIMESTAMP(MICROS) (timestamp_ntz). Batch "
+            "load_table tolerates legacy TIMESTAMP(NANOS) via nanosAsLong; "
+            "the file-source stream's fixed schema cannot — regenerate the "
+            "testdata or read batch."
         )
 
 
@@ -147,20 +155,43 @@ def run_available_now(
     # measured 14.5s -> 2.7s on the stream-stream join at sf0.1 going from
     # 32 -> 8 partitions, identical results. A long-running production
     # stream sizes this to STATE VOLUME instead (state must fit per
-    # partition); the drain uses a fresh checkpoint each call, so the
-    # override never conflicts with a pinned checkpoint layout.
+    # partition); the drain passes an explicit fresh checkpoint each call
+    # (below), so the override never conflicts with a pinned layout.
     drain_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", drain_parts)
+    # explicit per-call checkpoint dir: without it, a session-level
+    # spark.sql.streaming.checkpointLocation maps the checkpoint to
+    # <root>/<queryName> and a SECOND drain of the same query name would
+    # restore it, commit zero batches under availableNow, and silently
+    # return an empty memory-sink table
+    ckpt = tempfile.mkdtemp(prefix=f"stream_ckpt_{query_name}_")
     try:
         q = (
             result.writeStream.format("memory")
             .queryName(query_name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(query_name)
+
+
+def keep_first(df: DataFrame, partition_cols, order_cols) -> DataFrame:
+    """THE latest-wins/first-wins resolution rule for update-mode drains
+    and upsert logs: keep each partition's first row under the given
+    order. One definition (rather than a per-site window block) so a
+    tie-break fix cannot drift between the five call sites."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

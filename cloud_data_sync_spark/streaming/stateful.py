@@ -27,6 +27,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.streaming.runner import (
+    keep_first,
     read_events_stream,
     run_available_now,
 )
@@ -85,18 +86,13 @@ FROM (
 )
 def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
     out = run_available_now(
         first_event_per_user(read_events_stream(spark, sf_dir)),
         "t_stateful_dedup",
         output_mode="update",
     )
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    return (
-        out.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    return keep_first(out, ["user_id"], ["event_id"]).select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
     )
 
 
@@ -173,18 +169,12 @@ FROM events GROUP BY user_id
 )
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     out = run_available_now(
         running_totals_per_user(read_events_stream(spark, sf_dir)),
         "t_stream_running_totals",
         output_mode="update",
     )
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        out.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id", "n_events", F.round("total_value", 2).alias("total_value")
-        )
+    return keep_first(out, ["user_id"], [F.desc("n_events")]).select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     )

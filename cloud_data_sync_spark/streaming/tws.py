@@ -41,6 +41,7 @@ from pyspark.sql.streaming.stateful_processor import (
 
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.streaming.runner import (
+    keep_first,
     read_events_stream,
     run_available_now,
 )
@@ -67,8 +68,11 @@ class PerTypeTotals(StatefulProcessor):
             # would skip null/NaN values and diverge by one per null row.
             # 'sum' skips NaN like SQL sum skips NULL (an all-null group
             # yields 0.0 here vs SQL NULL — acceptable for a non-null
-            # value column, noted for reuse).
-            g = pdf.groupby("event_type")["value"].agg(["size", "sum"])
+            # value column, noted for reuse). dropna=False: SQL GROUP BY
+            # keeps a NULL group; pandas' default silently discards it.
+            g = pdf.groupby("event_type", dropna=False)["value"].agg(
+                ["size", "sum"]
+            )
             for etype, row in g.iterrows():
                 n, total = touched.get(etype) or (
                     self._per_type.getValue((etype,)) or (0, 0.0)
@@ -103,7 +107,6 @@ def tws_supported() -> bool:
 
 def q_stream_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     ev = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
     out = ev.groupBy("user_id").transformWithStateInPandas(
@@ -113,16 +116,13 @@ def q_stream_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
     )
     drained = run_available_now(out, "t_stream_map_state", output_mode="update")
-    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
-    return (
-        drained.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            "n_events",
-            F.round("total_value", 2).alias("total_value"),
-        )
+    return keep_first(
+        drained, ["user_id", "event_type"], [F.desc("n_events")]
+    ).select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
     )
 
 

@@ -293,3 +293,39 @@ def test_session_gap_uses_microsecond_precision(spark, tmp_path):
     by_start = sorted(sessions, key=lambda r: r.session_start)
     assert by_start[0].n_events == 1
     assert by_start[1].n_events == 2
+
+
+def test_drain_twice_with_session_checkpoint_root(spark, tmp_path):
+    """A session-level spark.sql.streaming.checkpointLocation must not make
+    a second drain of the same query name restore the first drain's
+    checkpoint and silently return an empty table (run_available_now passes
+    an explicit per-call checkpoint)."""
+    from cloud_data_sync_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt_root")
+    )
+    try:
+        ev = read_events_stream(spark, SF_DIR).select("user_id", "event_type")
+        first = run_available_now(
+            ev.dropDuplicates(["user_id", "event_type"]),
+            "t_ckpt_reuse_probe",
+            output_mode="append",
+        ).count()
+        ev2 = read_events_stream(spark, SF_DIR).select("user_id", "event_type")
+        second = run_available_now(
+            ev2.dropDuplicates(["user_id", "event_type"]),
+            "t_ckpt_reuse_probe",
+            output_mode="append",
+        ).count()
+        assert first > 0
+        assert second == first
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.checkpointLocation")
+        else:
+            spark.conf.set("spark.sql.streaming.checkpointLocation", prev)
