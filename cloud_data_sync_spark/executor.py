@@ -32,7 +32,13 @@ from datetime import datetime, timezone
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from cloud_data_sync_spark.sync import ACTION_COPY, ACTION_DELETE
+from cloud_data_sync_spark.sync import (
+    ACTION_COPY,
+    ACTION_DELETE,
+    STATUS_FAILED_GET,
+    STATUS_FAILED_UPLOAD,
+    STATUS_SUCCESS,
+)
 
 RESULT_SCHEMA = (
     "mapping_id string, object_name string, action string, status string, "
@@ -42,9 +48,9 @@ RESULT_SCHEMA = (
 
 CHUNK = 1024 * 1024
 
-STATUS_SUCCESS = "success"
-STATUS_FAILED_GET = "failed_get"
-STATUS_FAILED_UPLOAD = "failed_upload"
+# The status vocabulary lives in sync.py (sync_diff's retry predicate
+# compares against the same literals these rows are written with — one
+# definition, no drift). Delete-phase status is executor-only.
 STATUS_FAILED_DELETE = "failed_delete"
 
 
@@ -56,10 +62,15 @@ def _copy_one(src_path: str, dst_path: str) -> tuple[str, str | None]:
         fin = open(src_path, "rb")
     except OSError as e:
         return STATUS_FAILED_GET, str(e)
+    # fin closes on EVERY write-side path: makedirs sits inside the
+    # with-block so a failure there (read-only mount, ENOSPC) cannot leak
+    # the descriptor — a task grinding through thousands of rows against a
+    # broken target would otherwise hit EMFILE and poison healthy copies
     try:
-        os.makedirs(os.path.dirname(dst_path), exist_ok=True)
-        with fin, open(dst_path, "wb") as fout:
-            shutil.copyfileobj(fin, fout, CHUNK)
+        with fin:
+            os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+            with open(dst_path, "wb") as fout:
+                shutil.copyfileobj(fin, fout, CHUNK)
     except OSError as e:
         return STATUS_FAILED_UPLOAD, str(e)
     return STATUS_SUCCESS, None

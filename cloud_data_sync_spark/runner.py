@@ -164,9 +164,16 @@ def sync_buckets(
     # 0. apply both providers' credentials/endpoints onto the Hadoop conf —
     # without this the s3a/abfss roots built above cannot authenticate
     # (the reference's factory.NewFactory client construction, collapsed
-    # to session configuration)
-    provider_conf(spark, _provider(cfg, mapping.source_provider_id))
-    provider_conf(spark, _provider(cfg, mapping.target_provider_id))
+    # to session configuration). Bucket-scoped: s3a settings land on
+    # fs.s3a.bucket.<bucket>.*, so an aws→minio mapping (both s3-scheme)
+    # keeps both endpoint/credential sets live instead of the target's
+    # global keys clobbering the source's.
+    provider_conf(
+        spark, _provider(cfg, mapping.source_provider_id), mapping.source_bucket
+    )
+    provider_conf(
+        spark, _provider(cfg, mapping.target_provider_id), mapping.target_bucket
+    )
 
     # 1. catalogs (metadata only — no payload reads)
     src = _catalog(spark, src_root, mid, distributed_listing)

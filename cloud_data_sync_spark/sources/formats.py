@@ -102,10 +102,33 @@ def compact_table(
     fs = jpath.getFileSystem(jconf)
     total_bytes = fs.getContentSummary(jpath).getLength()
     n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil div
+    # Partition-layout detection: a source written with partitionBy has
+    # key=value child directories; reading it folds the keys back in as
+    # data columns, and writing FLAT would silently replace a
+    # directory-pruned layout with a full-scan one after the caller's
+    # swap — the exact 100 TB property compaction must preserve. Re-apply
+    # partitionBy on the detected keys instead.
+    part_keys = []
+    for child in fs.listStatus(jpath):
+        name = child.getPath().getName()
+        if child.isDirectory() and "=" in name and not name.startswith("_"):
+            key = name.split("=", 1)[0]
+            if key not in part_keys:
+                part_keys.append(key)
     # schema passes through for csv/json (read_table requires it there —
     # without the parameter, half the FORMATS could never be compacted)
     df = read_table(spark, src_path, fmt=fmt, schema=schema)
-    writer = df.coalesce(n_files).write.format(fmt).mode("error")
+    if part_keys:
+        # per-partition sizing: repartition by key so each partition
+        # directory compacts toward the target size independently
+        writer = (
+            df.repartition(max(n_files, len(part_keys)), *part_keys)
+            .write.format(fmt)
+            .mode("error")
+            .partitionBy(*part_keys)
+        )
+    else:
+        writer = df.coalesce(n_files).write.format(fmt).mode("error")
     if fmt == "csv":
         # mirror write_table's option: a headerless compacted output would
         # lose its first data row to the header-consuming reader
@@ -113,11 +136,14 @@ def compact_table(
     writer.save(dst_path)
     dst = jvm.org.apache.hadoop.fs.Path(dst_path)
     # the DESTINATION's own filesystem: reusing the source-scheme fs
-    # throws "Wrong FS" when src and dst live on different schemes
+    # throws "Wrong FS" when src and dst live on different schemes.
+    # Recursive walk: a partitioned output nests data files under
+    # key=value directories, which a top-level listStatus would miss.
     dst_fs = dst.getFileSystem(jconf)
-    out = [
-        f
-        for f in dst_fs.listStatus(dst)
-        if f.isFile() and not f.getPath().getName().startswith("_")
-    ]
-    return len(out)
+    n_out = 0
+    it = dst_fs.listFiles(dst, True)
+    while it.hasNext():
+        f = it.next()
+        if f.isFile() and not f.getPath().getName().startswith("_"):
+            n_out += 1
+    return n_out

@@ -24,7 +24,6 @@ Catalog schema matches interfaces/provider.go:9-17 (ObjectInfo).
 from __future__ import annotations
 
 import os
-import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,23 +53,35 @@ CATALOG_SCHEMA = StructType(
 )
 
 
-def provider_conf(spark: SparkSession, provider: dict) -> None:
+def provider_conf(
+    spark: SparkSession, provider: dict, bucket: str | None = None
+) -> None:
     """Map a reference-style provider config onto Hadoop FS settings.
 
     E.g. a minio provider (config.go:55-60) becomes per-bucket s3a endpoint
     configuration; GCS/Azure analogous. No client objects — connectors are
-    session-level conf."""
+    session-level conf.
+
+    Pass ``bucket`` whenever the mapping names one: s3a settings then land
+    on ``fs.s3a.bucket.<bucket>.*``, so a mapping whose source AND target
+    are both s3-scheme providers (aws → minio, the reference's headline
+    flow) keeps two distinct endpoint/credential sets live at once —
+    global ``fs.s3a.*`` keys would have the second ``provider_conf`` call
+    clobber the first's. Azure keys are account-scoped by construction;
+    the GCS keyfile is global (one service account per session — a
+    documented narrowing vs the reference's per-client credentials)."""
     ptype = provider.get("type")
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     if ptype in ("aws", "minio"):
         cfg = provider.get("minioConfig") or provider.get("awsConfig") or {}
+        prefix = f"fs.s3a.bucket.{bucket}." if bucket else "fs.s3a."
         if cfg.get("endpoint"):
-            conf.set("fs.s3a.endpoint", cfg["endpoint"])
+            conf.set(prefix + "endpoint", cfg["endpoint"])
         if cfg.get("accessKey"):
-            conf.set("fs.s3a.access.key", cfg["accessKey"])
+            conf.set(prefix + "access.key", cfg["accessKey"])
         if cfg.get("secretKey"):
-            conf.set("fs.s3a.secret.key", cfg["secretKey"])
-        conf.set("fs.s3a.path.style.access", "true")
+            conf.set(prefix + "secret.key", cfg["secretKey"])
+        conf.set(prefix + "path.style.access", "true")
     elif ptype == "azure":
         cfg = provider.get("azureConfig") or {}
         if cfg.get("accountName") and cfg.get("accountKey"):
@@ -95,16 +106,30 @@ def provider_conf(spark: SparkSession, provider: dict) -> None:
 
 def ensure_bucket_exists(spark: SparkSession, root_uri: str) -> bool:
     """Create-if-absent for a bucket/prefix root (EnsureBucketExists,
-    sync.go:88-91). Goes through the Hadoop FileSystem API, so the same call
-    handles file:, s3a://, gs://, abfss:// — for object stores mkdirs on the
-    root is the provider's create-bucket/container analog. Returns True if
-    it had to create."""
+    sync.go:88-91). Goes through the Hadoop FileSystem API: on file: it
+    creates the directory; on object stores mkdirs creates a PREFIX inside
+    an existing bucket — creating the bucket/container itself is an
+    SDK-level operation with no FileSystem analog, so a genuinely missing
+    bucket surfaces as a clear error naming that gap rather than the
+    store's raw NoSuchBucket. Returns True if it had to create."""
     if path_exists(spark, root_uri):
         return False
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(root_uri)
-    path.getFileSystem(hconf).mkdirs(path)
+    try:
+        path.getFileSystem(hconf).mkdirs(path)
+    except Exception as e:  # noqa: BLE001 - py4j raises JavaError wrappers
+        scheme = path.toUri().getScheme()
+        if scheme not in (None, "file"):
+            raise RuntimeError(
+                f"cannot create {root_uri!r}: the {scheme} FileSystem can "
+                "create prefixes inside an existing bucket but not the "
+                "bucket itself (the reference's SDK CreateBucket has no "
+                "Hadoop-FS analog) — create the bucket out-of-band, then "
+                "re-run"
+            ) from e
+        raise
     return True
 
 
@@ -172,7 +197,19 @@ def list_objects(
         while it.hasNext():
             st = it.next()
             p = st.getPath().toUri().getPath()
-            name = p[len(root) + 1 :] if p.startswith(root + "/") else p
+            if not p.startswith(root + "/"):
+                # Without this guard a root that resolves to a FILE (or a
+                # listing that escapes the root) would emit the absolute
+                # path as object_name; downstream os.path.join DISCARDS
+                # the target root for absolute names, making src == dst —
+                # the copy truncates the source to 0 bytes and the delete
+                # phase removes arbitrary paths. Refuse loudly instead.
+                raise ValueError(
+                    f"listed path {p!r} is not under the mapping root "
+                    f"{root!r} — the root must be a directory/prefix, not "
+                    "a file; check the bucket/endpoint configuration"
+                )
+            name = p[len(root) + 1 :]
             ct, md = object_meta_local(p) if is_local else (None, {})
             rows.append(
                 (
@@ -245,6 +282,3 @@ def list_objects_binaryfile(
     )
     return out
 
-
-def join_path(root: str, name: str) -> str:
-    return posixpath.join(root.rstrip("/"), name)

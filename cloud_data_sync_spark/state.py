@@ -85,8 +85,11 @@ def _read_marker(path: str, spark: SparkSession | None = None) -> str | None:
         try:
             with open(_version_path(path), encoding="utf-8") as f:
                 return f.read()
-        except OSError:
+        except FileNotFoundError:
             return None
+        # any OTHER OSError (EACCES, EIO) means the marker EXISTS but can't
+        # be read — treating that as cleanly absent would silently pass the
+        # version gate on exactly the table it exists to protect; propagate
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _VERSION_FILE)

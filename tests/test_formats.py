@@ -135,3 +135,28 @@ def test_plan_cache_misses_after_rewrite(spark, tmp_path):
         sf / "nation.parquet", index=False
     )
     assert lt(spark, str(sf), "nation").count() == 3 != first
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """Compacting a partitionBy-written table must re-apply the partition
+    layout — a flat rewrite would silently replace directory pruning with
+    full scans after the caller's swap (review finding, reproduced)."""
+    import os
+
+    from cloud_data_sync_spark.sources.formats import compact_table, write_table
+
+    df = spark.range(100).selectExpr("id", "id % 4 AS part")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_table(df, src, partition_by=["part"])
+    n = compact_table(spark, src, dst)
+    assert n >= 4  # at least one data file per partition directory
+    parts = sorted(
+        d for d in os.listdir(dst) if d.startswith("part=")
+    )
+    assert parts == ["part=0", "part=1", "part=2", "part=3"]
+    got = spark.read.parquet(dst)
+    assert got.count() == 100
+    assert set(got.columns) == {"id", "part"}
+    # partition pruning still works: a filter lists one directory
+    assert got.filter("part = 2").count() == 25

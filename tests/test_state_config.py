@@ -180,3 +180,80 @@ def test_provider_conf_file_provider_is_noop(spark):
     before = conf.get("fs.s3a.endpoint")
     provider_conf(spark, {"type": "file"})
     assert conf.get("fs.s3a.endpoint") == before
+
+
+def test_provider_conf_bucket_scoped_s3a(spark):
+    """Two s3-scheme providers in one mapping (aws → minio) must not
+    clobber each other: with a bucket argument the settings land on
+    fs.s3a.bucket.<bucket>.* (review finding: global keys let the second
+    provider_conf call overwrite the first's endpoint/credentials)."""
+    from cloud_data_sync_spark.sources.listing import provider_conf
+
+    provider_conf(
+        spark,
+        {
+            "type": "aws",
+            "awsConfig": {"accessKey": "src-ak", "secretKey": "src-sk"},
+        },
+        bucket="src-bucket",
+    )
+    provider_conf(
+        spark,
+        {
+            "type": "minio",
+            "minioConfig": {
+                "endpoint": "http://minio.local:9000",
+                "accessKey": "tgt-ak",
+                "secretKey": "tgt-sk",
+            },
+        },
+        bucket="tgt-bucket",
+    )
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.bucket.src-bucket.access.key") == "src-ak"
+    assert conf.get("fs.s3a.bucket.tgt-bucket.access.key") == "tgt-ak"
+    assert conf.get("fs.s3a.bucket.tgt-bucket.endpoint") == "http://minio.local:9000"
+    # the source bucket's credentials survived the target's configuration
+    assert conf.get("fs.s3a.bucket.src-bucket.secret.key") == "src-sk"
+
+
+def test_list_objects_refuses_file_root(spark, tmp_path):
+    """A mapping root that resolves to a FILE must refuse loudly: the old
+    fall-through emitted the absolute path as object_name, and the copy
+    phase's os.path.join would then truncate the SOURCE file to 0 bytes
+    (review finding, reproduced before the fix)."""
+    import pytest
+
+    from cloud_data_sync_spark.sources.listing import list_objects
+
+    f = tmp_path / "a.txt"
+    f.write_text("precious data")
+    with pytest.raises(Exception, match="not under the mapping root"):
+        list_objects(spark, f"file://{f}", "m1").collect()
+    assert f.read_text() == "precious data"
+
+
+def test_read_marker_raises_on_unreadable_not_missing(tmp_path):
+    """An EXISTING but unreadable version marker must not be treated as
+    cleanly absent — that would silently pass the version gate."""
+    import os
+
+    import pytest
+
+    from cloud_data_sync_spark.state import _read_marker, _version_path
+
+    state_dir = tmp_path / "state"
+    state_dir.mkdir()
+    assert _read_marker(str(state_dir)) is None  # genuinely absent → None
+    marker = _version_path(str(state_dir))
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write("v1")
+    os.chmod(marker, 0)
+    try:
+        if os.geteuid() == 0:  # root ignores mode bits; can't simulate EACCES
+            assert _read_marker(str(state_dir)) == "v1"
+        else:
+            with pytest.raises(OSError):
+                _read_marker(str(state_dir))
+    finally:
+        os.chmod(marker, 0o644)
