@@ -106,6 +106,7 @@ def main() -> None:
     total = 0.0
     for name, spec in sorted(all_queries().items()):
         best = float("nan")
+        failed = False
         for _ in range(2):
             t0 = time.perf_counter()
             try:
@@ -114,12 +115,18 @@ def main() -> None:
                 dt = time.perf_counter() - t0
             except Exception as e:  # noqa: BLE001
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
+                failed = True
                 break
             best = dt if best != best else min(best, dt)
-        # NaN (a failed query) would serialize as bare `NaN` — invalid JSON
-        # that breaks the driver's parse; record -1 instead
-        timings[name] = round(best, 3) if best == best else -1.0
-        total += best if best == best else 0.0
+        # A failure on ANY run marks the query failed (-1.0): a
+        # succeed-then-throw flake previously kept run 1's time and
+        # reported green while stderr said otherwise. NaN would serialize
+        # as bare `NaN` — invalid JSON — hence the -1 sentinel.
+        if failed or best != best:
+            timings[name] = -1.0
+        else:
+            timings[name] = round(best, 3)
+            total += best
 
     # Full per-query map goes to BENCH_FULL.json (the one-line stdout
     # contract is read from a bounded tail buffer — observed 2000 chars in

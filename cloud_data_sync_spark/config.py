@@ -54,9 +54,24 @@ class Config:
 def load_config(path: str) -> Config:
     with open(path) as f:
         raw = json.load(f)
+    if not isinstance(raw, dict):
+        raise ConfigError(f"config root must be a JSON object, got {type(raw).__name__}")
+    # shape checks BEFORE attribute access: valid-JSON-wrong-shape configs
+    # ("providers": ["p1"], "mappings": [null]) must surface as the
+    # documented ConfigError diagnostic, not a raw AttributeError traceback
+    providers = raw.get("providers") or []
+    mappings_raw = raw.get("mappings") or []
+    if not isinstance(providers, list) or any(
+        not isinstance(p, dict) for p in providers
+    ):
+        raise ConfigError("'providers' must be a list of provider objects")
+    if not isinstance(mappings_raw, list) or any(
+        not isinstance(m, dict) for m in mappings_raw
+    ):
+        raise ConfigError("'mappings' must be a list of mapping objects")
     cfg = Config(
         database_path=raw.get("databasePath") or "data.db",  # config.go:92-95 default
-        providers=raw.get("providers") or [],
+        providers=providers,
         mappings=[
             BucketMapping(
                 source_provider_id=m.get("sourceProviderId", ""),
@@ -64,7 +79,7 @@ def load_config(path: str) -> Config:
                 target_provider_id=m.get("targetProviderId", ""),
                 target_bucket=m.get("targetBucket", ""),
             )
-            for m in (raw.get("mappings") or [])
+            for m in mappings_raw
         ],
     )
     validate_config(cfg)
@@ -74,6 +89,8 @@ def load_config(path: str) -> Config:
 def validate_config(cfg: Config) -> None:
     if not cfg.providers:
         raise ConfigError("no providers configured")
+    if any(not isinstance(p, dict) for p in cfg.providers):
+        raise ConfigError("'providers' must be a list of provider objects")
     seen: set[str] = set()
     for p in cfg.providers:
         pid = p.get("id")

@@ -145,6 +145,21 @@ def execute_plan(plan: DataFrame, src_root: str, tgt_root: str, parallelism: int
     Lazy like any DataFrame — materialize once (e.g. ``.cache().count()``)
     then feed the rows where action='copy' into ``state.upsert`` and the
     delete successes into ``state.delete_keys``."""
+    for root in (src_root, tgt_root):
+        scheme = root.split("://", 1)[0] if "://" in root else None
+        if scheme not in (None, "file"):
+            # this executor's copy/delete primitives are local-FS ops; an
+            # s3a:// path handed to os.remove raises FileNotFoundError,
+            # which the 404-tolerance would record as delete_success —
+            # phantom successes that delete state keys while the target
+            # objects survive (the next tick re-lists and re-"deletes"
+            # them forever). Refuse instead of corrupting state.
+            raise ValueError(
+                f"execute_plan got a {scheme!r}-scheme root {root!r}: the "
+                "streaming executor performs LOCAL file I/O only — run "
+                "object-store mappings through a cloud-capable executor "
+                "(distributed binaryFile copy mode) or a file: staging root"
+            )
     work = plan.filter(plan.action.isin(ACTION_COPY, ACTION_DELETE))
     if parallelism:
         work = work.repartition(parallelism)

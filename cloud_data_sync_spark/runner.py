@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import re
 import signal
 import time
 from dataclasses import dataclass
@@ -101,7 +102,18 @@ def _bucket_root(cfg: Config, provider_id: str, bucket: str) -> str:
     ptype = p.get("type")
     for key in ("minioConfig", "awsConfig", "gcsConfig", "azureConfig"):
         endpoint = (p.get(key) or {}).get("endpoint")
-        if endpoint and not endpoint.startswith(("http://", "https://")):
+        if (
+            endpoint
+            and not endpoint.startswith(("http://", "https://"))
+            # a bare host:port endpoint (the native MinIO SDK form —
+            # scheme-less, SSL is a flag) is an S3 API host, NOT a
+            # filesystem path: routing it here would build
+            # 'minio.local:9000/bucket', which Hadoop parses as scheme
+            # 'minio.local' and fails on. It flows to provider_conf as
+            # the s3a endpoint instead; only path-like endpoints (the
+            # file-fixture form) belong in this branch.
+            and not re.fullmatch(r"[A-Za-z0-9.-]+:\d+", endpoint)
+        ):
             return f"{endpoint.rstrip('/')}/{bucket}"
     if ptype in ("aws", "minio"):
         return f"s3a://{bucket}"
@@ -225,9 +237,15 @@ def sync_buckets(
     deleted_keys = results.filter(
         (F.col("action") == ACTION_DELETE) & (F.col("status") == STATUS_SUCCESS)
     )
+    # Merge into THIS mapping's slice only (every results row carries this
+    # mapping_id): the upsert window shuffles one partition's rows, and
+    # dynamic partition overwrite below rewrites only this mapping_id
+    # partition. Merging into full_state instead would shuffle and rewrite
+    # EVERY mapping's partition per synced mapping — O(M^2) work per
+    # sync_all tick and a torn-write window on untouched partitions.
     # checkpoint the merged state BEFORE overwriting the path it reads from
-    new_state = state_mod.delete_keys(
-        state_mod.upsert(full_state, copy_rows), deleted_keys
+    new_slice = state_mod.delete_keys(
+        state_mod.upsert(st, copy_rows), deleted_keys
     ).localCheckpoint()
 
     # 5. report (the counters the reference logs, sync.go:166-170, 231-233)
@@ -236,12 +254,13 @@ def sync_buckets(
     if skipped:
         counts["skip"] = skipped
 
-    state_mod.save_state(new_state, state_path)
-    # dynamic overwrite cannot clear a partition with no rows in the write;
-    # if this mapping's state just emptied, remove its stale files so the
-    # deleted rows don't resurrect on the next load (state.py doc)
-    if new_state.filter(F.col("mapping_id") == mid).limit(1).count() == 0:
+    if new_slice.limit(1).count() == 0:
+        # dynamic overwrite cannot clear a partition with no rows in the
+        # write; if this mapping's state just emptied, remove its stale
+        # files so the deleted rows don't resurrect on the next load
         state_mod.clear_mapping_partition(spark, state_path, mid)
+    else:
+        state_mod.save_state(new_slice, state_path)
     _log_event(logging.INFO, "mapping_synced", mapping_id=mid, counts=counts)
     return SyncReport(mapping_id=mid, counts=counts)
 
@@ -312,6 +331,11 @@ def run_continuous(
         previous = {}
 
     try:
+        if max_ticks is not None and max_ticks <= 0:
+            # 0 means "no runs": the initial sync is tick 1, so it must
+            # not execute — a caller probing scheduling wiring would
+            # otherwise get real copies/deletes and a state rewrite
+            return []
         all_reports = [
             sync_all(spark, cfg, state_path, distributed_listing, allow_empty_source)
         ]
@@ -321,9 +345,17 @@ def run_continuous(
             and not stop_requested
             and not (stop_file and os.path.exists(stop_file))
         ):
-            # sleep in sub-second slices so a signal ends the wait promptly
+            # sleep in sub-second slices so a signal OR the stop-file ends
+            # the wait promptly — in non-main-thread contexts (where signal
+            # handlers can't install) the stop-file is the ONLY shutdown
+            # path, so it must be polled inside the wait, not once per
+            # interval
             deadline = time.monotonic() + interval_sec
-            while time.monotonic() < deadline and not stop_requested:
+            while (
+                time.monotonic() < deadline
+                and not stop_requested
+                and not (stop_file and os.path.exists(stop_file))
+            ):
                 time.sleep(min(0.2, max(0.0, deadline - time.monotonic())))
             if stop_requested or (stop_file and os.path.exists(stop_file)):
                 break

@@ -235,10 +235,17 @@ def delete_keys(state: DataFrame, gone: DataFrame) -> DataFrame:
 
 
 def save_state(state: DataFrame, path: str) -> None:
-    """Rewrite touched mapping_id partitions only (dynamic overwrite)."""
+    """Rewrite touched mapping_id partitions only (dynamic overwrite).
+
+    The overwrite mode is pinned PER WRITE: relying on the session-level
+    ``spark.sql.sources.partitionOverwriteMode`` would make this call
+    destructive under a vanilla session (static overwrite drops every
+    partition absent from the write — i.e. all other mappings' state
+    whenever a caller saves one mapping's slice)."""
     (
         state.repartition("mapping_id")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("mapping_id")
         .parquet(path)
     )

@@ -121,7 +121,7 @@ def load_tables(
 # packing arithmetic happens once per table vintage per session, and a
 # rewritten file (same path, new size) misses the cache instead of reusing
 # a stale estimate. File-less frames never enter the cache.
-_SPREAD_CACHE: dict[tuple[str, tuple[tuple[str, int], ...]], int] = {}
+_SPREAD_CACHE: dict[tuple, int] = {}
 
 
 _BYTE_SUFFIX = {
@@ -184,12 +184,6 @@ def _estimated_scan_splits(df: DataFrame) -> int:
             sizes.append(os.path.getsize(p))
         except OSError:
             sizes.append(0)
-    # sizes participate in the key so files rewritten in-session at the
-    # same path don't reuse a stale split estimate
-    key = (_session_key(spark), tuple(sorted(zip(local, sizes))))
-    cached = _SPREAD_CACHE.get(key)
-    if cached is not None:
-        return cached
     total = sum(sizes)
     open_cost = _parse_bytes(
         spark.conf.get("spark.sql.files.openCostInBytes", "4194304"), 4 << 20
@@ -198,6 +192,21 @@ def _estimated_scan_splits(df: DataFrame) -> int:
         spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)), 128 << 20
     )
     cores = spark.sparkContext.defaultParallelism
+    # sizes AND the confs/parallelism the estimate depends on participate
+    # in the key: files rewritten in-session at the same path, or an
+    # in-session maxPartitionBytes/openCostInBytes tune, must not reuse a
+    # stale split estimate (a wrong skip leaves cores idle on the very
+    # per-row pipelines spread() exists to parallelize)
+    key = (
+        _session_key(spark),
+        tuple(sorted(zip(local, sizes))),
+        open_cost,
+        max_part,
+        cores,
+    )
+    cached = _SPREAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     bytes_per_core = (total + open_cost * len(local)) / max(cores, 1)
     max_split = min(max_part, max(open_cost, int(bytes_per_core)))
     splits = 0

@@ -257,3 +257,26 @@ def test_read_marker_raises_on_unreadable_not_missing(tmp_path):
                 _read_marker(str(state_dir))
     finally:
         os.chmod(marker, 0o644)
+
+
+def test_config_shape_errors_raise_config_error(tmp_path):
+    """Valid-JSON-wrong-shape configs surface as ConfigError diagnostics,
+    never raw AttributeError/TypeError tracebacks."""
+    import json
+
+    import pytest
+
+    from cloud_data_sync_spark.config import ConfigError, load_config
+
+    cases = [
+        {"providers": ["p1"], "mappings": []},
+        {"providers": [{"id": "a", "type": "minio", "minioConfig": {}}],
+         "mappings": [None]},
+        {"providers": {}, "mappings": []},
+        [],
+    ]
+    for i, raw in enumerate(cases):
+        p = tmp_path / f"cfg{i}.json"
+        p.write_text(json.dumps(raw))
+        with pytest.raises(ConfigError):
+            load_config(str(p))

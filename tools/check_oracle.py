@@ -68,6 +68,11 @@ def main() -> int:
     only = set(argv[1:])
     specs = all_queries()
     if only:
+        unknown = only - set(specs)
+        if unknown:
+            # a typo'd filter must not produce a false-green '0/0 match'
+            print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+            return 2
         specs = {k: v for k, v in specs.items() if k in only}
 
     if vanilla:

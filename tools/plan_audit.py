@@ -17,6 +17,7 @@ exit 1 on any FAIL. ``tests/test_plans.py`` runs the same rules in CI.
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -89,10 +90,14 @@ BNLJ_ALLOWED = {
 }
 
 # Global (unpartitioned) windows are forbidden — a single-partition sort of
-# the input — EXCEPT where the window's input is already capped by a
-# preceding global limit, so it sees ≤k rows regardless of corpus size:
+# the input — EXCEPT where the window's input is provably bounded
+# regardless of corpus size:
 # - q_vocab: TakeOrderedAndProject(1000) feeds the id-assignment window.
-GLOBAL_WINDOW_ALLOWED = {"q_vocab"}
+# - q_token_budget: the running-share window runs over the per-(source,
+#   lang) aggregate — a config cardinality (sources × languages), not a
+#   data cardinality; the corpus-sized input was already reduced by the
+#   preceding hash agg.
+GLOBAL_WINDOW_ALLOWED = {"q_vocab", "q_token_budget"}
 
 RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # filter + projection must be pushed into the parquet scan
@@ -210,18 +215,46 @@ def audit_one(name: str, df: DataFrame) -> list[str]:
         if pat in plan:
             bad.append(f"forbidden {pat!r} in plan")
     # a window with an empty partition spec funnels everything into one
-    # partition — never acceptable unless a global limit already capped it
-    if (
-        name not in GLOBAL_WINDOW_ALLOWED
-        and "Window" in plan
-        and ", []" in _window_lines(plan)
-    ):
+    # partition — never acceptable unless the input is provably bounded
+    # (a global limit or a config-cardinality aggregate, allowlisted)
+    if name not in GLOBAL_WINDOW_ALLOWED and _has_global_window(plan):
         bad.append("global (unpartitioned) Window in plan")
     return bad
 
 
-def _window_lines(plan: str) -> str:
-    return "\n".join(line for line in plan.splitlines() if "Window" in line)
+def _has_global_window(plan: str) -> bool:
+    """Detect an unpartitioned Window in a FORMATTED plan.
+
+    The partition spec is NOT on the tree line ('+- Window (4)') — it
+    lives on the detail block's 'Arguments:' line, which carries
+    ``[funcs], [partitionSpec], [ordering]`` for a partitioned window but
+    only ``[funcs], [ordering]`` for an unpartitioned one (verified on
+    Spark 4.1.2; the earlier ', []' substring check matched neither form
+    and silently passed every global window).
+    """
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.fullmatch(r"\(\d+\) Window", line.strip()):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            if not lines[j].startswith("Arguments:"):
+                continue
+            # top-level bracket groups are separated by '], [' — window
+            # funcs/partition exprs/sort specs never nest square brackets.
+            # 3 groups = [funcs], [partition], [order]  → partitioned.
+            # 2 groups is ambiguous: [funcs], [order] (UNpartitioned,
+            # ordered) vs [funcs], [partition] (partitioned, orderless
+            # frame agg) — the order group always carries a sort
+            # direction, the partition group never does.
+            groups = lines[j].count("], [") + 1
+            if groups == 1:
+                return True  # funcs only: no partition, no order
+            if groups == 2:
+                tail = lines[j].rsplit("], [", 1)[1]
+                if " ASC" in tail or " DESC" in tail:
+                    return True
+            break
+    return False
 
 
 def main() -> int:
@@ -230,6 +263,11 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(all_queries())
+    if unknown:
+        # a typo'd filter must not produce a false-green empty audit
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     spark: SparkSession = get_spark()
     failures = 0
     for name, spec in sorted(all_queries().items()):
