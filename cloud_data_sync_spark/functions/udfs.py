@@ -24,8 +24,11 @@ from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import load_table
 
 # BPE-ish tokenization: word pieces + standalone punctuation — the
-# pre-tokenizer split most BPE vocabularies assume.
-_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+# pre-tokenizer split most BPE vocabularies assume. re.ASCII: the DuckDB
+# oracle's RE2 \w/\s are ASCII-only, while Python's default is
+# Unicode-aware — on 'café' Python finds one token, RE2 finds two (the
+# same engine-divergence the UDTF below guards with re.ASCII).
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.ASCII)
 
 
 @F.pandas_udf(LongType())
@@ -142,10 +145,14 @@ LIMIT 10
     ),
 )
 def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"))
+    from cloud_data_sync_spark.operators.tokens import low_toks
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(low_toks()).alias("term")
     )
+    # approx_top_k is Spark >= 4.0 (pyproject pins the floor accordingly);
+    # 1000 is k-returned — maxItemsTracked defaults to 10000, the '10k
+    # items' the doc cites
     sketch = toks.agg(F.expr("approx_top_k(term, 1000)").alias("tk"))
     items = sketch.select(F.explode("tk").alias("s")).select(
         F.col("s.item").alias("term"), F.col("s.count").alias("cnt")
@@ -402,26 +409,39 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # the Bloom probe is an AND of d membership tests — expressed as d
-    # chained broadcast LEFT SEMI joins, each a map-side hash probe against
-    # that hash-row's (tiny) bit set. Zero shuffles: the previous shape
-    # exploded the fact ×d and paid a corpus-wide groupBy to re-AND the
-    # hits; this one never widens or exchanges the fact stream.
-    passed = orders
+    # broadcast LEFT joins (presence flags), each a map-side hash probe
+    # against that hash-row's (tiny) bit set, plus one broadcast flag join
+    # for ground truth. ONE pass over the fact table: the three counters
+    # fold into a single aggregate of conditional sums (the previous shape
+    # ran three independent jobs over orders — 3x the corpus I/O the
+    # ship-bits-not-keys design is meant to avoid). Zero shuffles and the
+    # fact stream never widens beyond d+1 flag columns.
+    flagged = orders
     for i in range(_BLOOM_D):
-        bits_i = bits.filter(F.col("i") == i).select("bit")
-        passed = passed.join(
-            F.broadcast(bits_i),
-            bit_of(F.lit(i), F.col("o_custkey")) == F.col("bit"),
-            "left_semi",
+        bits_i = bits.filter(F.col("i") == i).select(
+            F.col("bit").alias(f"_b{i}")
         )
-    true_match = orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")
-    n_orders = orders.agg(F.count("*").alias("n_orders"))
-    n_passed = passed.agg(F.count("*").alias("n_passed"))
-    n_true = true_match.agg(F.count("*").alias("n_true"))
+        flagged = flagged.join(
+            F.broadcast(bits_i),
+            bit_of(F.lit(i), F.col("o_custkey")) == F.col(f"_b{i}"),
+            "left",
+        )
+    flagged = flagged.join(
+        F.broadcast(dim.select(F.col("c_custkey").alias("_true_key"))),
+        F.col("o_custkey") == F.col("_true_key"),
+        "left",
+    )
+    bloom_pass = None
+    for i in range(_BLOOM_D):
+        test = F.col(f"_b{i}").isNotNull()
+        bloom_pass = test if bloom_pass is None else (bloom_pass & test)
+    agg = flagged.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(bloom_pass.cast("long")).alias("n_passed"),
+        F.sum(F.col("_true_key").isNotNull().cast("long")).alias("n_true"),
+    )
     return (
-        n_orders.join(n_passed)
-        .join(n_true)
-        .select(
+        agg.select(
             "n_orders",
             "n_passed",
             "n_true",

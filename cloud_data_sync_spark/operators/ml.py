@@ -13,10 +13,19 @@ The 100 TB-correct k-means shape, expressed declaratively:
 - iteration count is fixed (2 Lloyd rounds) so the whole computation is one
   static DAG and the DuckDB oracle can replay it as nested CTEs.
 
-Distance folds run left-to-right over dims on both engines (Spark
-``aggregate`` and DuckDB ``list_sum`` are both sequential), so assignment
-argmins agree bit-for-bit; output aggregates are rounded to absorb the
-final reduction-order wobble.
+Cross-engine determinism, stated honestly: distance folds run
+left-to-right over dims on both engines (Spark ``aggregate`` and DuckDB
+``list_sum`` are both sequential), so the folds agree bit-for-bit GIVEN
+identical centroid inputs — but round-2 centroids come from ``avg()``
+reductions whose summation order is engine- and schedule-dependent, so
+they can differ at ulp level, and a vector near-equidistant between two
+centroids could then flip assignment (an integer membership change the
+output rounding cannot absorb). The same margin-dependence applies to
+q_logreg_probe's hard-threshold train_acc (exp() differs at ulp level
+between JVM and libm). Both queries are stable because the fixture's
+margins are orders of magnitude above ulp noise; a production pipeline
+comparing across engines would use tolerance-based assignment checks
+(the approx-distinct oracle pattern), not exact hashes.
 """
 
 from __future__ import annotations
@@ -193,6 +202,24 @@ r{i} AS (
 )"""
 
 
+def _trade_fact(spark: SparkSession, sf_dir: str):
+    """(c_nationkey, s_nationkey) per lineitem — the ONE customer-nation →
+    supplier-nation trade derivation behind q_pagerank (weighted edges)
+    and q_triangle_count (distinct undirected edges). Their SQL twins
+    already share _EDGE_SQL; sharing the Spark side too means an edge-
+    derivation fix cannot desynchronize one query from its oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("c_nationkey", "s_nationkey")
+    )
+
+
 @register(
     "q_pagerank",
     oracle="WITH "
@@ -215,16 +242,10 @@ FROM r{_PR_ITERS} JOIN nodes ON nodes.node = r{_PR_ITERS}.node
     ),
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation")
 
     edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        _trade_fact(spark, sf_dir)
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
@@ -296,17 +317,10 @@ LEFT JOIN (
     ),
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation")
 
     edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .select("c_nationkey", "s_nationkey")
+        _trade_fact(spark, sf_dir)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(
             F.least("c_nationkey", "s_nationkey").alias("a"),

@@ -26,12 +26,15 @@ from pyspark.sql import functions as F
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table
 
-# Codec availability, probed ONCE at import: a per-row failed `import PIL`
-# would pay a full sys.path scan per payload inside the mapInPandas hot
-# loop (failed imports are not cached in sys.modules).
-import importlib.util as _ilu
+# Real-decode opt-in: the genuine codec path (PIL/librosa/ffmpeg) is
+# intentionally unwired in this build. The gate is an EXPLICIT flag, not
+# a probe for whether a codec library happens to be importable — keying
+# on PIL's presence would make an unrelated dependency that pulls in
+# Pillow break every feature extraction at executor runtime with no code
+# change in this repo.
+import os as _os
 
-HAS_PIL = _ilu.find_spec("PIL") is not None
+REAL_DECODE_REQUESTED = _os.environ.get("CLOUD_SYNC_REAL_DECODE") == "1"
 
 
 def media_type_of(doc_id_col):
@@ -65,15 +68,14 @@ def decode_payload(content: bytes, media_type: str) -> dict:
     container; when they are, replace the fake branch per media_type.
     The fake is deterministic: frame count and checksum derive only from
     the bytes."""
-    if HAS_PIL:  # pragma: no cover - codec libs absent by design
-        # the real decode path is intentionally unwired; fail loudly and
-        # ONCE-per-task-visible rather than silently faking when a codec
-        # is actually available
-        raise NotImplementedError("real image decode path not wired in this container")
+    if REAL_DECODE_REQUESTED:  # pragma: no cover - opt-in only
+        # the real decode path is intentionally unwired; fail loudly when
+        # explicitly requested rather than silently returning fake features
+        raise NotImplementedError("real media decode path not wired in this build")
     head = content[:8]
     return {
         "byte_len": len(content),
-        "n_frames": len(content) // 100 + 1,
+        "n_frames": max(1, (len(content) + 99) // 100),
         "head_checksum": sum(head),
         "codec": f"fake-{media_type.split('/', 1)[0]}",
     }
@@ -131,9 +133,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames,
-       CAST(list_sum(list_transform(range(1, least(octet_length(encode(text)), 8) + 1),
-            i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS head_checksum,
+       CAST(greatest((octet_length(encode(text)) + 99) // 100, 1) AS BIGINT)
+         AS n_frames,
+       CAST(coalesce(
+            list_sum(list_transform(range(1, least(octet_length(encode(text)), 8) + 1),
+                 i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT)
+         AS head_checksum,
        'fake-' || CASE WHEN doc_id % 3 = 0 THEN 'image'
                        WHEN doc_id % 3 = 1 THEN 'audio'
                        ELSE 'video' END AS codec
@@ -174,7 +179,7 @@ def sample_frames(binary_df: DataFrame) -> DataFrame:
                 "frame_md5": [],
             }
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                n_frames = len(content) // FRAME_BYTES + 1
+                n_frames = max(1, (len(content) + FRAME_BYTES - 1) // FRAME_BYTES)
                 for idx in range(0, n_frames, FRAME_STRIDE):
                     chunk = bytes(content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES])
                     out["doc_id"].append(doc_id)
@@ -191,7 +196,8 @@ def sample_frames(binary_df: DataFrame) -> DataFrame:
     oracle=f"""
 WITH f AS (
   SELECT doc_id, text,
-         octet_length(encode(text)) // {FRAME_BYTES} + 1 AS n_frames
+         greatest((octet_length(encode(text)) + {FRAME_BYTES} - 1)
+                  // {FRAME_BYTES}, 1) AS n_frames
   FROM documents
 ),
 expanded AS (

@@ -42,8 +42,8 @@ GLOBAL_FORBID = ("CartesianProduct",)
 # - q_histogram_equidepth: the decile-boundary array is ONE broadcast row
 #   (constant in corpus size) cross-joined into the map-only bucket
 #   assignment.
-# - q_bloom_prune: the report assembles three ONE-row counters (orders /
-#   bloom-passed / true matches) with 1×1 cross joins.
+# - q_bloom_prune: legacy entry — the single-pass flag-join form no longer
+#   cross-joins counters; kept so a plan-shape wobble cannot flip the gate.
 # - q_fuzzy_match: the probe set is 4 literal rows broadcast against the
 #   corpus scan; the edit-distance predicate is inherently non-equi.
 # - q_data_mixture: the (total_docs, n_groups) scalar is ONE row
