@@ -1043,9 +1043,17 @@ def exact_jaccard_pairs(
     with_df = shl.withColumn(
         "df", F.count("*").over(Window.partitionBy("sh")).cast("int")
     )
+    # Three consumers read this aggregate (the prefix branch + both
+    # verification sides) and their downstream projections differ, so
+    # Spark's ReuseExchange never fires — without materialization the
+    # whole shingle window+groupBy pipeline runs 3x. localCheckpoint
+    # (lazy) pins the computed partitions on executors; measured
+    # 4.6s -> 3.8s at sf0.1, and at scale it trades one recompute of the
+    # heaviest stage for executor-local storage of (doc_id, shingle-hash
+    # array) rows — set-size data, not text.
     sets = with_df.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("shs_df")
-    )
+    ).localCheckpoint(eager=False)
     plen = F.size("shs_df") - F.ceil(F.lit(t) * F.size("shs_df")).cast("int") + 1
     pref = (
         sets.select(
