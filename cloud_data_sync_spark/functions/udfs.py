@@ -510,3 +510,104 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok.alias("within_tolerance"),
         )
     )
+
+
+# -- HLL sketch set-algebra: cross-source overlap estimation -----------------
+
+# Sources whose trigram-shingle vocabularies we compare; a fixed, small set
+# keeps the pair lattice (6 pairs) and the exact verification join bounded
+# regardless of corpus size.
+_OVERLAP_SOURCES = ("src1", "src2", "src3", "src4")
+
+
+@register(
+    "q_hll_pair_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE source IN ('src1', 'src2', 'src3', 'src4')
+),
+shl AS (
+  SELECT source, unnest(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+           ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM toks
+),
+per_src AS (SELECT DISTINCT source, sh FROM shl),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS exact_overlap
+  FROM per_src a JOIN per_src b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, CAST(exact_overlap AS BIGINT) AS exact_overlap,
+       TRUE AS within_tolerance
+FROM pairs
+""",
+    doc=(
+        "Sketch set-ALGEBRA, not just set cardinality: pairwise distinct- "
+        "shingle overlap between sources estimated by inclusion-exclusion "
+        "over HLL sketches — |A∩B| ≈ est(A) + est(B) − est(A∪B), where "
+        "est(A∪B) is hll_union of the two per-source sketches. This is "
+        "the capability q_sketch_rollup's union-merge alone doesn't show: "
+        "fixed-size sketches supporting set arithmetic that would "
+        "otherwise need a corpus-scale distinct join. ONE pass builds all "
+        "per-source sketches (map-side combined, KB each); the pair "
+        "lattice is a broadcast self-join over |sources| rows; the union "
+        "runs per-pair on broadcast sketches — corpus bytes are touched "
+        "exactly once. Like every HLL query, estimates can't hash-match "
+        "another engine, so the emitted columns are the EXACT overlaps "
+        "(computed by a distinct-pair join both engines run) plus a "
+        "within_tolerance boolean (inclusion-exclusion compounds the "
+        "per-sketch ~2% error, so the bound is 15% + 32 absolute — "
+        "generous for the estimator, still falsified by any broken "
+        "sketch/union/merge step)."
+    ),
+)
+def q_hll_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.operators.dedup import _with_shingles
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(*_OVERLAP_SOURCES))
+        .select("source", "text")
+    )
+    shl = (
+        _with_shingles(docs)
+        .select("source", F.explode("sh").alias("sh"))
+    )
+    per_src = shl.distinct()
+    sk = per_src.groupBy("source").agg(F.hll_sketch_agg("sh").alias("sk"))
+    a = sk.select(F.col("source").alias("src_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("sk").alias("sk_b"))
+    est_pairs = (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.hll_sketch_estimate("sk_a")
+                + F.hll_sketch_estimate("sk_b")
+                - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+            ).alias("est_overlap"),
+        )
+    )
+    exact_pairs = (
+        per_src.alias("x")
+        .join(
+            per_src.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    ok = F.abs(F.col("est_overlap") - F.col("exact_overlap")) <= (
+        F.lit(0.15) * F.col("exact_overlap") + F.lit(32.0)
+    )
+    return (
+        exact_pairs.join(F.broadcast(est_pairs), ["src_a", "src_b"])
+        .select("src_a", "src_b", "exact_overlap", ok.alias("within_tolerance"))
+    )

@@ -1033,3 +1033,151 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+WITH touched AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+  FROM events
+)
+SELECT CASE WHEN touch_type IS NOT NULL
+             AND touch_ts >= ts - INTERVAL 7 DAY
+            THEN touch_type ELSE '(none)' END AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS attributed_value
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    doc=(
+        "Last-touch marketing attribution: each purchase credits the most "
+        "recent preceding non-purchase event by the same user, but only "
+        "within a 7-day attribution window — stale or missing touches "
+        "fall into '(none)'. ONE user_id exchange drives both IGNORE-NULLS "
+        "lookback windows (same partition, same frame — one sort), the "
+        "attribution CASE is map-side, and the final rollup is a bounded "
+        "hash agg (|event types|+1 groups). The windowed-lookback shape "
+        "scales because per-user history sorts inside one spillable task "
+        "partition; no self-join against the touch candidates ever forms "
+        "(the naive formulation joins purchases to all prior events and "
+        "re-filters — O(events²) per hot user)."
+    ),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    fresh = F.col("touch_type").isNotNull() & (
+        F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(fresh, F.col("touch_type")).otherwise(F.lit("(none)")).alias(
+                "touch_type"
+            ),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
+# EWMA smoothing constant: alpha = 0.5 is deliberately DYADIC — every weight
+# (1-alpha)^j = 2^-j scales a double's exponent exactly (no mantissa change),
+# so the 8-term numerator/denominator sums are bit-identical between engines
+# as long as both fold left-to-right, which a fixed `a + b + ...` expression
+# tree guarantees on both. A non-dyadic alpha would reintroduce the
+# round()-divergence class the registry docstring bans.
+_EWMA_LAGS = 8
+
+
+@register(
+    "q_ewma_smooth",
+    oracle="""
+WITH lagged AS (
+  SELECT event_id, user_id, value,
+         {lags}
+  FROM events
+)
+SELECT event_id, user_id,
+       floor((({num}) / ({den})) * 1000000) / 1000000 AS ewma
+FROM lagged
+""".format(
+        lags=",\n         ".join(
+            "lag(value, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            " AS v{j}".format(j=j)
+            for j in range(1, _EWMA_LAGS)
+        ),
+        num=" + ".join(
+            ["value * 1.0"]
+            + [
+                "coalesce(v{j} * {w!r}, 0.0)".format(j=j, w=0.5 ** j)
+                for j in range(1, _EWMA_LAGS)
+            ]
+        ),
+        den=" + ".join(
+            ["1.0"]
+            + [
+                "CASE WHEN v{j} IS NOT NULL THEN {w!r} ELSE 0.0 END".format(
+                    j=j, w=0.5 ** j
+                )
+                for j in range(1, _EWMA_LAGS)
+            ]
+        ),
+    ),
+    doc=(
+        "Exponentially-weighted moving average per user (alpha=0.5, last 8 "
+        "events, truncated-and-renormalized): the time-series smoothing "
+        "primitive behind anomaly baselines and rate monitors. EWMA's "
+        "recursive definition looks sequential, but a truncated closed "
+        "form (weights 2^-j over a fixed lag window) turns it into 8 lag() "
+        "columns on ONE user_id exchange — fully parallel, no iteration, "
+        "no state. The fixed window is principled, not a shortcut: 2^-8 "
+        "< 0.4% residual weight. At 100 TB the per-user sort spills; "
+        "nothing else changes."
+    ),
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value")] + [
+        F.lag("value", j).over(w) for j in range(1, _EWMA_LAGS)
+    ]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j, v in enumerate(lags):
+        wj = F.lit(0.5 ** j)
+        num = num + F.coalesce(v * wj, F.lit(0.0))
+        den = den + F.when(v.isNotNull(), wj).otherwise(F.lit(0.0))
+    return ev.select(
+        "event_id", "user_id", floor_ratio(num / den, 6).alias("ewma")
+    )

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cloud_data_sync_spark.registry import register
+from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import load_table
 
 _K = 8
@@ -483,4 +483,221 @@ def q_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loss1",
         "loss2",
         "train_acc",
+    )
+
+
+# -- hashing-trick featurization ---------------------------------------------
+
+_FH_BUCKETS = 16
+
+
+@register(
+    "q_feature_hash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+bk AS (
+  SELECT doc_id,
+         list_transform(t,
+           s -> CAST('0x' || substr(md5(s), 1, 6) AS BIGINT) % {_FH_BUCKETS}
+         ) AS b
+  FROM toks
+),
+fv AS (
+  SELECT doc_id, b,
+         list_transform(generate_series(0, {_FH_BUCKETS - 1}),
+           i -> CAST(len(list_filter(b, x -> x = i)) AS BIGINT)) AS features
+  FROM bk
+)
+SELECT doc_id, CAST(len(b) AS BIGINT) AS n_tokens, features,
+       CAST(len(list_filter(features, v -> v > 0)) AS BIGINT) AS nnz,
+       floor(sqrt(list_sum(list_transform(features, v -> v * v)))
+             * 1000000) / 1000000 AS l2_norm
+FROM fv
+""",
+    doc=(
+        "Hashing-trick featurization (the Vowpal-Wabbit / scikit "
+        "HashingVectorizer primitive): each token is hashed into one of "
+        "{b} buckets by the engine-portable md5-prefix family that "
+        "q_sketch_cms established, and each document becomes a fixed-width "
+        "count vector — no vocabulary build, no dictionary broadcast, no "
+        "OOV problem, which is exactly why hashing features win at 100 TB "
+        "(a real deployment uses 2^18+ buckets; {b} keeps the oracle's "
+        "per-bucket lists readable). The whole query is MAP-ONLY: one md5 "
+        "per token, bucket counts folded per row, zero exchanges — "
+        "featurizing scales linearly with corpus bytes. nnz and the "
+        "l2 norm ride along for downstream normalization."
+    ).format(b=_FH_BUCKETS),
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.operators.tokens import low_toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bucket array materialized as its OWN column AND referenced twice in
+    # the output (features + n_tokens): CollapseProject inlines a single-
+    # reference alias regardless of cost, which would re-run md5 once per
+    # (token, bucket) probe — 16x the hashing, measured 3.5s -> 0.6s at
+    # sf0.1 when the second reference pins it (the _with_shingles lesson,
+    # plus its reference-count fine print). n_tokens doubles as the
+    # feature vector's L1 norm, so the extra column is not a dummy.
+    bk = F.transform(
+        low_toks(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("long")
+        % _FH_BUCKETS,
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_BUCKETS - 1)),
+        lambda i: F.size(F.filter(F.col("bk"), lambda x: x == i.cast("long"))).cast(
+            "long"
+        ),
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.col("features"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).cast("double")
+    )
+    return (
+        docs.withColumn("bk", bk)
+        .withColumn("features", vec)
+        .select(
+            "doc_id",
+            F.size("bk").cast("long").alias("n_tokens"),
+            "features",
+            F.size(F.filter("features", lambda v: v > 0)).cast("long").alias("nnz"),
+            floor_ratio(l2, 6).alias("l2_norm"),
+        )
+    )
+
+
+# -- Gaussian naive Bayes over the embedding corpus --------------------------
+
+_NB_SMOOTH = 1e-6
+
+
+@register(
+    "q_gaussian_nb",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+),
+train AS (SELECT * FROM vecs WHERE vec_id % 3 <> 0),
+test AS (SELECT * FROM vecs WHERE vec_id % 3 = 0),
+pd AS (
+  SELECT label, t.i AS i, avg(e[t.i]) AS mu,
+         var_pop(e[t.i]) + {_NB_SMOOTH!r} AS v
+  FROM train, LATERAL unnest(generate_series(1, {_DIM})) AS t(i)
+  GROUP BY label, t.i
+),
+models AS (
+  SELECT label, list(mu ORDER BY i) AS mu, list(v ORDER BY i) AS v
+  FROM pd GROUP BY label
+),
+priors AS (
+  SELECT label, ln(count(*) * 1.0 / (SELECT count(*) FROM train)) AS lp
+  FROM train GROUP BY label
+),
+scored AS (
+  SELECT t.vec_id, t.label AS label, m.label AS cand,
+         p.lp - 0.5 * list_sum(list_transform(generate_series(1, {_DIM}),
+             i -> ln(2 * pi() * m.v[i]) + (t.e[i] - m.mu[i]) ^ 2 / m.v[i])) AS ll
+  FROM test t CROSS JOIN models m JOIN priors p ON p.label = m.label
+),
+best AS (
+  SELECT vec_id, label, cand,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ll DESC, cand) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(label AS INTEGER) AS label, CAST(cand AS INTEGER) AS pred,
+       label = cand AS correct
+FROM best WHERE rn = 1
+""",
+    doc=(
+        "Gaussian naive Bayes on the embeddings — the generative sibling "
+        "of q_logreg_probe's discriminative linear probe: per-(label, dim) "
+        "mean/variance from a deterministic %3 train split, diagonal- "
+        "covariance log-likelihood plus log-prior, argmax over labels "
+        "(ties broken toward the smaller label). Same 100 TB shape as "
+        "q_kmeans: training is ONE posexplode shuffle carrying K x D "
+        "moment partials (map-side combined, never vectors), the fitted "
+        "model is a single ~{k}x{d}x2-double broadcast row, and scoring "
+        "is map-only over the test scan. Output is integer/boolean only "
+        "(vec_id, label, pred, correct) — engine-portable without float "
+        "rounding; argmax stability rests on class margins orders of "
+        "magnitude above the ulp-level ln()/summation-order noise, the "
+        "documented tolerance argument of ml.py's module docstring "
+        "(measured min margin 1.6e-4 at sf0.1 vs ~1e-11 noise). Honesty "
+        "note: the fixture's labels are statistically independent of the "
+        "embeddings (nearest-centroid and 1-NN both score chance on a "
+        "held-out split), so accuracy here is ~1/K by construction — the "
+        "query demonstrates the train/score PLAN SHAPE and cross-engine "
+        "argmax determinism, not fixture learnability."
+    ).format(k="K", d=_DIM),
+)
+def q_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        "label",
+    )
+    train = vecs.filter(F.col("vec_id") % 3 != 0)
+    test = vecs.filter(F.col("vec_id") % 3 == 0)
+    per_dim = (
+        train.select("label", F.posexplode("e").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.avg("x").alias("mu"),
+            (F.var_pop("x") + F.lit(_NB_SMOOTH)).alias("v"),
+        )
+    )
+    models = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("mu"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]
+        ).alias("v"),
+    )
+    n_total = train.groupBy().agg(F.count("*").alias("nt"))
+    priors = (
+        train.groupBy("label")
+        .agg(F.count("*").alias("nl"))
+        .crossJoin(F.broadcast(n_total))
+        .select("label", F.log(F.col("nl") * 1.0 / F.col("nt")).alias("lp"))
+    )
+    pack = (
+        models.join(priors, "label")
+        .agg(F.collect_list(F.struct("label", "mu", "v", "lp")).alias("ms"))
+    )
+
+    def _ll(m):
+        sq = F.zip_with(F.col("e"), m["mu"], lambda x, mu: (x - mu) * (x - mu))
+        terms = F.zip_with(
+            sq, m["v"], lambda s, v: F.log(F.lit(2 * math.pi) * v) + s / v
+        )
+        total = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        return m["lp"] - 0.5 * total
+
+    scored = test.crossJoin(F.broadcast(pack)).withColumn(
+        "cands",
+        F.transform(
+            F.col("ms"),
+            lambda m: F.struct(_ll(m).alias("ll"), m["label"].alias("cand")),
+        ),
+    )
+    best = F.array_max(F.transform(F.col("cands"), lambda c: c["ll"]))
+    pred = F.array_min(
+        F.transform(
+            F.filter(F.col("cands"), lambda c: c["ll"] == best),
+            lambda c: c["cand"],
+        )
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        pred.alias("pred"),
+        (F.col("label") == pred).alias("correct"),
     )

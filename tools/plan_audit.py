@@ -67,7 +67,15 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   (the q_histogram_equidepth shape) cross-joined into bucket assignment.
 # - q_token_budget: the corpus token total is ONE broadcast row
 #   cross-joined into the per-group share projection.
+# - q_gaussian_nb: the fitted model (K labels × D dims × {mu, var} + prior)
+#   and the train-count scalar are ONE-row broadcast packs cross-joined
+#   into map-only scoring — the k-means centroid pattern.
+# - q_hll_pair_overlap: the pair lattice is a < theta-join over the
+#   per-source sketch table, bounded by the CONFIG-constant source set
+#   (4 rows broadcast) — never corpus-sized.
 BNLJ_ALLOWED = {
+    "q_gaussian_nb",
+    "q_hll_pair_overlap",
     "q_bm25",
     "q_perplexity_buckets",
     "q_token_budget",
