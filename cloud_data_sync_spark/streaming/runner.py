@@ -136,7 +136,10 @@ def stream_windowed_counts(
 
 
 def run_available_now(
-    result: DataFrame, query_name: str, output_mode: str = "complete"
+    result: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    drain_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the stream with the availableNow trigger into a memory sink;
     returns the materialized result as a batch DataFrame.
@@ -157,7 +160,15 @@ def run_available_now(
     # stream sizes this to STATE VOLUME instead (state must fit per
     # partition); the drain passes an explicit fresh checkpoint each call
     # (below), so the override never conflicts with a pinned layout.
-    drain_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    # per-drain override: stream-stream JOINS run 4 state stores per side
+    # per partition, so fewer partitions win (measured 2.4s -> 2.0s at 4);
+    # applyInPandas-stateful drains want MORE partitions for Python worker
+    # parallelism (8 -> 4 cost +0.8s on the dedup drain) — callers pick.
+    drain_parts = str(
+        drain_partitions
+        if drain_partitions is not None
+        else os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", drain_parts)
     # explicit per-call checkpoint dir: without it, a session-level

@@ -210,7 +210,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_sec"),
     )
-    return run_available_now(joined, "t_stream_join", output_mode="append")
+    return run_available_now(
+        joined, "t_stream_join", output_mode="append", drain_partitions=4
+    )
 
 
 @register(
@@ -265,4 +267,91 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+@register(
+    "q_stream_left_join",
+    oracle="""
+WITH wm AS (
+  SELECT least(
+           max(CASE WHEN event_type = 'click' THEN ts END),
+           max(CASE WHEN event_type = 'purchase' THEN ts END)
+         ) - INTERVAL 10 MINUTE AS w
+  FROM events
+)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
+""",
+    doc=(
+        "Watermarked stream-stream LEFT OUTER join — the shape the inner "
+        "join (q_stream_join) cannot express: purchases with NO click in "
+        "the preceding hour still emit, with nulls, once the watermark "
+        "proves no matching click can arrive. Null emission is the hard "
+        "part of streaming outer joins: a row is held in state until the "
+        "joint watermark (min of both sides' max event time, minus the "
+        "10-minute delay) passes its join window, so end-of-stream leaves "
+        "the youngest unmatched purchases PENDING, not nulled. The oracle "
+        "encodes exactly that finalization frontier — matched rows "
+        "unconditionally, null rows only where purchase_ts < joint "
+        "watermark — making the stream's visible output, pending "
+        "semantics included, batch-checkable (verified row-identical at "
+        "sf0.001 and sf0.01, stable across repeated drains). Same state "
+        "bounds as the inner join: per-side watermarks + the event-time "
+        "range condition expire join state; without them outer-join "
+        "state grows forever."
+    ),
+)
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    # single-batch drain, same rationale as q_stream_join; availableNow's
+    # terminal no-data batch advances the watermark to (joint max - 10min)
+    # and flushes every finalized null row deterministically
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("gap_sec"),
+    )
+    return run_available_now(
+        joined, "t_stream_left_join", output_mode="append", drain_partitions=4
     )

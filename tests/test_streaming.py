@@ -329,3 +329,32 @@ def test_drain_twice_with_session_checkpoint_root(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.checkpointLocation")
         else:
             spark.conf.set("spark.sql.streaming.checkpointLocation", prev)
+
+
+def test_stream_left_join_nulls_respect_watermark_frontier(spark):
+    """Null-matched rows appear ONLY for purchases the joint watermark has
+    finalized; repeated drains are identical (replay-determinism)."""
+    from cloud_data_sync_spark.registry import all_queries
+    from cloud_data_sync_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    fn = all_queries()["q_stream_left_join"].fn
+    rows1 = sorted(
+        (r.purchase_id, r.click_id) for r in fn(spark, sf).collect()
+    )
+    rows2 = sorted(
+        (r.purchase_id, r.click_id) for r in fn(spark, sf).collect()
+    )
+    assert rows1 == rows2
+    ev = load_table(spark, sf, "events").collect()
+    wm = min(
+        max(r.ts for r in ev if r.event_type == "click"),
+        max(r.ts for r in ev if r.event_type == "purchase"),
+    )
+    pts = {r.event_id: r.ts for r in ev if r.event_type == "purchase"}
+    nulled = [p for p, c in rows1 if c is None]
+    assert nulled, "expected some unmatched purchases"
+    for p in nulled:
+        assert (wm - pts[p]).total_seconds() >= 600
+    # matched rows emit regardless of the frontier: at least one pair
+    assert any(c is not None for _, c in rows1)
