@@ -701,3 +701,112 @@ def q_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("pred"),
         (F.col("label") == pred).alias("correct"),
     )
+
+
+# -- Johnson-Lindenstrauss random projection ---------------------------------
+
+_RP_OUT = 16  # target dimensionality
+
+# Deterministic Achlioptas-style +-1 sign matrix, generated ONCE in Python
+# (md5 parity of "i:j") and embedded as literals in BOTH the Spark plan and
+# the oracle SQL — the portability question disappears entirely; neither
+# engine hashes anything at runtime. +-1 entries and the 1/sqrt(16)=0.25
+# scale keep every product/scale step EXACT in IEEE doubles, so with both
+# engines folding the 64-term dot product left-to-right the projections are
+# bit-identical (the q_ewma_smooth dyadic argument).
+def _rp_signs() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:6], 16) % 2 == 0
+            else -1.0
+            for i in range(_DIM)
+        ]
+        for j in range(_RP_OUT)
+    ]
+
+
+_RP_M = _rp_signs()
+# The oracle unrolls each output dim into an explicit 64-term sum instead
+# of indexing a nested list literal inside a lambda: DuckDB re-materializes
+# a literal list per lambda evaluation, which turned the sf0.1 oracle into
+# a multi-minute hang (16 outputs x 64 dims x rows list constructions);
+# plain arithmetic runs in <1s. MATERIALIZED pins the projection CTE so the
+# three outer references don't recompute it.
+_RP_SUMS_SQL = "[" + ",\n           ".join(
+    "((" + " + ".join(f"e[{i + 1}] * {int(s)}" for i, s in enumerate(row))
+    + ") * 0.25)"
+    for row in _RP_M
+) + "]"
+
+
+@register(
+    "q_random_projection",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+),
+proj AS MATERIALIZED (
+  SELECT vec_id, label, e,
+         {_RP_SUMS_SQL} AS p
+  FROM vecs
+)
+SELECT vec_id, label,
+       list_transform(p, x -> floor(x * 1000000) / 1000000) AS reduced,
+       floor(sqrt(list_sum(list_transform(p, x -> x * x)))
+             / sqrt(list_sum(list_transform(e, x -> x * x)))
+             * 10000) / 10000 AS norm_ratio
+FROM proj
+""",
+    doc=(
+        "Johnson-Lindenstrauss random projection 64 -> {k} dims "
+        "(Achlioptas +-1 signs, 1/sqrt({k}) scale): THE dimensionality- "
+        "reduction primitive for making downstream ANN/dedup cheaper — "
+        "pairwise distances are preserved within (1 +- eps) w.h.p., and "
+        "the emitted norm_ratio audits exactly that contraction per "
+        "vector. MAP-ONLY and matrix-free: the sign matrix is {k}x{d} "
+        "CONSTANTS compiled into the plan (generated once at import from "
+        "md5 parity, embedded as literals in both engines — nothing is "
+        "hashed at runtime), so the projection is a per-row fold with "
+        "zero exchanges, zero broadcast, linear in corpus bytes. At 100 "
+        "TB nothing changes; for larger targets the literal matrix swaps "
+        "for a seeded executor-side generator, same plan."
+    ).format(k=_RP_OUT, d=_DIM),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.array(
+        *[F.array(*[F.lit(s) for s in row]) for row in _RP_M]
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        "label",
+    )
+    proj = F.transform(
+        F.col("m"),
+        lambda row: F.aggregate(
+            F.zip_with(F.col("e"), row, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * 0.25,
+    )
+    sq_sum = lambda c: F.aggregate(  # noqa: E731 - two-use local fold
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        vecs.withColumn("m", m)
+        .withColumn("p", proj)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("p", lambda x: F.floor(x * 1000000) / 1000000).alias(
+                "reduced"
+            ),
+            floor_ratio(
+                F.sqrt(sq_sum(F.col("p"))) / F.sqrt(sq_sum(F.col("e"))), 4
+            ).alias("norm_ratio"),
+        )
+    )

@@ -187,3 +187,27 @@ def test_hll_pair_overlap_exact_and_tolerant(spark):
         assert r.src_a < r.src_b
         assert r.exact_overlap >= 0
         assert r.within_tolerance
+
+
+def test_random_projection_preserves_norms_and_signs(spark):
+    import numpy as np
+
+    from cloud_data_sync_spark.operators.ml import _RP_M
+    from cloud_data_sync_spark.tables import load_table
+
+    raw = {r.vec_id: np.array(list(r.embedding), dtype=np.float64)
+           for r in load_table(spark, SF, "embeddings").collect()}
+    M = np.array(_RP_M)  # 16 x 64 of +-1
+    assert set(np.unique(M)) == {-1.0, 1.0}
+    rows = _run(spark, "q_random_projection")
+    assert len(rows) == len(raw)
+    ratios = []
+    for r in rows[:100]:
+        e = raw[r.vec_id]
+        p = (M @ e) * 0.25
+        expect = np.floor(p * 1e6) / 1e6
+        assert np.allclose(np.array(r.reduced), expect, atol=1e-9)
+        ratios.append(r.norm_ratio)
+    # JL: norms concentrate around 1 — mean within 25%, none degenerate
+    assert 0.75 < sum(ratios) / len(ratios) < 1.25
+    assert all(0.2 < x < 3.0 for x in ratios)
