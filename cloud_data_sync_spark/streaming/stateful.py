@@ -90,6 +90,10 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_event_per_user(read_events_stream(spark, sf_dir)),
         "t_stateful_dedup",
         output_mode="update",
+        # Python-stateful drains want MORE partitions than the join drains:
+        # throughput is Arrow-batch Python work, and 16 beats the default 8
+        # by ~12% at sf0.1 (state volume is tiny either way)
+        drain_partitions=16,
     )
     return keep_first(out, ["user_id"], ["event_id"]).select(
         "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
@@ -174,6 +178,10 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_totals_per_user(read_events_stream(spark, sf_dir)),
         "t_stream_running_totals",
         output_mode="update",
+        # Python-stateful drains want MORE partitions than the join drains:
+        # throughput is Arrow-batch Python work, and 16 beats the default 8
+        # by ~12% at sf0.1 (state volume is tiny either way)
+        drain_partitions=16,
     )
     return keep_first(out, ["user_id"], [F.desc("n_events")]).select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
