@@ -520,12 +520,15 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OVERLAP_SOURCES = ("src1", "src2", "src3", "src4")
 
 
+_OVERLAP_SOURCES_SQL = ", ".join(f"'{s}'" for s in _OVERLAP_SOURCES)
+
+
 @register(
     "q_hll_pair_overlap",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
   SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t
-  FROM documents WHERE source IN ('src1', 'src2', 'src3', 'src4')
+  FROM documents WHERE source IN ({_OVERLAP_SOURCES_SQL})
 ),
 shl AS (
   SELECT source, unnest(CASE WHEN len(t) >= 3

@@ -1133,25 +1133,26 @@ SELECT event_id, user_id,
 FROM lagged
 """.format(
         lags=",\n         ".join(
-            "lag(value, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
-            " AS v{j}".format(j=j)
-            for j in range(1, _EWMA_LAGS)
-        ),
-        num=" + ".join(
-            ["value * 1.0"]
+            ["value AS v0"]
             + [
-                "coalesce(v{j} * {w!r}, 0.0)".format(j=j, w=0.5 ** j)
+                "lag(value, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+                " AS v{j}".format(j=j)
                 for j in range(1, _EWMA_LAGS)
             ]
+        ),
+        # current value mirrored with the SAME coalesce/CASE guards as the
+        # lag terms (and as the Spark fold): a NULL current value must
+        # renormalize over the remaining window on BOTH engines, not
+        # NULL-propagate on one side only (r4 review finding)
+        num=" + ".join(
+            "coalesce(v{j} * {w!r}, 0.0)".format(j=j, w=0.5 ** j)
+            for j in range(_EWMA_LAGS)
         ),
         den=" + ".join(
-            ["1.0"]
-            + [
-                "CASE WHEN v{j} IS NOT NULL THEN {w!r} ELSE 0.0 END".format(
-                    j=j, w=0.5 ** j
-                )
-                for j in range(1, _EWMA_LAGS)
-            ]
+            "CASE WHEN v{j} IS NOT NULL THEN {w!r} ELSE 0.0 END".format(
+                j=j, w=0.5 ** j
+            )
+            for j in range(_EWMA_LAGS)
         ),
     ),
     doc=(

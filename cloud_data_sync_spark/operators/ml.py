@@ -645,12 +645,18 @@ def q_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = vecs.filter(F.col("vec_id") % 3 != 0)
     test = vecs.filter(F.col("vec_id") % 3 == 0)
+    # ONE posexplode shuffle trains everything: the per-(label, dim) count
+    # is the per-label row count (every vector contributes one row per
+    # dim), so class priors need no second train scan — max(nl) per label
+    # recovers n_l, and the 1-row pack sums them for n_total. The train
+    # split is scanned exactly once.
     per_dim = (
         train.select("label", F.posexplode("e").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(
             F.avg("x").alias("mu"),
             (F.var_pop("x") + F.lit(_NB_SMOOTH)).alias("v"),
+            F.count("*").alias("nl"),
         )
     )
     models = per_dim.groupBy("label").agg(
@@ -660,17 +666,11 @@ def q_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]
         ).alias("v"),
+        F.max("nl").alias("nl"),
     )
-    n_total = train.groupBy().agg(F.count("*").alias("nt"))
-    priors = (
-        train.groupBy("label")
-        .agg(F.count("*").alias("nl"))
-        .crossJoin(F.broadcast(n_total))
-        .select("label", F.log(F.col("nl") * 1.0 / F.col("nt")).alias("lp"))
-    )
-    pack = (
-        models.join(priors, "label")
-        .agg(F.collect_list(F.struct("label", "mu", "v", "lp")).alias("ms"))
+    pack = models.agg(
+        F.collect_list(F.struct("label", "mu", "v", "nl")).alias("ms"),
+        F.sum("nl").alias("nt"),
     )
 
     def _ll(m):
@@ -679,7 +679,8 @@ def q_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             sq, m["v"], lambda s, v: F.log(F.lit(2 * math.pi) * v) + s / v
         )
         total = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-        return m["lp"] - 0.5 * total
+        lp = F.log(m["nl"] * 1.0 / F.col("nt"))
+        return lp - 0.5 * total
 
     scored = test.crossJoin(F.broadcast(pack)).withColumn(
         "cands",

@@ -144,6 +144,73 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_click_purchase_join(
+    spark: SparkSession, sf_dir: str, hours: int, how: str, query_name: str
+) -> DataFrame:
+    """THE click->purchase stream-stream join used by q_stream_join
+    (inner, 6h) and q_stream_left_join (left_outer, 1h): one definition so
+    a watermark-delay, range-condition, or gap_sec fix cannot drift
+    between the two (the keep_first rationale).
+
+    Single-batch drain: with per-file triggers, a multi-file events dir
+    that is not globally time-ordered would let the watermark drop older
+    files' rows from join state, diverging from the batch oracle. The
+    availableNow terminal no-data batch advances the watermark to
+    (joint max - 10min) and flushes finalized left-outer nulls
+    deterministically. drain_partitions=4: stream-stream joins run 4
+    state stores per side per partition, so fewer partitions win.
+    """
+    from cloud_data_sync_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {hours} HOURS")
+        )
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        how,
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("gap_sec"),
+    )
+    return run_available_now(
+        joined, query_name, output_mode="append", drain_partitions=4
+    )
+
+
+
+
 @register(
     "q_stream_join",
     oracle="""
@@ -167,51 +234,8 @@ JOIN events c
     ),
 )
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloud_data_sync_spark.streaming.runner import (
-        read_events_stream,
-        run_available_now,
-    )
-
-    # single-batch drain: with per-file triggers, a multi-file events dir
-    # that is not globally time-ordered would let the watermark drop older
-    # files' rows from join state, diverging from the batch oracle
-    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "10 minutes")
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "10 minutes")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS"))
-        & (F.col("click_ts") <= F.col("purchase_ts")),
-    ).select(
-        "purchase_id",
-        "click_id",
-        "user_id",
-        (
-            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
-            / F.lit(1_000_000)
-        )
-        .cast("long")
-        .alias("gap_sec"),
-    )
-    return run_available_now(
-        joined, "t_stream_join", output_mode="append", drain_partitions=4
+    return _stream_click_purchase_join(
+        spark, sf_dir, hours=6, how="inner", query_name="t_stream_join"
     )
 
 
@@ -308,50 +332,6 @@ WHERE c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
     ),
 )
 def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloud_data_sync_spark.streaming.runner import (
-        read_events_stream,
-        run_available_now,
-    )
-
-    # single-batch drain, same rationale as q_stream_join; availableNow's
-    # terminal no-data batch advances the watermark to (joint max - 10min)
-    # and flushes every finalized null row deterministically
-    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "10 minutes")
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "10 minutes")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOURS"))
-        & (F.col("click_ts") <= F.col("purchase_ts")),
-        "left_outer",
-    ).select(
-        "purchase_id",
-        "click_id",
-        "user_id",
-        (
-            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
-            / F.lit(1_000_000)
-        )
-        .cast("long")
-        .alias("gap_sec"),
-    )
-    return run_available_now(
-        joined, "t_stream_left_join", output_mode="append", drain_partitions=4
+    return _stream_click_purchase_join(
+        spark, sf_dir, hours=1, how="left_outer", query_name="t_stream_left_join"
     )

@@ -34,8 +34,10 @@ def test_attribution_partitions_all_purchases(spark):
         assert r.attributed_value > 0
 
 
-def test_attribution_single_user_by_hand(spark):
-    """Recompute one user's attribution from their raw event stream."""
+def test_attribution_matches_hand_recomputation(spark):
+    """Recompute the whole attribution histogram from the raw event
+    stream. The freshness bound is INCLUSIVE (touch_ts >= ts - 7 days,
+    i.e. a gap of exactly 7 days still attributes) — mirrored as <=."""
     from cloud_data_sync_spark.tables import load_table
 
     ev = (
@@ -43,24 +45,6 @@ def test_attribution_single_user_by_hand(spark):
         .select("event_id", "user_id", "ts", "event_type", "value")
         .collect()
     )
-    uid = next(r.user_id for r in ev if r.event_type == "purchase")
-    mine = sorted(
-        (r for r in ev if r.user_id == uid), key=lambda r: (r.ts, r.event_id)
-    )
-    expect: dict[str, int] = {}
-    last_touch = None  # (ts, type)
-    for r in mine:
-        if r.event_type == "purchase":
-            if last_touch is not None and (r.ts - last_touch[0]).days < 7:
-                key = last_touch[1]
-            else:
-                key = "(none)"
-            expect[key] = expect.get(key, 0) + 1
-        else:
-            last_touch = (r.ts, r.event_type)
-    # compare against the full result restricted to this user is not
-    # possible (output is global), so recompute globally instead for the
-    # touch-type histogram
     got = {r.touch_type: r.n_purchases for r in _run(spark, "q_attribution")}
     full_expect: dict[str, int] = {}
     by_user: dict[int, list] = {}
@@ -71,7 +55,7 @@ def test_attribution_single_user_by_hand(spark):
         lt = None
         for r in rows_u:
             if r.event_type == "purchase":
-                if lt is not None and (r.ts - lt[0]).total_seconds() < 7 * 86400:
+                if lt is not None and (r.ts - lt[0]).total_seconds() <= 7 * 86400:
                     key = lt[1]
                 else:
                     key = "(none)"

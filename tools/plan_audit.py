@@ -135,6 +135,8 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_map_funcs": {"forbid": ("Exchange",)},
     "q_string_funcs": {"forbid": ("Exchange",)},
     "q_sample_hash": {"forbid": ("Exchange",)},
+    "q_feature_hash": {"forbid": ("Exchange",)},
+    "q_random_projection": {"forbid": ("Exchange",)},
     "q_stratified_sample": {"forbid": ("Exchange",)},
     "q_token_bpe": {"forbid": ("Exchange",)},
     "q_vector_quantize": {"forbid": ("Exchange",)},

@@ -33,9 +33,19 @@ def main() -> None:
             names.append(argv[i])
             i += 1
 
+    qs = all_queries()
+    unknown = [n for n in names if n not in qs]
+    if not names or unknown or n < 1:
+        if unknown:
+            print(f"unknown query name(s): {unknown}", file=sys.stderr)
+        if not names:
+            print("no query names given", file=sys.stderr)
+        if n < 1:
+            print(f"--n must be >= 1, got {n}", file=sys.stderr)
+        raise SystemExit(2)
+
     spark = get_spark("time_query")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = all_queries()
     from cloud_data_sync_spark.tables import load_tables
 
     for df in load_tables(spark, sf_dir, register_views=False).values():
