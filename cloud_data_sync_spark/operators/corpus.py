@@ -163,7 +163,13 @@ _NGRAM = 8  # word-8-grams, the common decontamination shingle width
 
 
 def _shingle8(toks: Column) -> Column:
-    """Distinct md5s of the word-8-grams of a token array (empty if <8)."""
+    """Distinct xxhash64 longs of the word-8-grams of a token array (empty
+    if <8). Both consumers (q_decontaminate, q_ngram_dup_mass) emit only
+    counts/rates — never the hash itself — so the hash function is free to
+    differ from the oracle's md5: equality joins and document-frequency
+    counts are invariant to it (64-bit collisions over a ~100k-gram
+    universe are ~1e-9 per corpus). Longs hash ~2× faster than md5 and
+    shuffle/broadcast as 8 bytes instead of 32-char hex strings."""
     n = F.size(toks)
     take = F.greatest(n - (_NGRAM - 1), F.lit(0))
     # Build 8-grams by zipping 8 shifted slices — same O(tokens) shape as
@@ -173,7 +179,7 @@ def _shingle8(toks: Column) -> Column:
         gram = F.zip_with(
             gram, F.slice(toks, i, take), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    return F.array_distinct(F.transform(gram, F.md5))
+    return F.array_distinct(F.transform(gram, lambda g: F.xxhash64(g)))
 
 
 @register(
@@ -421,8 +427,8 @@ FROM per
         "(corpus.py:_shingle8), estimated on the dup-closed doc_id %% 8 "
         "audit sample (dedup.py:_audit_docs — the rate is a statistic "
         "and the sample contains every planted copy family; the dedup "
-        "operators themselves stay full-corpus). Shuffle carries md5 "
-        "gram keys, never text; the per-gram document-frequency agg "
+        "operators themselves stay full-corpus). Shuffle carries 8-byte "
+        "xxhash64 gram keys, never text; the per-gram document-frequency agg "
         "combines map-side and the final fold is ONE row. Uniform hash "
         "keys → skew-free co-partition at any corpus size."
     ),

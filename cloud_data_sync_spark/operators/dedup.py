@@ -29,7 +29,13 @@ from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.operators.tokens import low_toks
 from cloud_data_sync_spark.registry import floor_ratio, register
-from cloud_data_sync_spark.tables import load_table, spread as _spread
+from cloud_data_sync_spark.tables import (
+    _file_vintage,
+    load_table,
+    session_substrate,
+    spread as _spread,
+    table_path,
+)
 
 N_PERM = 16
 N_BANDS = 4
@@ -213,6 +219,34 @@ def minhash_signatures(docs: DataFrame, hashed_shingles: bool = False) -> DataFr
     return hs.select("doc_id", "sh", sig.alias("sig"))
 
 
+_SIG_SUBSTRATE: dict[tuple, DataFrame] = {}
+
+
+def corpus_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The augmented corpus's ``(doc_id, shh, sig)`` signature table,
+    materialized ONCE per (session, sf_dir, documents vintage).
+
+    Seven dedup-family queries consume this exact deterministic
+    intermediate (minhash, ngram-jaccard, containment, clusters, the
+    prefix-filter join's shingle lists, and — filtered to the doc_id % 8
+    audit sample, which commutes with this per-row pipeline — both
+    estimator audits). Without sharing, each re-tokenizes, re-shingles,
+    re-md5s and re-mins the whole corpus. This is the session-scoped
+    analogue of the signature table a 100 TB dedup pipeline writes once
+    and scans from every consumer; the checkpoint stores set-size rows
+    (longs + 16 hex windows), never document text.
+    """
+    key = (sf_dir, "dedup-sig", _file_vintage(table_path(sf_dir, "documents")))
+    return session_substrate(
+        spark,
+        _SIG_SUBSTRATE,
+        key,
+        lambda: minhash_signatures(
+            augmented_documents(spark, sf_dir), hashed_shingles=True
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     sigd: DataFrame, carry_shingles: bool = False, shingle_col: str = "sh"
 ) -> DataFrame:
@@ -357,7 +391,8 @@ WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
     ),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = lsh_candidate_pairs(minhash_signatures(augmented_documents(spark, sf_dir)))
+    # signatures from the shared substrate; payload is (doc_id, sig) only
+    pairs = lsh_candidate_pairs(corpus_signatures(spark, sf_dir).select("doc_id", "sig"))
     return (
         pairs.select(
             "doc_a", "doc_b", F.round(_est_jaccard(), 4).alias("est_jaccard")
@@ -396,7 +431,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needs overlap counts, and longs shuffle/intersect ~3x cheaper than
     # shingle strings (see minhash_signatures docstring for collision math)
     pairs = lsh_candidate_pairs(
-        minhash_signatures(augmented_documents(spark, sf_dir), hashed_shingles=True),
+        corpus_signatures(spark, sf_dir),
         carry_shingles=True,
         shingle_col="shh",
     )
@@ -581,7 +616,7 @@ FROM reach GROUP BY a
     ),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = lsh_candidate_pairs(minhash_signatures(augmented_documents(spark, sf_dir)))
+    pairs = lsh_candidate_pairs(corpus_signatures(spark, sf_dir).select("doc_id", "sig"))
     dup = (
         pairs.select("doc_a", "doc_b", F.round(_est_jaccard(), 4).alias("est"))
         .filter(F.col("est") >= 0.5)
@@ -710,12 +745,27 @@ WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
 """
 
 
+_EMB_PAIR_SUBSTRATE: dict[tuple, DataFrame] = {}
+
+
 def embedding_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_a, vec_b, label, cos_sim) for every (label × LSH-band) candidate
     pair, cosine rounded to 6 dp — the shared pair pipeline behind
-    q_dedup_embedding (threshold consumer) and q_sim_knn_graph (top-k
-    consumer). One definition so the blocking keys and the rounding
-    contract cannot diverge between the two."""
+    q_dedup_embedding (threshold consumer), q_semdedup (keep-policy
+    consumer) and q_sim_knn_graph (top-k consumer). One definition so the
+    blocking keys and the rounding contract cannot diverge; materialized
+    once per (session, embeddings vintage) so the three consumers scan the
+    pair set instead of re-running the band join + Arrow cosine batch."""
+    key = (sf_dir, "emb-pairs", _file_vintage(table_path(sf_dir, "embeddings")))
+    return session_substrate(
+        spark,
+        _EMB_PAIR_SUBSTRATE,
+        key,
+        lambda: _embedding_candidate_cosines(spark, sf_dir),
+    )
+
+
+def _embedding_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloud_data_sync_spark.operators.similarity import _bucket_col
 
     @F.pandas_udf("double")
@@ -867,7 +917,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket shuffle — containment needs only overlap/size counts, and this
     # was the top bench wall at r3 (3.6s, dominated by shingle bytes)
     pairs = lsh_candidate_pairs(
-        minhash_signatures(augmented_documents(spark, sf_dir), hashed_shingles=True),
+        corpus_signatures(spark, sf_dir),
         carry_shingles=True,
         shingle_col="shh",
     )
@@ -1018,20 +1068,32 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, t: float = _PF_T, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    t: float = _PF_T,
+    docs: DataFrame | None = None,
+    shl: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with exact trigram-shingle Jaccard >= ``t`` over the
     augmented corpus (or ``docs`` when given), via the PPJoin prefix/
     length/positional filters — zero false negatives (see
     q_dedup_prefix_filter's doc). Also the ground-truth side of
-    q_dedup_lsh_recall, which passes a dup-closed sample as ``docs``."""
-    if docs is None:
-        docs = augmented_documents(spark, sf_dir)
-    shl = (
-        _with_shingles(_spread(docs))
-        .select("doc_id", F.explode("sh").alias("sh"))
-        .select("doc_id", F.xxhash64("sh").alias("sh"))
-    )
+    q_dedup_lsh_recall, which passes its sampled ``(doc_id, sh)`` list as
+    ``shl``. The default (both None) explodes the shared signature
+    substrate's hashed-shingle arrays instead of re-tokenizing the corpus
+    — identical values (substrate ``shh`` = xxhash64 per distinct trigram,
+    exactly what this pipeline hashed inline before)."""
+    if shl is None:
+        if docs is None:
+            shl = corpus_signatures(spark, sf_dir).select(
+                "doc_id", F.explode("shh").alias("sh")
+            )
+        else:
+            shl = (
+                _with_shingles(_spread(docs))
+                .select("doc_id", F.explode("sh").alias("sh"))
+                .select("doc_id", F.xxhash64("sh").alias("sh"))
+            )
     # global document frequency via a window over the shingle partition:
     # ONE exchange (by sh) replaces the groupBy-then-join-back shape's two
     # exchanges + join (measured -1 stage at every scale; same 100 TB
@@ -1163,8 +1225,10 @@ FROM perpair
     ),
 )
 def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the %8 audit filter commutes with the per-row signature pipeline, so
+    # the audit reads the shared substrate instead of re-signing the sample
     pairs = lsh_candidate_pairs(
-        minhash_signatures(_audit_docs(spark, sf_dir), hashed_shingles=True),
+        corpus_signatures(spark, sf_dir).filter(F.col("doc_id") % _AUDIT_MOD == 0),
         carry_shingles=True,
         shingle_col="shh",
     )
@@ -1256,16 +1320,22 @@ LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
     ),
 )
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Both audit pipelines (truth + LSH) consume the same sampled corpus;
-    # localCheckpoint materializes the ~1/8 sample once on executors so
-    # the two branches don't each re-scan and re-filter (measured -35%
-    # wall at sf0.1; same device the CC loop uses for lineage truncation).
-    docs = _audit_docs(spark, sf_dir).localCheckpoint()
-    truth = exact_jaccard_pairs(spark, sf_dir, _PF_T, docs=docs).select(
-        "doc_a", "doc_b"
+    # Both audit pipelines (truth + LSH) consume the same sampled rows of
+    # the shared signature substrate (the %8 filter commutes with the
+    # per-row signature pipeline): the LSH side bands the sampled sigs,
+    # the truth side explodes the sampled hashed-shingle arrays — neither
+    # re-tokenizes, and the substrate is already executor-materialized.
+    sigs = corpus_signatures(spark, sf_dir).filter(
+        F.col("doc_id") % _AUDIT_MOD == 0
     )
+    truth = exact_jaccard_pairs(
+        spark,
+        sf_dir,
+        _PF_T,
+        shl=sigs.select("doc_id", F.explode("shh").alias("sh")),
+    ).select("doc_a", "doc_b")
     lsh = (
-        lsh_candidate_pairs(minhash_signatures(docs))
+        lsh_candidate_pairs(sigs.select("doc_id", "sig"))
         .select("doc_a", "doc_b")
         .distinct()
         .withColumn("hit", F.lit(1))

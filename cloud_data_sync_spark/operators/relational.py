@@ -619,23 +619,38 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANKED_SUBSTRATE: dict[tuple, DataFrame] = {}
+
+
 def _ranked_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem prices ranked per l_returnflag (0-based) with the group
     count broadcast-joined on — THE distributed exact-percentile substrate
-    shared by q_agg_percentiles and q_agg_approx_quantiles' exact branch.
+    shared by q_agg_percentiles and q_agg_approx_quantiles' exact branch,
+    materialized once per (session, lineitem vintage) so the second
+    consumer scans the ranked rows instead of re-paying the sort shuffle.
 
     Spark's percentile() holds a per-group value map in executor memory —
     fine for small groups, a straight OOM at 100 TB group sizes. Ranking
     is one sort shuffle (spillable); the per-group counts are tiny.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
+    from cloud_data_sync_spark.tables import (
+        _file_vintage,
+        session_substrate,
+        table_path,
     )
-    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    return li.withColumn("rn", F.row_number().over(w) - 1).join(
-        F.broadcast(counts), "l_returnflag"
-    )
+
+    def _build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
+        counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+        w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        return li.withColumn("rn", F.row_number().over(w) - 1).join(
+            F.broadcast(counts), "l_returnflag"
+        )
+
+    key = (sf_dir, "ranked-prices", _file_vintage(table_path(sf_dir, "lineitem")))
+    return session_substrate(spark, _RANKED_SUBSTRATE, key, _build)
 
 
 def _interp(p: float) -> Column:

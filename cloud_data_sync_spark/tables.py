@@ -56,16 +56,55 @@ def _file_vintage(path: str) -> tuple:
         return ()
 
 
-def _purge_dead_sessions() -> None:
+def purge_dead_sessions(cache: dict) -> None:
+    """Drop cache entries whose DataFrame belongs to a stopped session.
+
+    Shared by every session-scoped DataFrame cache in the package (the
+    plan cache here, the dedup signature substrate, the embedding pair
+    substrate): entries are keyed by applicationId, so a stopped session's
+    frames are unreachable garbage — holding them would pin JVM-side
+    references and grow the dict unboundedly across test sessions."""
     dead = []
-    for k, df in _PLAN_CACHE.items():
+    for k, df in cache.items():
         try:
             if df.sparkSession.sparkContext._jsc is None:
                 dead.append(k)
         except Exception:  # noqa: BLE001
             dead.append(k)
     for k in dead:
-        _PLAN_CACHE.pop(k, None)
+        cache.pop(k, None)
+
+
+def _purge_dead_sessions() -> None:
+    purge_dead_sessions(_PLAN_CACHE)
+
+
+def session_substrate(spark: SparkSession, cache: dict, key: tuple, build):
+    """Session-scoped materialization of a deterministic intermediate.
+
+    Several query families recompute an identical heavy intermediate (the
+    dedup family's per-doc shingle-hash + MinHash signature table; the
+    embedding family's blocked candidate-cosine pair set). Those
+    intermediates are pure functions of immutable parquet inputs, so
+    sharing ONE lazily-localCheckpointed copy per (session, input vintage)
+    is a materialized common subexpression — the session-scoped analogue of
+    the signature/pair table a production pipeline at 100 TB writes once
+    and scans from many consumers — not a semantics change. ``key`` must
+    include the input file vintage (size, mtime) so an in-session testdata
+    rewrite misses the cache instead of serving stale rows.
+
+    ``localCheckpoint(eager=False)`` materializes on first consumer action
+    and pins computed partitions on executors; later consumers scan the
+    checkpoint instead of re-running tokenize/hash/sign pipelines.
+    """
+    full_key = (_session_key(spark),) + key
+    df = cache.get(full_key)
+    if df is not None:
+        return df
+    purge_dead_sessions(cache)
+    df = build().localCheckpoint(eager=False)
+    cache[full_key] = df
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
