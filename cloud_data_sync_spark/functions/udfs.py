@@ -579,7 +579,13 @@ def q_hll_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_shingles(docs)
         .select("source", F.explode("sh").alias("sh"))
     )
-    per_src = shl.distinct()
+    # two consumers (sketch agg + exact pair join) would re-run the
+    # tokenize/shingle/distinct pipeline; materialize the distinct set once.
+    # (The shingles stay strings here on purpose: the within_tolerance
+    # bound is calibrated against the string-hash HLL estimates, and a
+    # cheaper xxhash64 pre-hash measurably shifts the estimator outside
+    # the bound on small sources at sf0.01.)
+    per_src = shl.distinct().localCheckpoint(eager=False)
     sk = per_src.groupBy("source").agg(F.hll_sketch_agg("sh").alias("sk"))
     a = sk.select(F.col("source").alias("src_a"), F.col("sk").alias("sk_a"))
     b = sk.select(F.col("source").alias("src_b"), F.col("sk").alias("sk_b"))

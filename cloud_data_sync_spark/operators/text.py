@@ -1290,8 +1290,9 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20
         "map-only array_size(filter(tokens)) expressions (no explode, no "
         "per-term shuffle join), and the (N, avgdl, df1..df3) statistics "
         "collapse into ONE 1-row broadcast pack cross-joined back (the "
-        "q_tfidf scalar pattern). Two corpus passes total — one builds "
-        "the pack, one scores the hit set — and the top-20 compiles to "
+        "q_tfidf scalar pattern). ONE corpus tokenization total: the "
+        "integer (doc_id, dl, tf) rows are checkpointed and both the pack "
+        "aggregation and the hit scan read them; the top-20 compiles to "
         "TakeOrderedAndProject. (At 100 TB the pack pass disappears "
         "entirely when N/avgdl/df come from a standing corpus-profile "
         "table.) Determinism: every score input is an integer or an "
@@ -1314,9 +1315,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(t, _eq(term))).cast("long").alias(f"tf{i + 1}")
         for i, term in enumerate(_BM25_TERMS)
     ]
+    # materialize the tokenized (doc_id, dl, tf1..3) rows once: both the
+    # stats pack and the hit scan consume them, and without this the
+    # corpus tokenizes twice (the rows are a few longs each, so the
+    # checkpoint stores integers, never text)
     base = docs.select(
         "doc_id", F.size(t).cast("long").alias("dl"), *tf_cols
-    )
+    ).localCheckpoint(eager=False)
     # ONE pack pass: N, avgdl AND per-term df in a single aggregation
     # (df over all docs equals df over hits — tf_i > 0 implies a hit)
     stats = base.agg(
