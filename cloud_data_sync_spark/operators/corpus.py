@@ -170,16 +170,21 @@ def _shingle8(toks: Column) -> Column:
     counts are invariant to it (64-bit collisions over a ~100k-gram
     universe are ~1e-9 per corpus). Longs hash ~2× faster than md5 and
     shuffle/broadcast as 8 bytes instead of 32-char hex strings."""
+    th = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(toks)
     take = F.greatest(n - (_NGRAM - 1), F.lit(0))
-    # Build 8-grams by zipping 8 shifted slices — same O(tokens) shape as
-    # dedup._with_shingles (dedup.py:147), widened from 3 to 8.
-    gram = F.slice(toks, 1, take)
+    # Compose the gram hash from per-token hashes by zipping 8 shifted
+    # slices — same O(tokens) shape as dedup._with_shingles (dedup.py:147)
+    # widened from 3 to 8, but folding longs through xxhash64(acc, next)
+    # instead of building an 8-token string per position: each token is
+    # string-hashed once, and the 7 fold steps hash fixed-width longs —
+    # no quadratic string allocation across the gram window.
+    gram = F.slice(th, 1, take)
     for i in range(2, _NGRAM + 1):
         gram = F.zip_with(
-            gram, F.slice(toks, i, take), lambda a, b: F.concat(a, F.lit(" "), b)
+            gram, F.slice(th, i, take), lambda a, b: F.xxhash64(a, b)
         )
-    return F.array_distinct(F.transform(gram, lambda g: F.xxhash64(g)))
+    return F.array_distinct(gram)
 
 
 @register(
