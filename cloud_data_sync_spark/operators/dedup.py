@@ -30,11 +30,9 @@ from pyspark.sql.window import Window
 from cloud_data_sync_spark.operators.tokens import low_toks
 from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import (
-    _file_vintage,
     load_table,
     session_substrate,
     spread as _spread,
-    table_path,
 )
 
 N_PERM = 16
@@ -236,11 +234,12 @@ def corpus_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scans from every consumer; the checkpoint stores set-size rows
     (longs + 16 hex windows), never document text.
     """
-    key = (sf_dir, "dedup-sig", _file_vintage(table_path(sf_dir, "documents")))
     return session_substrate(
         spark,
         _SIG_SUBSTRATE,
-        key,
+        sf_dir,
+        "dedup-sig",
+        "documents",
         lambda: minhash_signatures(
             augmented_documents(spark, sf_dir), hashed_shingles=True
         ),
@@ -756,11 +755,12 @@ def embedding_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking keys and the rounding contract cannot diverge; materialized
     once per (session, embeddings vintage) so the three consumers scan the
     pair set instead of re-running the band join + Arrow cosine batch."""
-    key = (sf_dir, "emb-pairs", _file_vintage(table_path(sf_dir, "embeddings")))
     return session_substrate(
         spark,
         _EMB_PAIR_SUBSTRATE,
-        key,
+        sf_dir,
+        "emb-pairs",
+        "embeddings",
         lambda: _embedding_candidate_cosines(spark, sf_dir),
     )
 

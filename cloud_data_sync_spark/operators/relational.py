@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.registry import floor_ratio, register
-from cloud_data_sync_spark.tables import load_table
+from cloud_data_sync_spark.tables import load_table, session_substrate
 
 
 # -- scan / filter / project -------------------------------------------------
@@ -633,12 +633,6 @@ def _ranked_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine for small groups, a straight OOM at 100 TB group sizes. Ranking
     is one sort shuffle (spillable); the per-group counts are tiny.
     """
-    from cloud_data_sync_spark.tables import (
-        _file_vintage,
-        session_substrate,
-        table_path,
-    )
-
     def _build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_extendedprice"
@@ -649,8 +643,9 @@ def _ranked_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(counts), "l_returnflag"
         )
 
-    key = (sf_dir, "ranked-prices", _file_vintage(table_path(sf_dir, "lineitem")))
-    return session_substrate(spark, _RANKED_SUBSTRATE, key, _build)
+    return session_substrate(
+        spark, _RANKED_SUBSTRATE, sf_dir, "ranked-prices", "lineitem", _build
+    )
 
 
 def _interp(p: float) -> Column:

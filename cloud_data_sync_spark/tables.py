@@ -79,7 +79,14 @@ def _purge_dead_sessions() -> None:
     purge_dead_sessions(_PLAN_CACHE)
 
 
-def session_substrate(spark: SparkSession, cache: dict, key: tuple, build):
+def session_substrate(
+    spark: SparkSession,
+    cache: dict,
+    sf_dir: str,
+    tag: str,
+    table_name: str,
+    build,
+) -> DataFrame:
     """Session-scoped materialization of a deterministic intermediate.
 
     Several query families recompute an identical heavy intermediate (the
@@ -89,21 +96,30 @@ def session_substrate(spark: SparkSession, cache: dict, key: tuple, build):
     sharing ONE lazily-localCheckpointed copy per (session, input vintage)
     is a materialized common subexpression — the session-scoped analogue of
     the signature/pair table a production pipeline at 100 TB writes once
-    and scans from many consumers — not a semantics change. ``key`` must
-    include the input file vintage (size, mtime) so an in-session testdata
-    rewrite misses the cache instead of serving stale rows.
+    and scans from many consumers — not a semantics change.
+
+    The cache key is computed HERE from ``table_name``'s file vintage
+    (size, mtime) so no call site can forget the staleness guard: an
+    in-session testdata rewrite misses the cache instead of serving stale
+    rows, and the superseded same-(session, sf_dir, tag) entry is evicted
+    on that miss — dropping the last driver-side reference so the
+    ContextCleaner can unpersist its materialized blocks instead of
+    pinning them for the session's lifetime.
 
     ``localCheckpoint(eager=False)`` materializes on first consumer action
     and pins computed partitions on executors; later consumers scan the
     checkpoint instead of re-running tokenize/hash/sign pipelines.
     """
-    full_key = (_session_key(spark),) + key
-    df = cache.get(full_key)
+    base = (_session_key(spark), sf_dir, tag)
+    key = base + (_file_vintage(table_path(sf_dir, table_name)),)
+    df = cache.get(key)
     if df is not None:
         return df
     purge_dead_sessions(cache)
+    for stale in [k for k in cache if k[:3] == base]:
+        cache.pop(stale, None)
     df = build().localCheckpoint(eager=False)
-    cache[full_key] = df
+    cache[key] = df
     return df
 
 

@@ -1,15 +1,22 @@
 """Session-substrate cache semantics (tables.session_substrate).
 
 The substrate contract: a deterministic intermediate is built + checkpointed
-at most once per (session, key); a changed key (new sf dir, new input-file
-vintage) misses the cache; dead-session entries are purged rather than
-accumulating. The consumers' VALUE correctness is covered by the oracle
-gate — these tests pin the caching behavior itself.
+at most once per (session, sf_dir, tag, input vintage); a changed input
+vintage misses the cache AND evicts the superseded entry; dead-session
+entries are purged rather than accumulating; the checkpoint genuinely
+materializes once (consumers scan it, they do not re-run the pipeline).
+The consumers' VALUE correctness is covered by the oracle gate — these
+tests pin the caching behavior itself.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+
+import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from cloud_data_sync_spark.tables import purge_dead_sessions, session_substrate
 
@@ -24,30 +31,82 @@ def test_same_key_returns_cached_frame(spark):
         calls.append(1)
         return spark.range(5)
 
-    a = session_substrate(spark, cache, ("k1",), build)
-    b = session_substrate(spark, cache, ("k1",), build)
+    a = session_substrate(spark, cache, SF_DIR, "t1", "region", build)
+    b = session_substrate(spark, cache, SF_DIR, "t1", "region", build)
     assert a is b
     assert len(calls) == 1
     assert a.count() == 5
 
 
-def test_different_key_rebuilds(spark):
+def test_different_tag_rebuilds(spark):
     cache: dict = {}
-    a = session_substrate(spark, cache, ("k1",), lambda: spark.range(3))
-    b = session_substrate(spark, cache, ("k2",), lambda: spark.range(4))
+    a = session_substrate(spark, cache, SF_DIR, "t1", "region", lambda: spark.range(3))
+    b = session_substrate(spark, cache, SF_DIR, "t2", "region", lambda: spark.range(4))
     assert a is not b
     assert (a.count(), b.count()) == (3, 4)
     assert len(cache) == 2
 
 
-def test_checkpointed_result_is_scan_not_recompute(spark):
-    # the cached frame must be a materialized checkpoint: its plan should
-    # not re-run the build pipeline (an in-memory/checkpoint scan has no
-    # parquet relation in the logical plan)
+def test_stale_vintage_is_evicted_not_served(spark, tmp_path):
+    # rewrite the input file between calls: the new vintage must rebuild,
+    # and the superseded entry must leave the cache (so its checkpoint
+    # blocks become collectable instead of pinned for the session)
+    sf = str(tmp_path)
+    src = os.path.join(SF_DIR, "region.parquet")
+    dst = os.path.join(sf, "region.parquet")
+    shutil.copyfile(src, dst)
+    cache: dict = {}
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(7)
+
+    a = session_substrate(spark, cache, sf, "t", "region", build)
+    assert a.count() == 7 and len(cache) == 1
+    # rewrite: same path, new (size, mtime) vintage
+    with open(dst, "ab") as f:
+        f.write(b"x")
+    os.utime(dst, (1, 1))
+    b = session_substrate(spark, cache, sf, "t", "region", build)
+    assert len(builds) == 2
+    assert b is not a
+    assert len(cache) == 1  # the stale entry was evicted, not accumulated
+
+
+def test_checkpoint_materializes_once(spark):
+    # behavioral pin of "scan, not recompute": a pandas-UDF side effect in
+    # the build pipeline fires during the first action only — the second
+    # action reads the materialized checkpoint
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf("long")
+    def bump(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    cache: dict = {}
+    sub = session_substrate(
+        spark,
+        cache,
+        SF_DIR,
+        "t-acc",
+        "region",
+        lambda: spark.range(100).select(bump("id").alias("id")),
+    )
+    assert sub.count() == 100
+    first = acc.value
+    assert first >= 100  # pipeline ran (at least) once to materialize
+    assert sub.count() == 100
+    assert acc.value == first  # second action did NOT re-run the pipeline
+
+
+def test_consumers_attach_to_checkpoint_scan(spark):
+    # consumers' plans hang off the checkpoint RDD, not the build pipeline
+    # (no parquet relation survives in the optimized plan)
     from cloud_data_sync_spark.operators.dedup import corpus_signatures
 
     df = corpus_signatures(spark, SF_DIR)
-    df.count()  # force materialization (lazy checkpoint)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
 
