@@ -78,3 +78,27 @@ def test_exact_jaccard_pairs_finds_exact_copies(spark):
     assert base_ids, "fixture corpus should contain %7 copies in the subset"
     for b in base_ids:
         assert pairs.get((b, b + 2_000_000)) == 1.0
+
+
+def test_ivf_recall_bounds_and_consistency(spark):
+    import math
+
+    from cloud_data_sync_spark.operators.similarity import TOP_K
+    from cloud_data_sync_spark.registry import all_queries
+
+    qs = all_queries()
+    row = qs["q_sim_ivf_recall"].fn(spark, SF).collect()[0]
+    assert row.n_caught <= row.n_true
+    # ground truth is the exact top-k of every capped query: n_true is
+    # exactly TOP_K per query (corpus >> TOP_K at every test scale)
+    n_queries = (
+        qs["q_sim_topk"].fn(spark, SF).select("query_id").distinct().count()
+    )
+    assert row.n_true == n_queries * TOP_K
+    if row.n_true:
+        assert 0.0 <= row.recall <= 1.0
+        assert math.isclose(
+            row.recall,
+            math.floor(row.n_caught / row.n_true * 10000) / 10000,
+            abs_tol=1e-9,
+        )

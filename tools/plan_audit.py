@@ -89,6 +89,9 @@ BNLJ_ALLOWED = {
     "q_fuzzy_match",
     "q_sim_topk",
     "q_sim_ivf",
+    # composes both whitelisted ANN pipelines (topk's capped-query
+    # broadcast + ivf's seed pack) — same provably-small broadcast sides
+    "q_sim_ivf_recall",
     "q_tfidf",
     "q_term_pmi",
     "q_kmeans",
