@@ -1,5 +1,5 @@
-"""Tabular source/sink formats: parquet, ORC, CSV, JSON (+ partitioned
-layouts).
+"""Tabular source/sink formats: parquet, ORC, CSV, JSON, XML (+
+partitioned layouts).
 
 The reference moves opaque byte streams between object stores
 (sync.go:134-152) — it has no tabular formats at all. This engine's
@@ -8,9 +8,10 @@ thin API, so every sink is also a source and schema round-trips are
 testable. Scale rules:
 
 - **Parquet/ORC are the scale formats**: columnar, predicate + projection
-  pushdown, splittable compression. CSV/JSON exist for interchange; both
-  are schema-on-read here (explicit schema, never inferSchema on a 100 TB
-  path — inference is a full extra scan).
+  pushdown, splittable compression. CSV/JSON/XML exist for interchange;
+  all are schema-on-read here (explicit schema, never inferSchema on a
+  100 TB path — inference is a full extra scan). XML is Spark 4's
+  built-in StAX source (one row element per record, ``rowTag``).
 - **Partitioned layouts** (``partitionBy``) turn equality filters on the
   partition columns into directory pruning — the read never lists, let
   alone scans, non-matching partitions (PartitionFilters in the scan node).
@@ -25,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-FORMATS = ("parquet", "orc", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json", "xml")
 
 
 def write_table(
@@ -44,6 +45,8 @@ def write_table(
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if fmt == "xml":
+        writer = writer.option("rootTag", "rows").option("rowTag", "row")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
@@ -58,9 +61,11 @@ def read_table(
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     reader = spark.read.format(fmt)
+    if fmt == "xml":
+        reader = reader.option("rowTag", "row")
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt in ("csv", "json"):
+    elif fmt in ("csv", "json", "xml"):
         raise ValueError(
             f"{fmt} requires an explicit schema: inference costs a full "
             "extra scan and infers types from whatever sample it sees"

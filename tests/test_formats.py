@@ -14,7 +14,7 @@ SF_DIR = "/root/testdata/sf0.001"
 SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json", "xml"])
 def test_round_trip(spark, tmp_path, fmt):
     nation = load_table(spark, SF_DIR, "nation")
     path = str(tmp_path / fmt)
