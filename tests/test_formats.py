@@ -94,19 +94,20 @@ def test_compact_table_respects_target_size(spark, tmp_path):
     assert n == -(-total // target)
 
 
-def test_compact_csv_with_schema(spark, tmp_path):
-    """compact_table must work for every member of FORMATS — csv/json need
-    the schema passed through (read_table requires it for those)."""
+@pytest.mark.parametrize("fmt", ["csv", "xml"])
+def test_compact_schema_formats(spark, tmp_path, fmt):
+    """compact_table must work for every member of FORMATS — csv/json/xml
+    need the schema passed through (read_table requires it for those)."""
     from cloud_data_sync_spark.sources.formats import compact_table
 
     nation = load_table(spark, SF_DIR, "nation")
-    src = str(tmp_path / "csv_src")
-    write_table(nation, src, "csv")
+    src = str(tmp_path / f"{fmt}_src")
+    write_table(nation, src, fmt)
     n = compact_table(
-        spark, src, str(tmp_path / "csv_out"), fmt="csv", schema=SCHEMA
+        spark, src, str(tmp_path / f"{fmt}_out"), fmt=fmt, schema=SCHEMA
     )
     assert n >= 1
-    back = read_table(spark, str(tmp_path / "csv_out"), "csv", schema=SCHEMA)
+    back = read_table(spark, str(tmp_path / f"{fmt}_out"), fmt, schema=SCHEMA)
     assert back.count() == nation.count()
 
 
