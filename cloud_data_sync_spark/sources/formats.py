@@ -138,6 +138,11 @@ def compact_table(
         # mirror write_table's option: a headerless compacted output would
         # lose its first data row to the header-consuming reader
         writer = writer.option("header", "true")
+    if fmt == "xml":
+        # mirror write_table's row/root tags (the XML writer requires
+        # rowTag; matching tags keep compacted output readable by the
+        # same read_table call as the original)
+        writer = writer.option("rootTag", "rows").option("rowTag", "row")
     writer.save(dst_path)
     dst = jvm.org.apache.hadoop.fs.Path(dst_path)
     # the DESTINATION's own filesystem: reusing the source-scheme fs
