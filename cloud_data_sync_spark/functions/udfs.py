@@ -280,10 +280,10 @@ FROM est e JOIN exact x ON x.term = e.term
     ).format(d=_CMS_D, w=_CMS_W),
 )
 def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloud_data_sync_spark.operators.tokens import low_toks
+    from cloud_data_sync_spark.operators.tokens import toks_documents
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(low_toks()).alias("term"))
+    docs = toks_documents(spark, sf_dir)
+    toks = docs.select(F.explode("toks").alias("term"))
     i_col = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("i")
     bucket = (
         F.conv(

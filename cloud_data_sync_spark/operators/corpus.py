@@ -33,7 +33,7 @@ from cloud_data_sync_spark.operators.dedup import (
     _audit_docs,
     augmented_documents,
 )
-from cloud_data_sync_spark.operators.tokens import low_toks
+from cloud_data_sync_spark.operators.tokens import low_toks, toks_documents
 from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import load_table
 
@@ -60,8 +60,8 @@ FROM tf GROUP BY doc_id
 )
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(low_toks()).alias("term"))
+        toks_documents(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("c"))
     )
@@ -97,8 +97,8 @@ LIMIT 1000
 )
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(low_toks()).alias("term"))
+        toks_documents(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(
             F.count("*").alias("tf"),
@@ -266,9 +266,9 @@ GROUP BY t.source
     ),
 )
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = toks_documents(spark, sf_dir)
     tf = (
-        docs.select(F.explode(low_toks()).alias("term"))
+        docs.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("tf"))
     )
@@ -277,7 +277,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_COVERAGE_K)
         .select("term", F.lit(True).alias("in_vocab"))
     )
-    toks = docs.select("source", F.explode(low_toks()).alias("term"))
+    toks = docs.select("source", F.explode("toks").alias("term"))
     oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
     return (
         toks.join(F.broadcast(vocab), "term", "left")
@@ -495,10 +495,10 @@ FROM grp, tot
     ),
 )
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = toks_documents(spark, sf_dir)
     grp = docs.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(low_toks())).cast("long").alias("n_tokens"),
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
     )
     tot = grp.agg(F.sum("n_tokens").alias("t"))
     w = Window.orderBy(F.desc("n_tokens"), "source", "lang")

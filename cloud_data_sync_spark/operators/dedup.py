@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cloud_data_sync_spark.operators.tokens import low_toks
+from cloud_data_sync_spark.operators.tokens import low_toks, toks_documents
 from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import (
     load_table,
@@ -672,11 +672,11 @@ FROM nibble GROUP BY doc_id
     ),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    docs = toks_documents(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.array_distinct(low_toks())
+            F.array_distinct(F.col("toks"))
         ).alias("tok"),
     ).withColumn("h", F.md5("tok"))
     nib = toks.select(

@@ -532,9 +532,9 @@ FROM fv
     ).format(b=_FH_BUCKETS),
 )
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloud_data_sync_spark.operators.tokens import low_toks
+    from cloud_data_sync_spark.operators.tokens import toks_documents
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = toks_documents(spark, sf_dir)
     # bucket array materialized as its OWN column AND referenced twice in
     # the output (features + n_tokens): CollapseProject inlines a single-
     # reference alias regardless of cost, which would re-run md5 once per
@@ -543,7 +543,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plus its reference-count fine print). n_tokens doubles as the
     # feature vector's L1 norm, so the extra column is not a dummy.
     bk = F.transform(
-        low_toks(),
+        F.col("toks"),
         lambda t: F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("long")
         % _FH_BUCKETS,
     )

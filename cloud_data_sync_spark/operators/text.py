@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cloud_data_sync_spark.operators.tokens import low_toks
+from cloud_data_sync_spark.operators.tokens import toks_documents
 from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import load_table
 
@@ -76,9 +76,8 @@ SELECT term, n_term FROM (
     "global top-k via TakeOrderedAndProject, never a single-partition window).",
 )
 def q_text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    terms = docs.select(
-        F.explode(low_toks()).alias("term")
+    terms = toks_documents(spark, sf_dir).select(
+        F.explode("toks").alias("term")
     )
     counted = terms.groupBy("term").agg(F.count("*").alias("n_term"))
     # orderBy().limit(k) compiles to TakeOrderedAndProject: each partition
@@ -141,9 +140,7 @@ SELECT doc_id, lang, pred_lang, n_hits FROM lang_pred
     ),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "toks", low_toks()
-    )
+    docs = toks_documents(spark, sf_dir)
     hits = F.array(
         *[
             F.struct(
@@ -208,9 +205,9 @@ FROM feats
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = list(LANG_LEXICON["en"])
-    docs = load_table(spark, sf_dir, "documents")
+    docs = toks_documents(spark, sf_dir)
     toks = tokens_col()
-    toks_col = low_toks()
+    toks_col = F.col("toks")
     n_stop = F.size(F.filter(toks_col, lambda w: w.isin(stop))).cast("long")
     n_punct = (
         F.length("text")
@@ -264,8 +261,8 @@ FROM documents
     doc="Document fingerprints: content hash + order-insensitive token-set hash.",
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks_col = low_toks()
+    docs = toks_documents(spark, sf_dir)
+    toks_col = F.col("toks")
     return docs.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
@@ -311,10 +308,10 @@ SELECT doc_id, term, n_td, score FROM (
     ),
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = toks_documents(spark, sf_dir)
     terms = docs.select(
         "doc_id",
-        F.explode(low_toks()).alias("term"),
+        F.explode("toks").alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("n_td"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("n_docs_t"))
@@ -462,8 +459,8 @@ FROM bg JOIN top USING (doc_id)
     ),
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = low_toks()
+    docs = toks_documents(spark, sf_dir)
+    toks = F.col("toks")
     # unigram counts come from ALL documents (oracle's unfiltered base CTE);
     # only bigram extraction needs the >=2-token guard
     d_all = docs.select("doc_id", toks.alias("t"))
@@ -627,8 +624,8 @@ SELECT doc_id, n_bigrams, avg_logp FROM lm_scored
     ),
 )
 def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = low_toks()
+    docs = toks_documents(spark, sf_dir)
+    toks = F.col("toks")
     # unigram counts come from ALL documents (oracle's unfiltered base CTE);
     # only bigram extraction needs the >=2-token guard
     d_all = docs.select("doc_id", toks.alias("t"))
@@ -702,9 +699,9 @@ SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab, pmi FROM (
     ),
 )
 def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = toks_documents(spark, sf_dir)
     toks = F.array_sort(
-        F.array_distinct(low_toks())
+        F.array_distinct(F.col("toks"))
     )
     m = F.col("m")
     pair_arr = F.flatten(
@@ -969,10 +966,10 @@ FROM pairs GROUP BY source_a, source_b
     ),
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = toks_documents(spark, sf_dir)
     hashed = docs.select(
         "source",
-        F.md5(F.array_join(F.array_sort(F.array_distinct(low_toks())), " ")).alias(
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.col("toks"))), " ")).alias(
             "h"
         ),
     ).distinct()
@@ -1215,8 +1212,8 @@ LIMIT 100
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(low_toks()).alias("term"))
+        toks_documents(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
         .distinct()
     )
     posting = toks.groupBy("term").agg(
@@ -1302,8 +1299,8 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20
     ),
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = low_toks()
+    docs = toks_documents(spark, sf_dir)
+    t = F.col("toks")
 
     def _eq(term: str):
         # one-arg lambda via closure: a `term=term` default would make

@@ -151,5 +151,18 @@ def test_substrate_matches_inline_pipeline(spark):
     assert inline.exceptAll(sub).count() == 0
 
 
+def test_toks_substrate_matches_inline_tokenize(spark):
+    # documents + toks substrate: same rows and token arrays as tokenizing
+    # the raw scan inline with the shared low_toks contract
+    from cloud_data_sync_spark.operators.tokens import low_toks, toks_documents
+    from cloud_data_sync_spark.tables import load_table
+
+    sub = toks_documents(spark, SF_DIR)
+    inline = load_table(spark, SF_DIR, "documents").withColumn("toks", low_toks())
+    assert sub.columns == inline.columns
+    assert sub.exceptAll(inline).count() == 0
+    assert inline.exceptAll(sub).count() == 0
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
