@@ -237,9 +237,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # floor-truncated, not round(): per-doc count ratios are dyadic
         # when a doc has 2^a*5^b tokens/chars (registry.floor_ratio)
         floor_ratio(stop_d / tok_d, 6).alias("stopword_ratio"),
-        floor_ratio(F.col("n_punct").cast("double") / F.col("n_len"), 6).alias(
-            "punct_ratio"
-        ),
+        # try_divide: an EMPTY text has n_len = 0, and under ANSI mode a
+        # plain division throws DIVIDE_BY_ZERO; DuckDB's double division
+        # by zero yields NULL, so NULL-on-zero is the cross-engine
+        # semantics. n_tokens is never 0 for non-null text (split('')
+        # yields one ''-token), so stopword_ratio needs no guard.
+        floor_ratio(
+            F.try_divide(F.col("n_punct").cast("double"), F.col("n_len")), 6
+        ).alias("punct_ratio"),
         floor_ratio(
             F.least(tok_d / 64.0, F.lit(1.0)) * 0.5
             + F.least(stop_d / tok_d * 10.0, F.lit(1.0)) * 0.5,
