@@ -774,9 +774,26 @@ def _embedding_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        A = np.stack(va.values)
-        B = np.stack(vb.values)
-        return pd.Series(np.einsum("ij,ij->i", A, B) / (na.values * nb.values))
+        # Degenerate rows — NULL embedding (np.stack would raise) or a
+        # zero/NaN norm (0/0 would yield numpy NaN, which Spark ORDERS AS
+        # GREATER than every double, silently passing >= thresholds) —
+        # must come back as SQL NULL, matching DuckDB's NULL-on-zero
+        # division so threshold/rank consumers agree across engines.
+        denom = na.values * nb.values
+        valid = (
+            np.array([x is not None for x in va.values])
+            & np.array([x is not None for x in vb.values])
+            & np.isfinite(denom)
+            & (denom > 0)
+        )
+        out = np.zeros(len(va))
+        if valid.any():
+            A = np.stack(va.values[valid])
+            B = np.stack(vb.values[valid])
+            out[valid] = np.einsum("ij,ij->i", A, B) / denom[valid]
+        res = pd.Series(out, dtype="Float64")
+        res[~valid] = pd.NA
+        return res
 
     emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",

@@ -95,6 +95,7 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     oracle=f"""
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 seed AS (SELECT vec_id % {_K} AS k, e FROM vecs),
 c0d AS (
@@ -144,6 +145,11 @@ GROUP BY k
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = (
         load_table(spark, sf_dir, "embeddings")
+        # NULL embeddings carry no position: drop them from clustering on
+        # BOTH engines (oracle mirrors with WHERE embedding IS NOT NULL)
+        # rather than letting each engine's NULL-distance tie-break place
+        # the row in an arbitrary cluster.
+        .filter(F.col("embedding").isNotNull())
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -755,7 +761,9 @@ proj AS MATERIALIZED (
   FROM vecs
 )
 SELECT vec_id, label,
-       list_transform(p, x -> floor(x * 1000000) / 1000000) AS reduced,
+       list_transform(p, x -> CASE WHEN abs(x * 1000000) < 9007199254740992
+                                   THEN floor(x * 1000000) / 1000000 END)
+         AS reduced,
        floor(sqrt(list_sum(list_transform(p, x -> x * x)))
              / sqrt(list_sum(list_transform(e, x -> x * x)))
              * 10000) / 10000 AS norm_ratio
@@ -803,11 +811,26 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.transform("p", lambda x: F.floor(x * 1000000) / 1000000).alias(
-                "reduced"
-            ),
+            # 6-dp truncation is only meaningful while x*1e6 has integer
+            # resolution in a double (< 2^53); beyond that Spark's floor
+            # (returns LONG, silently clamps at ±2^63) and DuckDB's floor
+            # (stays DOUBLE) diverge — emit NULL for such garbage-scale
+            # components on both engines (oracle carries the same CASE).
+            F.transform(
+                "p",
+                lambda x: F.when(
+                    F.abs(x * 1000000) < F.lit(2.0**53),
+                    F.floor(x * 1000000) / 1000000,
+                ),
+            ).alias("reduced"),
+            # try_divide: a zero input vector projects to zero and its
+            # norm ratio is 0/0 — NULL on both engines (DuckDB division
+            # by zero yields NULL), not an ANSI DIVIDE_BY_ZERO job kill
             floor_ratio(
-                F.sqrt(sq_sum(F.col("p"))) / F.sqrt(sq_sum(F.col("e"))), 4
+                F.try_divide(
+                    F.sqrt(sq_sum(F.col("p"))), F.sqrt(sq_sum(F.col("e")))
+                ),
+                4,
             ).alias("norm_ratio"),
         )
     )

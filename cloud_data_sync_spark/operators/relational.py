@@ -372,17 +372,28 @@ def q_scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_json_props",
     oracle="""
+WITH ek AS (
+  SELECT event_type,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+  FROM events
+)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-FROM events GROUP BY event_type
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM ek GROUP BY event_type
 """,
     doc="JSON extraction on events.props (semi-structured metadata, interfaces/provider.go:16 analog).",
 )
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # get_json_object is NULL-on-malformed; try_cast is NULL on a
+    # non-numeric k. The oracle mirrors both (json_valid guard +
+    # TRY_CAST) — DuckDB's json_extract_string RAISES on malformed
+    # input, and a metadata column at corpus scale always carries some
+    # garbage rows; extraction must degrade per-row, not kill the job.
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "k", F.get_json_object("props", "$.k").cast("long")
+        "k", F.get_json_object("props", "$.k").try_cast("long")
     )
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -1354,7 +1365,7 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH iv AS (
   SELECT user_id, event_id, epoch_us(ts) AS s,
-         epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+         epoch_us(ts) + TRY_CAST(floor(value * 60000000) AS BIGINT) AS e
   FROM events WHERE event_id % 7 = 0
 ),
 marked AS (
@@ -1394,7 +1405,12 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
     # ntz → TIMESTAMP hop is value-preserving (session tz pinned to UTC)
     s = F.unix_micros(F.col("ts").cast("timestamp"))
-    e = s + F.floor(F.col("value") * 60_000_000).cast("long")
+    # try_cast: a corrupt duration (value beyond long-µs range) yields a
+    # NULL interval end — the row still anchors an island at its start,
+    # max(e) skips the NULL on both engines — instead of an ANSI
+    # ARITHMETIC_OVERFLOW killing the whole sessionization job (oracle
+    # mirrors with TRY_CAST).
+    e = F.try_add(s, F.floor(F.col("value") * 60_000_000).try_cast("long"))
     iv = ev.select("user_id", "event_id", s.alias("s"), e.alias("e"))
     w_order = Window.partitionBy("user_id").orderBy("s", "event_id")
     prior_max_e = F.max("e").over(w_order.rowsBetween(Window.unboundedPreceding, -1))

@@ -73,9 +73,14 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
+        # nrm > 0 excludes degenerate rows — NULL embeddings (NULL nrm)
+        # and zero vectors — from the index and query sets on BOTH
+        # engines (oracle `n` CTE carries the same WHERE): a row with no
+        # direction has no meaningful neighbors, and keeping it would
+        # pin engine-specific NULL bucket/rank tie-breaks into results.
         return emb.withColumn(
             "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-        )
+        ).filter(F.col("nrm") > 0)
 
     return session_substrate(
         spark, _VEC_SUBSTRATE, sf_dir, "sim-vectors", "embeddings", _build
@@ -86,7 +91,12 @@ def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
     dot = F.aggregate(
         F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    return dot / (na * nb)
+    # try_divide: a zero-norm vector (failed embedder, padding row — a
+    # certainty at corpus scale) makes the denominator 0, and ANSI mode
+    # turns the plain division into a job-killing DIVIDE_BY_ZERO; DuckDB's
+    # division by zero yields NULL, so NULL is the cross-engine cosine for
+    # degenerate vectors (NULLs sort last under both engines' DESC rank).
+    return F.try_divide(dot, na * nb)
 
 
 _ORACLE_VECS = """
@@ -98,6 +108,7 @@ n AS (
   SELECT vec_id, label, v,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
   FROM vecs
+  WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0
 )
 """
 
@@ -345,12 +356,15 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seeds"),
         lambda s: F.struct(
             F.round(
-                F.aggregate(
-                    F.zip_with(v, s["sv"], lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                / (nrm * s["snrm"]),
+                # try_divide for the same zero-norm reason as _cosine
+                F.try_divide(
+                    F.aggregate(
+                        F.zip_with(v, s["sv"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ),
+                    nrm * s["snrm"],
+                ),
                 6,
             ).alias("sim"),
             s["seed_id"].alias("seed_id"),
@@ -728,9 +742,13 @@ FROM (
 def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloud_data_sync_spark.operators.dedup import embedding_candidate_cosines
 
+    # NULL cosines (a zero-norm or NULL-embedding side) are not edges: a
+    # knn graph ranks by similarity and a pair with no defined similarity
+    # must not occupy a rank slot. The oracle's `n` CTE excludes
+    # degenerate vectors outright, so the edge sets agree.
     pairs = embedding_candidate_cosines(spark, sf_dir).select(
         "vec_a", "vec_b", "cos_sim"
-    )
+    ).filter(F.col("cos_sim").isNotNull())
     # map-only symmetrization: explode a 2-element struct array so every
     # pair is cosine-scored exactly once and emitted twice. (A union of
     # two projections of `pairs` would compile to two physical branches —

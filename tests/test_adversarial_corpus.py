@@ -104,3 +104,116 @@ def test_matches_oracle_on_adversarial_docs(spark, adv_dir, adv_duck, key):
     orows = orel.fetchall()
     assert sorted(scols) == sorted(ocols)
     assert _norm(srows, scols) == _norm(orows, ocols)
+
+
+# -- adversarial embeddings + events -----------------------------------------
+#
+# Degenerate vectors (zero-norm -> 0/0 cosine, NULL embedding -> np.stack
+# crash / engine-specific NULL ranks) and degenerate events (corrupt
+# durations that overflow the µs long, malformed JSON props, NULL
+# user/value, tied timestamps). Caught live: DIVIDE_BY_ZERO in the whole
+# similarity family, a pandas-UDF crash in the embedding pair pipeline,
+# NaN-passes-threshold semantics (Spark orders NaN above every double!),
+# a kmeans NULL-assignment divergence, ARITHMETIC_OVERFLOW in
+# gaps-islands, and a floor()-returns-LONG clamp divergence in the
+# random projection. Vector dim must match the corpus DIM (64): the LSH
+# plane weights are compiled for it.
+
+_DIM = 64
+
+ADVERSARIAL_VECS = [
+    (0, [0.0] * _DIM, 0),                        # zero vector (query side: %100==0)
+    (1, [1.0] + [0.0] * (_DIM - 1), 0),
+    (2, [0.5] * _DIM, 1),
+    (3, None, 1),                                 # NULL embedding
+    (100, [0.1 * (i % 7) for i in range(_DIM)], 2),
+    (200, [0.0] * _DIM, 2),                       # zero vector in a query slot
+    (5, [1e30] * _DIM, 3),                        # huge magnitudes
+    (6, [1e-30] * _DIM, 3),                       # tiny magnitudes
+    (7, [-1.0] * _DIM, 4),
+    (8, [1.0] * _DIM, 4),
+]
+
+_T0 = __import__("datetime").datetime(2025, 1, 1)
+
+
+def _ts(s):
+    import datetime
+
+    return _T0 + datetime.timedelta(seconds=s)
+
+
+ADVERSARIAL_EVENTS = [
+    (1, _ts(0), 10, "view", 1.0, '{"k":1}'),
+    (2, _ts(0), 10, "view", 1.0, '{"k":1}'),        # exact duplicate
+    (3, _ts(0), 10, "click", 2.0, None),             # NULL props, tied ts
+    (4, _ts(5), None, "view", None, '{"k":2}'),      # NULL user + value
+    (5, _ts(10), 11, "purchase", 0.0, "not-json"),   # malformed props
+    (6, _ts(10), 11, "purchase", -5.0, "{}"),
+    (7, _ts(3600), 11, "view", 1e12, "{}"),          # duration overflows long µs
+    (8, _ts(3599), 12, "", 0.0, "{}"),               # empty event_type
+]
+
+VEC_EVENT_KEYS = [
+    "q_sim_topk", "q_sim_ann_lsh", "q_sim_ivf", "q_sim_knn_graph",
+    "q_dedup_embedding", "q_semdedup", "q_kmeans", "q_random_projection",
+    "q_gaps_islands", "q_json_props", "q_anomaly_mad", "q_funnel",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_vec_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adv_vec_sf"))
+    for name in TABLE_NAMES:
+        if name in ("embeddings", "events"):
+            continue
+        shutil.copyfile(table_path(SF_SRC, name), table_path(d, name))
+    emb = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in ADVERSARIAL_VECS], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in ADVERSARIAL_VECS], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in ADVERSARIAL_VECS], pa.int32()),
+        }
+    )
+    pq.write_table(emb, table_path(d, "embeddings"))
+    ev = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in ADVERSARIAL_EVENTS], pa.int64()),
+            "ts": pa.array([r[1] for r in ADVERSARIAL_EVENTS], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in ADVERSARIAL_EVENTS], pa.int64()),
+            "event_type": pa.array([r[3] for r in ADVERSARIAL_EVENTS], pa.string()),
+            "value": pa.array([r[4] for r in ADVERSARIAL_EVENTS], pa.float64()),
+            "props": pa.array([r[5] for r in ADVERSARIAL_EVENTS], pa.string()),
+        }
+    )
+    pq.write_table(ev, table_path(d, "events"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def adv_vec_duck(adv_vec_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{table_path(adv_vec_dir, t)}')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", VEC_EVENT_KEYS)
+def test_matches_oracle_on_adversarial_vectors_events(
+    spark, adv_vec_dir, adv_vec_duck, key
+):
+    spec = all_queries()[key]
+    sdf = spec.fn(spark, adv_vec_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    orel = adv_vec_duck.execute(spec.oracle)
+    ocols = [d[0] for d in orel.description]
+    orows = orel.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert _norm(srows, scols) == _norm(orows, ocols)
