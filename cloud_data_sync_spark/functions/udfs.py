@@ -33,8 +33,16 @@ _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.ASCII)
 
 @F.pandas_udf(LongType())
 def bpe_ish_token_count(texts: pd.Series) -> pd.Series:
-    """Vectorized token counter over an Arrow batch of strings."""
-    return texts.map(lambda t: len(_TOKEN_RE.findall(t or "")))
+    """Vectorized token counter over an Arrow batch of strings. NULL text
+    counts NULL (unknown), not 0 — matching the oracle's NULL-propagating
+    regexp_extract_all; nullable Int64 so pandas NA survives the Arrow
+    boundary as SQL NULL."""
+    return pd.Series(
+        pd.array(
+            [None if t is None else len(_TOKEN_RE.findall(t)) for t in texts],
+            dtype="Int64",
+        )
+    )
 
 
 @register(

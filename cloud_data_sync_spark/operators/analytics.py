@@ -1179,6 +1179,9 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         wj = F.lit(0.5 ** j)
         num = num + F.coalesce(v * wj, F.lit(0.0))
         den = den + F.when(v.isNotNull(), wj).otherwise(F.lit(0.0))
+    # try_divide: a row whose value AND all lags are NULL has zero total
+    # weight — its EWMA is NULL (DuckDB 0/0 is NULL), not a job-killing
+    # ANSI DIVIDE_BY_ZERO.
     return ev.select(
-        "event_id", "user_id", floor_ratio(num / den, 6).alias("ewma")
+        "event_id", "user_id", floor_ratio(F.try_divide(num, den), 6).alias("ewma")
     )

@@ -379,6 +379,7 @@ WITH pts AS (
   SELECT CAST(embedding AS DOUBLE[]) AS x,
          CASE WHEN label < 4 THEN 1.0 ELSE 0.0 END AS y
   FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 g1 AS (
   SELECT k.i AS i, avg((0.5 - p.y) * p.x[k.i]) AS g
@@ -406,10 +407,17 @@ s2 AS (
          list_inner_product(p.x, w2.w) AS m2
   FROM pts p CROSS JOIN w2
 ),
-l1 AS (SELECT round(avg(-y * ln(p1) - (1 - y) * ln(1 - p1)), 4) AS loss1 FROM s1),
+l1 AS (
+  SELECT round(avg(-y * ln(least(greatest(p1, 1e-15), 1 - 1e-15))
+                   - (1 - y) * ln(least(greatest(1 - p1, 1e-15), 1 - 1e-15))), 4)
+           AS loss1
+  FROM s1
+),
 l2 AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         round(avg(-y * ln(p2) - (1 - y) * ln(1 - p2)), 4) AS loss2,
+         round(avg(-y * ln(least(greatest(p2, 1e-15), 1 - 1e-15))
+                   - (1 - y) * ln(least(greatest(1 - p2, 1e-15), 1 - 1e-15))), 4)
+           AS loss2,
          round(avg(CASE WHEN (m2 > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 4)
            AS train_acc
   FROM s2
@@ -435,7 +443,12 @@ FROM l2 CROSS JOIN l1
     ),
 )
 def q_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = load_table(spark, sf_dir, "embeddings").select(
+    # NULL embeddings carry no features — excluded from train/score on
+    # BOTH engines (the q_kmeans rule; DuckDB's list_inner_product raises
+    # on NULL-bearing operands rather than skipping them)
+    pts = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
         F.col("embedding").cast("array<double>").alias("x"),
         F.when(F.col("label") < 4, 1.0).otherwise(0.0).alias("y"),
     )
@@ -471,7 +484,14 @@ def q_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = pts.crossJoin(F.broadcast(w2)).withColumn(
         "m2", _dot(F.col("w"), F.col("x"))
     ).withColumn("p2", 1 / (1 + F.exp(-F.col("m2"))))
-    xent = lambda y, p: -y * F.log(p) - (1 - y) * F.log(1 - p)  # noqa: E731
+    # probabilities clamped to [eps, 1-eps] before the log — the standard
+    # cross-entropy guard: a garbage-magnitude feature vector saturates
+    # the sigmoid to exactly 0/1 and ln(0) otherwise NULLs (Spark) or
+    # errors (DuckDB) the whole loss. Oracle carries the same clamp.
+    clamp = lambda p: F.least(F.greatest(p, F.lit(1e-15)), F.lit(1 - 1e-15))  # noqa: E731
+    xent = lambda y, p: -y * F.log(clamp(p)) - (1 - y) * F.log(  # noqa: E731
+        clamp(1 - p)
+    )
     l1 = s1.agg(F.round(F.avg(xent(F.col("y"), F.col("p1"))), 4).alias("loss1"))
     l2 = s2.agg(
         F.count("*").alias("n"),
@@ -587,6 +607,7 @@ _NB_SMOOTH = 1e-6
     oracle=f"""
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 train AS (SELECT * FROM vecs WHERE vec_id % 3 <> 0),
 test AS (SELECT * FROM vecs WHERE vec_id % 3 = 0),
@@ -644,7 +665,11 @@ FROM best WHERE rn = 1
 def q_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    vecs = load_table(spark, sf_dir, "embeddings").select(
+    vecs = load_table(spark, sf_dir, "embeddings").filter(
+        # the q_kmeans rule: NULL embeddings join neither split — a NULL
+        # log-likelihood otherwise "classifies" by engine NULL tie-breaks
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
         "label",

@@ -72,11 +72,17 @@ def decode_payload(content: bytes, media_type: str) -> dict:
         # the real decode path is intentionally unwired; fail loudly when
         # explicitly requested rather than silently returning fake features
         raise NotImplementedError("real media decode path not wired in this build")
-    head = content[:8]
+    # head checksum over the first 8 CODEPOINTS of the decoded payload
+    # (payloads here are synthesized UTF-8; errors='replace' keeps real
+    # binary deterministic). Codepoints, not raw bytes, because the
+    # oracle must replay the checksum and DuckDB has no md5/ord over
+    # BLOB — and for non-ASCII text a byte sum and a codepoint sum
+    # diverge (caught by the adversarial-corpus suite).
+    head = content.decode("utf-8", errors="replace")[:8]
     return {
         "byte_len": len(content),
         "n_frames": max(1, (len(content) + 99) // 100),
-        "head_checksum": sum(head),
+        "head_checksum": sum(ord(ch) for ch in head),
         "codec": f"fake-{media_type.split('/', 1)[0]}",
     }
 
@@ -89,13 +95,27 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # a NULL payload (missing/unfetchable object — routine at
+            # corpus scale) must not crash the worker: its features are
+            # NULL byte_len, 1 frame, checksum 0 — exactly what the
+            # oracle's NULL-propagating SQL yields for NULL text
             feats = [
-                decode_payload(c, m) for c, m in zip(pdf["content"], pdf["media_type"])
+                decode_payload(c, m)
+                if c is not None
+                else {
+                    "byte_len": None,
+                    "n_frames": 1,
+                    "head_checksum": 0,
+                    "codec": f"fake-{m.split('/', 1)[0]}",
+                }
+                for c, m in zip(pdf["content"], pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": [f["byte_len"] for f in feats],
+                    "byte_len": pd.array(
+                        [f["byte_len"] for f in feats], dtype="Int64"
+                    ),
                     "n_frames": [f["n_frames"] for f in feats],
                     "head_checksum": [f["head_checksum"] for f in feats],
                     "codec": [f["codec"] for f in feats],
@@ -136,7 +156,7 @@ SELECT doc_id,
        CAST(greatest((octet_length(encode(text)) + 99) // 100, 1) AS BIGINT)
          AS n_frames,
        CAST(coalesce(
-            list_sum(list_transform(range(1, least(octet_length(encode(text)), 8) + 1),
+            list_sum(list_transform(range(1, least(length(text), 8) + 1),
                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT)
          AS head_checksum,
        'fake-' || CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -146,8 +166,9 @@ FROM documents
 """,
     doc=(
         "mapInPandas feature extraction over binary payloads (deterministic "
-        "fake decode; oracle recomputes the same features in SQL). Texts are "
-        "ASCII so byte[i] == codepoint(char[i]) holds on both sides."
+        "fake decode; oracle recomputes the same features in SQL). byte_len/"
+        "n_frames are byte-true; head_checksum sums the first 8 codepoints "
+        "of the decoded payload so non-ASCII text replays identically."
     ),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,14 +200,35 @@ def sample_frames(binary_df: DataFrame) -> DataFrame:
                 "frame_md5": [],
             }
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                n_frames = max(1, (len(content) + FRAME_BYTES - 1) // FRAME_BYTES)
+                if content is None:
+                    # missing payload: one placeholder frame with NULL
+                    # length/checksum (= the oracle's substr/md5 of NULL),
+                    # never a worker crash
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(0)
+                    out["frame_len"].append(None)
+                    out["frame_md5"].append(None)
+                    continue
+                # frames are CODEPOINT windows of the decoded payload, not
+                # byte windows: the oracle replays each frame's md5 via
+                # substr(), DuckDB cannot hash BLOB slices, and byte
+                # windows would split multi-byte codepoints for non-ASCII
+                # payloads (adversarial-corpus finding). A real codec
+                # replaces this chunking wholesale; the 1→N plumbing —
+                # the part under test — is unchanged.
+                text = bytes(content).decode("utf-8", errors="replace")
+                n_frames = max(1, (len(text) + FRAME_BYTES - 1) // FRAME_BYTES)
                 for idx in range(0, n_frames, FRAME_STRIDE):
-                    chunk = bytes(content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES])
+                    chunk = text[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["frame_len"].append(len(chunk))
-                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
-            yield pd.DataFrame(out)
+                    out["frame_md5"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+            df = pd.DataFrame(out)
+            df["frame_len"] = pd.array(out["frame_len"], dtype="Int64")
+            yield df
 
     return binary_df.mapInPandas(_frames, schema=FRAME_SCHEMA)
 
@@ -196,7 +238,7 @@ def sample_frames(binary_df: DataFrame) -> DataFrame:
     oracle=f"""
 WITH f AS (
   SELECT doc_id, text,
-         greatest((octet_length(encode(text)) + {FRAME_BYTES} - 1)
+         greatest((length(text) + {FRAME_BYTES} - 1)
                   // {FRAME_BYTES}, 1) AS n_frames
   FROM documents
 ),
@@ -213,8 +255,9 @@ FROM expanded WHERE idx % {FRAME_STRIDE} = 0
     doc=(
         "Frame sampling over binary payloads: every 4th fixed-size chunk "
         "as a row with per-frame checksum — the 1→N expansion pattern for "
-        "video/audio, executor-side in Arrow batches. ASCII payloads make "
-        "the byte chunks equal the oracle's substrings."
+        "video/audio, executor-side in Arrow batches. Frames are codepoint "
+        "windows of the decoded payload so the oracle can replay each "
+        "frame's md5 via substr() for any (non-ASCII included) text."
     ),
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

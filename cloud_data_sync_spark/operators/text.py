@@ -344,8 +344,8 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (
   SELECT doc_id, source,
-         (CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 5 + 1) / 10.0
-           AS weight,
+         (coalesce(TRY_CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 5, 0)
+          + 1) / 10.0 AS weight,
          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
               AS INTEGER) AS BIGINT) AS bucket16
   FROM documents
@@ -364,8 +364,14 @@ FROM w WHERE bucket16 < weight * 65536
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # try_cast + coalesce: a source name with no digit extracts '' and a
+    # plain ANSI cast kills the job; such sources take the base weight
+    # (digit bucket 0 -> 0.1) on BOTH engines instead.
     weight = (
-        F.regexp_extract("source", r"[0-9]+", 0).cast("int") % 5 + 1
+        F.coalesce(
+            F.regexp_extract("source", r"[0-9]+", 0).try_cast("int") % 5, F.lit(0)
+        )
+        + 1
     ) / 10.0
     bucket16 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10

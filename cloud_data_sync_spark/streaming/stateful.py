@@ -122,7 +122,11 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOTALS_OUT_SCHEMA = "user_id long, n_events long, total_value double"
-TOTALS_STATE_SCHEMA = "n long, total double"
+# n_vals tracks how many NON-NULL values contributed: SQL sum() is NULL
+# for an all-NULL group, but pandas .sum() silently yields 0.0 — without
+# the counter a key whose every value is NULL would emit 0.0 and diverge
+# from any SQL consumer (adversarial-corpus finding)
+TOTALS_STATE_SCHEMA = "n long, total double, n_vals long"
 
 
 def _running_totals_fn(
@@ -131,12 +135,20 @@ def _running_totals_fn(
     batch = pd.concat(list(pdfs), ignore_index=True)
     if batch.empty:
         return
-    n, total = (state.get if state.exists else (0, 0.0))
+    n, total, n_vals = (state.get if state.exists else (0, 0.0, 0))
+    vals = batch["value"].dropna()
     n += len(batch)
-    total += float(batch["value"].sum())
-    state.update((int(n), float(total)))
+    n_vals += len(vals)
+    total += float(vals.sum())
+    state.update((int(n), float(total), int(n_vals)))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [int(n)], "total_value": [float(total)]}
+        {
+            "user_id": [key[0]],
+            "n_events": [int(n)],
+            # SQL sum semantics: NULL (not 0.0) while no non-NULL value
+            # has arrived for the key
+            "total_value": [float(total) if n_vals else None],
+        }
     )
 
 

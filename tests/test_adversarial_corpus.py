@@ -51,6 +51,10 @@ KEYS = [
     "q_token_budget",      # per-(source,lang) sums with NULL sizes
     "q_udtf_surface",      # UDTF tokenizer contract on empty/whitespace
     "q_pii_scrub",         # regex pipeline over NULL/unicode
+    "q_udf_surface",       # pandas UDF NULL-in -> NULL-out (not 0)
+    "q_stratified_sample", # digit-less source -> base weight, not a cast kill
+    "q_multimodal_features",  # NULL payload + non-ASCII head checksum
+    "q_multimodal_frames",    # NULL payload + codepoint frame windows
 ]
 
 
@@ -158,6 +162,10 @@ VEC_EVENT_KEYS = [
     "q_sim_topk", "q_sim_ann_lsh", "q_sim_ivf", "q_sim_knn_graph",
     "q_dedup_embedding", "q_semdedup", "q_kmeans", "q_random_projection",
     "q_gaps_islands", "q_json_props", "q_anomaly_mad", "q_funnel",
+    "q_ewma_smooth",   # all-NULL lag window -> NULL EWMA, not 0/0
+    "q_gaussian_nb",   # NULL embeddings join neither split
+    "q_logreg_probe",  # saturated sigmoid -> clamped cross-entropy
+    "q_stream_running_totals",  # all-NULL key sums NULL (SQL), not 0.0
 ]
 
 
