@@ -98,16 +98,21 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - warm-up is best-effort
                 pass
 
-    # min of two timed runs per query: the box is shared, and a transient
-    # CPU-contention spike during a single measurement would otherwise be
-    # recorded as the query's cost. Min-of-N is the standard steady-state
-    # throughput estimator for microbenchmarks (warm-up already ran above).
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, spec in sorted(all_queries().items()):
-        best = float("nan")
-        failed = False
-        for _ in range(2):
+    # min of two timed runs per query, taken as two SEPARATE full sweeps
+    # over the sorted query list (pass 1 times everything, then pass 2
+    # re-times everything) rather than back-to-back repeats: the box is
+    # shared, and a sustained CPU-contention spike spans many seconds —
+    # back-to-back repeats of one query both land inside the spike and
+    # min-of-N records the inflated cost anyway (observed: a ~60 s spike
+    # inflated the whole alphabetical q_s* band 2-8x in one run). With
+    # full-sweep separation the same query's two samples are minutes
+    # apart, so a localized spike can poison at most one of them.
+    samples: dict[str, list[float]] = {}
+    failed_queries: set[str] = set()
+    for _pass in range(2):
+        for name, spec in sorted(all_queries().items()):
+            if name in failed_queries:
+                continue
             t0 = time.perf_counter()
             try:
                 df = spec.fn(spark, sf_dir)
@@ -115,16 +120,21 @@ def main() -> None:
                 dt = time.perf_counter() - t0
             except Exception as e:  # noqa: BLE001
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
-                failed = True
-                break
-            best = dt if best != best else min(best, dt)
-        # A failure on ANY run marks the query failed (-1.0): a
-        # succeed-then-throw flake previously kept run 1's time and
-        # reported green while stderr said otherwise. NaN would serialize
-        # as bare `NaN` — invalid JSON — hence the -1 sentinel.
-        if failed or best != best:
+                # A failure on ANY run marks the query failed (-1.0): a
+                # succeed-then-throw flake previously kept run 1's time
+                # and reported green while stderr said otherwise. NaN
+                # would serialize as bare `NaN` — invalid JSON — hence
+                # the -1 sentinel.
+                failed_queries.add(name)
+                continue
+            samples.setdefault(name, []).append(dt)
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(all_queries()):
+        if name in failed_queries or not samples.get(name):
             timings[name] = -1.0
         else:
+            best = min(samples[name])
             timings[name] = round(best, 3)
             total += best
 

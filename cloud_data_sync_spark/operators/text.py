@@ -1412,7 +1412,17 @@ FROM bucketed GROUP BY 1
     ),
 )
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = q_ngram_lm(spark, sf_dir).select("doc_id", "avg_logp")
+    # Two consumers read the LM scores (the tercile-bounds aggregate and
+    # the bucket-label join) with different downstream projections, so
+    # ReuseExchange never fires and the whole bigram-LM pipeline would run
+    # twice. localCheckpoint (lazy) pins the scored rows — KB-sized
+    # (sampled doc_id, avg_logp) — on executors; same materialization rule
+    # as exact_jaccard_pairs' three-consumer aggregate.
+    scored = (
+        q_ngram_lm(spark, sf_dir)
+        .select("doc_id", "avg_logp")
+        .localCheckpoint(eager=False)
+    )
     bounds = scored.agg(
         F.transform(
             F.percentile("avg_logp", F.lit([1.0 / 3, 2.0 / 3])),
