@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.operators.tokens import toks_documents
 from cloud_data_sync_spark.registry import floor_ratio, register
-from cloud_data_sync_spark.tables import load_table
+from cloud_data_sync_spark.tables import load_table, session_substrate
 
 # Tiny embedded stopword lexicons for the n-gram/stopword language-ID
 # heuristic. Deterministic and identical in the oracle SQL.
@@ -633,8 +633,28 @@ SELECT doc_id, n_bigrams, avg_logp FROM lm_scored
         "joins keyed on the term at open-vocabulary scale — never a "
         "driver-side model."
     ),
+    plan=lambda spark, sf_dir: _lm_scored_build(spark, sf_dir),
 )
 def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lm_scored(spark, sf_dir)
+
+
+# LM scores are read by TWO registered queries (q_ngram_lm emits them,
+# q_perplexity_buckets buckets them), so the scored table — KB-sized
+# (sampled doc_id, n_bigrams, avg_logp) — materializes once per (session,
+# documents vintage) rather than re-running the bigram count + join
+# pipeline per consumer.
+_LM_SUBSTRATE: dict = {}
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_substrate(
+        spark, _LM_SUBSTRATE, sf_dir, "text.lm_scored", "documents",
+        lambda: _lm_scored_build(spark, sf_dir),
+    )
+
+
+def _lm_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = toks_documents(spark, sf_dir)
     toks = F.col("toks")
     # unigram counts come from ALL documents (oracle's unfiltered base CTE);
@@ -1412,17 +1432,13 @@ FROM bucketed GROUP BY 1
     ),
 )
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Two consumers read the LM scores (the tercile-bounds aggregate and
-    # the bucket-label join) with different downstream projections, so
-    # ReuseExchange never fires and the whole bigram-LM pipeline would run
-    # twice. localCheckpoint (lazy) pins the scored rows — KB-sized
-    # (sampled doc_id, avg_logp) — on executors; same materialization rule
-    # as exact_jaccard_pairs' three-consumer aggregate.
-    scored = (
-        q_ngram_lm(spark, sf_dir)
-        .select("doc_id", "avg_logp")
-        .localCheckpoint(eager=False)
-    )
+    # The LM scores arrive via the shared substrate (_lm_scored), already
+    # executor-materialized — both consumers here (the tercile-bounds
+    # aggregate and the bucket-label join) scan the checkpoint instead of
+    # re-running the bigram-LM pipeline (1.68s -> 1.03s at sf0.1 when this
+    # was a per-query localCheckpoint; the substrate additionally shares
+    # it with q_ngram_lm itself).
+    scored = _lm_scored(spark, sf_dir).select("doc_id", "avg_logp")
     bounds = scored.agg(
         F.transform(
             F.percentile("avg_logp", F.lit([1.0 / 3, 2.0 / 3])),

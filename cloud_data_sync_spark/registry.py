@@ -49,13 +49,32 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None for non-SQL-expressible ops
     doc: str = ""
+    # The plan the audit pins. A query whose registered result IS a shared
+    # session substrate explains as `Scan ExistingRDD` once the substrate
+    # exists — structurally uncheckable. `plan_fn` exposes the substrate's
+    # BUILDER pipeline (the plan that actually executes at scale, where
+    # the substrate is a written table and every consumer's shape is this
+    # one) so tools/plan_audit.py and tests/test_plans.py keep auditing
+    # the real shuffle/join structure. None ⇒ audit `fn`'s own plan.
+    plan_fn: QueryFn | None = None
 
 
-def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    plan: QueryFn | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            plan_fn=plan,
+        )
         return fn
 
     return deco

@@ -242,6 +242,7 @@ def _synthetic_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sync_diff",
     oracle=_ORACLE_CTES + "SELECT * FROM plan",
     doc="Flagship: full reconciliation diff (copy|skip|delete) — sync.go:56-234 as one plan.",
+    plan=lambda spark, sf_dir: sync_diff(*synthetic_catalogs(spark, sf_dir)),
 )
 def q_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synthetic_plan(spark, sf_dir)

@@ -23,5 +23,8 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_plan_rules(spark, name):
     spec = all_queries()[name]
-    violations = audit_one(name, spec.fn(spark, SF_DIR))
+    # plan_fn: substrate-backed queries audit their builder pipeline — the
+    # registered fn explains as `Scan ExistingRDD` once the shared
+    # checkpoint exists (see registry.QuerySpec.plan_fn)
+    violations = audit_one(name, (spec.plan_fn or spec.fn)(spark, SF_DIR))
     assert not violations, f"{name}: {violations}"

@@ -287,7 +287,11 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            bad = audit_one(name, spec.fn(spark, sf_dir))
+            # substrate-backed queries expose their builder pipeline via
+            # plan_fn — the registered fn explains as `Scan ExistingRDD`
+            # once the shared checkpoint exists, which is structurally
+            # uncheckable (see registry.QuerySpec.plan_fn)
+            bad = audit_one(name, (spec.plan_fn or spec.fn)(spark, sf_dir))
         except Exception as exc:  # pragma: no cover - plan build error
             bad = [f"plan build error: {exc}"]
         if bad:
