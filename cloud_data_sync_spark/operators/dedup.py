@@ -388,8 +388,32 @@ WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
         "-> in-bucket pair expansion -> estimated Jaccard >= 0.5. One "
         "shuffle end-to-end; the scale path for near-dedup (no all-pairs)."
     ),
+    plan=lambda spark, sf_dir: _minhash_dups_build(spark, sf_dir),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_dups(spark, sf_dir)
+
+
+# The estimated-duplicate pair set (est_jaccard >= 0.5 over LSH candidates)
+# is read by TWO registered queries — q_dedup_minhash emits it and
+# q_dedup_clusters builds its duplicate graph from exactly these pairs —
+# so it materializes once per (session, documents vintage). Pair-key rows
+# only (ids + one double), never signatures or text.
+_DUP_PAIR_SUBSTRATE: dict[tuple, DataFrame] = {}
+
+
+def _minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_substrate(
+        spark,
+        _DUP_PAIR_SUBSTRATE,
+        sf_dir,
+        "dedup.minhash_dups",
+        "documents",
+        lambda: _minhash_dups_build(spark, sf_dir),
+    )
+
+
+def _minhash_dups_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures from the shared substrate; payload is (doc_id, sig) only
     pairs = lsh_candidate_pairs(corpus_signatures(spark, sf_dir).select("doc_id", "sig"))
     return (
@@ -615,12 +639,10 @@ FROM reach GROUP BY a
     ),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = lsh_candidate_pairs(corpus_signatures(spark, sf_dir).select("doc_id", "sig"))
-    dup = (
-        pairs.select("doc_a", "doc_b", F.round(_est_jaccard(), 4).alias("est"))
-        .filter(F.col("est") >= 0.5)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .distinct()
+    # the duplicate graph's edge set IS q_dedup_minhash's result — read the
+    # shared pair substrate (already distinct) instead of re-banding
+    dup = _minhash_dups(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     return connected_components(dup).select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
