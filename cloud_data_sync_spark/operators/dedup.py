@@ -637,8 +637,32 @@ FROM reach GROUP BY a
         "CTE transitive closure (fine at oracle scale; propagation is the "
         "form that scales)."
     ),
+    plan=lambda spark, sf_dir: _cluster_labels_build(spark, sf_dir),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cluster_labels(spark, sf_dir)
+
+
+# Cluster labels are read by q_dedup_clusters (emits them) and
+# q_dedup_survivors (picks the canonical doc per cluster), so the label
+# table — (doc_id, cluster_id) pairs, graph-node-sized — materializes
+# once. This also caches the iterative CC computation itself: label
+# propagation's per-round convergence counts run once per input vintage.
+_CLUSTER_SUBSTRATE: dict[tuple, DataFrame] = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_substrate(
+        spark,
+        _CLUSTER_SUBSTRATE,
+        sf_dir,
+        "dedup.cluster_labels",
+        "documents",
+        lambda: _cluster_labels_build(spark, sf_dir),
+    )
+
+
+def _cluster_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the duplicate graph's edge set IS q_dedup_minhash's result — read the
     # shared pair substrate (already distinct) instead of re-banding
     dup = _minhash_dups(spark, sf_dir).select(
@@ -646,6 +670,143 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return connected_components(dup).select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+@register(
+    "q_dedup_cross_source",
+    oracle=f"""
+WITH {_AUG_SQL},
+{_ORACLE_SIG_CTES},
+dup AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+  WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
+),
+lab AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b
+  FROM dup d
+  JOIN documents da ON da.doc_id = d.doc_a % 1000000
+  JOIN documents db ON db.doc_id = d.doc_b % 1000000
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       (src_a = src_b) AS is_intra
+FROM lab GROUP BY src_a, src_b
+""",
+    doc=(
+        "Cross-source duplication matrix: near-dup pairs bucketed by the "
+        "(source, source) pair of their base documents — the curation "
+        "report that says which sources mirror each other (high "
+        "cross-source mass = scrape overlap; keep one) versus which "
+        "self-duplicate (high intra mass = boilerplate; dedup within). "
+        "Reads the shared estimated-duplicate pair substrate — zero new "
+        "corpus passes; the id->source attachment joins the pair keys "
+        "(ids only) against the documents projection, co-partitioned on "
+        "doc_id at scale, and the final aggregate is sources²-bounded. "
+        "Augmented copies map to their base doc's source via the "
+        "deterministic id offset (augmented_documents: base + 1M/2M/3M)."
+    ),
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_dups(spark, sf_dir).select("doc_a", "doc_b")
+    srcs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base"), "source"
+    )
+    a = srcs.select(F.col("base").alias("base_a"), F.col("source").alias("sa"))
+    b = srcs.select(F.col("base").alias("base_b"), F.col("source").alias("sb"))
+    lab = (
+        pairs.withColumn("base_a", F.col("doc_a") % 1000000)
+        .withColumn("base_b", F.col("doc_b") % 1000000)
+        .join(a, "base_a")
+        .join(b, "base_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    return lab.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_pairs"),
+        (F.col("src_a") == F.col("src_b")).alias("is_intra"),
+    )
+
+
+@register(
+    "q_dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE {_AUG_SQL},
+{_ORACLE_SIG_CTES},
+dup AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+  WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup
+  UNION
+  SELECT doc_b, doc_a FROM dup
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b
+),
+labels AS (
+  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+),
+mem AS (
+  SELECT l.doc_id, l.cluster_id,
+         coalesce(length(g.text), 0) AS len
+  FROM labels l JOIN aug g USING (doc_id)
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY len DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM mem
+)
+SELECT cluster_id, CAST(doc_id AS BIGINT) AS survivor_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_members - 1 AS BIGINT) AS n_dropped
+FROM r WHERE rn = 1
+""",
+    doc=(
+        "Survivorship selection — the step that APPLIES near-dedup: each "
+        "duplicate cluster keeps one canonical document (longest text, "
+        "doc_id tiebreak — the keep-the-richest rule curation pipelines "
+        "default to) and reports how many copies it displaces. Reads the "
+        "shared cluster-label substrate (graph-node-sized), attaches "
+        "lengths with one key join against the corpus projection, and "
+        "picks the survivor as a per-cluster struct-min aggregate — "
+        "map-side combinable, no window over the corpus, no sort. The "
+        "kept-set join (anti-join of corpus vs dropped ids) is the "
+        "downstream consumer's one extra step."
+    ),
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _cluster_labels(spark, sf_dir)
+    lens = augmented_documents(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.length("text"), F.lit(0)).alias("len")
+    )
+    m = labels.join(lens, "doc_id")
+    # survivor = min over (-len, doc_id): identical tie semantics to the
+    # oracle's ORDER BY len DESC, doc_id — one linear aggregate, no window
+    best = F.min(F.struct((-F.col("len")).alias("nl"), F.col("doc_id").alias("d")))
+    return (
+        m.groupBy("cluster_id")
+        .agg(best.alias("b"), F.count("*").alias("n_members"))
+        .select(
+            "cluster_id",
+            F.col("b.d").alias("survivor_id"),
+            "n_members",
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
     )
 
 
