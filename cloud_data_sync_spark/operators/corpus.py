@@ -28,14 +28,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.operators.dedup import (
+    _AUDIT_MOD,
     _AUG4_SQL,
     _AUG_SQL,
-    _audit_docs,
     augmented_documents,
 )
 from cloud_data_sync_spark.operators.tokens import low_toks, toks_documents
 from cloud_data_sync_spark.registry import floor_ratio, register
-from cloud_data_sync_spark.tables import load_table
+from cloud_data_sync_spark.tables import load_table, session_substrate
 
 
 @register(
@@ -187,6 +187,27 @@ def _shingle8(toks: Column) -> Column:
     return F.array_distinct(gram)
 
 
+# (doc_id, h8: array<long>) — distinct word-8-gram hashes of every
+# augmented-corpus document, shared by q_decontaminate (full corpus; both
+# its eval and train sides) and q_ngram_dup_mass (its doc_id % 8 audit
+# sample — the filter commutes with the per-row shingle map, so the
+# sample reads the same table). Longs-only payload, ~1 long per token.
+_GRAM8_SUBSTRATE: dict[tuple, DataFrame] = {}
+
+
+def _aug_gram8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_substrate(
+        spark,
+        _GRAM8_SUBSTRATE,
+        sf_dir,
+        "corpus.aug_gram8",
+        "documents",
+        lambda: augmented_documents(spark, sf_dir).select(
+            "doc_id", _shingle8(low_toks()).alias("h8")
+        ),
+    )
+
+
 @register(
     "q_decontaminate",
     oracle=f"""
@@ -216,8 +237,8 @@ GROUP BY tr.doc_id
     ),
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = augmented_documents(spark, sf_dir).select(
-        "doc_id", F.explode(_shingle8(low_toks())).alias("h")
+    docs = _aug_gram8(spark, sf_dir).select(
+        "doc_id", F.explode("h8").alias("h")
     )
     ev = docs.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
     tr = docs.filter(F.col("doc_id") % 97 != 0)
@@ -439,9 +460,12 @@ FROM per
     ),
 )
 def q_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _audit_docs(spark, sf_dir).select(
-        "doc_id", F.explode(_shingle8(low_toks())).alias("h")
-    )
+    # the %8 audit sample reads the shared full-corpus 8-gram table —
+    # the filter commutes with the per-row shingle map (dedup._audit_docs
+    # is the text-level twin of this filter)
+    sh = _aug_gram8(spark, sf_dir).filter(
+        F.col("doc_id") % _AUDIT_MOD == 0
+    ).select("doc_id", F.explode("h8").alias("h"))
     per = sh.groupBy("h").agg(F.count("*").alias("df"))
     dup_df = F.when(F.col("df") > 1, F.col("df")).otherwise(F.lit(0))
     return per.agg(
