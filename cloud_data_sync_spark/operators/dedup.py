@@ -674,6 +674,123 @@ def _cluster_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cluster_size_dist",
+    oracle=f"""
+WITH RECURSIVE {_AUG_SQL},
+{_ORACLE_SIG_CTES},
+dup AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+  WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup
+  UNION
+  SELECT doc_b, doc_a FROM dup
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b
+),
+labels AS (
+  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+),
+per AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM per GROUP BY cluster_size
+""",
+    doc=(
+        "Duplicate-cluster size distribution: how many clusters of each "
+        "size the near-dup graph contains and how many documents they "
+        "absorb — the dataset-card histogram that distinguishes a corpus "
+        "of pairwise copies (mass at size 2) from template farms (heavy "
+        "tail), and sizes the survivorship step's yield before running "
+        "it. Reads the shared cluster-label substrate; two hash "
+        "aggregates, both onto bounded group sets (clusters, then "
+        "distinct sizes) with map-side combine."
+    ),
+)
+def q_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _cluster_labels(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return per.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+    )
+
+
+_VAL_NIBBLES = ("0", "1")  # md5 first hex char -> ~1/8 validation split
+
+
+@register(
+    "q_split_leakage",
+    oracle=f"""
+WITH {_AUG_SQL},
+{_ORACLE_SIG_CTES},
+dup AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+  WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
+),
+sides AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 1)
+              IN {_VAL_NIBBLES} THEN 'val' ELSE 'train' END AS side_a,
+         CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 1)
+              IN {_VAL_NIBBLES} THEN 'val' ELSE 'train' END AS side_b
+  FROM dup
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN side_a <> side_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_split,
+       floor(sum(CASE WHEN side_a <> side_b THEN 1.0 ELSE 0.0 END)
+             / count(*) * 1000000) / 1000000 AS leak_rate
+FROM sides
+""",
+    doc=(
+        "Train/validation split-leakage audit: near-duplicate pairs whose "
+        "members land on OPPOSITE sides of a deterministic hash split — "
+        "each such pair is an eval example whose near-copy sits in "
+        "training, the quiet way held-out metrics go optimistic. The "
+        "split is a pure per-row function of doc_id (md5 first nibble, "
+        "~1/8 validation — the portable hash-threshold rule q_sample_hash "
+        "uses), so side assignment is a map-only projection on the "
+        "shared dup-pair substrate: ids only, one summary aggregate, "
+        "bounded output at any corpus size. A nonzero leak_rate is the "
+        "signal to split by CLUSTER (q_dedup_clusters labels) instead of "
+        "by document."
+    ),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    side = lambda c: F.when(  # noqa: E731 - tiny local expression builder
+        F.substring(F.md5(F.col(c).cast("string")), 1, 1).isin(*_VAL_NIBBLES),
+        "val",
+    ).otherwise("train")
+    sides = _minhash_dups(spark, sf_dir).select(
+        side("doc_a").alias("side_a"), side("doc_b").alias("side_b")
+    )
+    cross = F.when(F.col("side_a") != F.col("side_b"), 1.0).otherwise(0.0)
+    return sides.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(cross).cast("long").alias("n_cross_split"),
+        floor_ratio(F.sum(cross) / F.count("*"), 6).alias("leak_rate"),
+    )
+
+
+@register(
     "q_dedup_cross_source",
     oracle=f"""
 WITH {_AUG_SQL},

@@ -26,6 +26,35 @@ def test_cross_source_accounts_every_dup_pair(spark):
         assert r.is_intra == (r.src_a == r.src_b)
 
 
+def test_cluster_size_dist_accounts_every_labeled_doc(spark):
+    from cloud_data_sync_spark.operators.dedup import _cluster_labels
+
+    rows = _run(spark, "q_cluster_size_dist")
+    n_docs = _cluster_labels(spark, SF).count()
+    # the histogram partitions the labeled docs exactly
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.cluster_size >= 2  # every CC node has at least one edge
+
+
+def test_split_leakage_matches_independent_recount(spark):
+    import hashlib
+
+    from cloud_data_sync_spark.operators.dedup import _VAL_NIBBLES, _minhash_dups
+
+    (row,) = _run(spark, "q_split_leakage")
+    pairs = _minhash_dups(spark, SF).select("doc_a", "doc_b").collect()
+
+    def side(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return "val" if h[0] in _VAL_NIBBLES else "train"
+
+    n_cross = sum(1 for p in pairs if side(p.doc_a) != side(p.doc_b))
+    assert row.n_pairs == len(pairs)
+    assert row.n_cross_split == n_cross
+
+
 def test_survivor_is_longest_member_of_its_cluster(spark):
     from pyspark.sql import functions as F
 
