@@ -166,3 +166,36 @@ def test_toks_substrate_matches_inline_tokenize(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+# Queries whose REGISTERED RESULT is itself a shared substrate: their own
+# plan explains as `Scan ExistingRDD`, so the structural audit would be
+# vacuous unless the builder pipeline is exposed via QuerySpec.plan_fn
+# (tools/plan_audit.py and tests/test_plans.py audit `plan_fn or fn`).
+# This guard fails if a future output substrate forgets the plan= hook.
+OUTPUT_SUBSTRATE_QUERIES = (
+    "q_sync_diff",
+    "q_ngram_lm",
+    "q_sim_topk",
+    "q_sim_ivf",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+)
+
+
+def test_output_substrate_queries_expose_builder_plans(spark):
+    from cloud_data_sync_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in OUTPUT_SUBSTRATE_QUERIES:
+        spec = qs[name]
+        assert spec.plan_fn is not None, f"{name} lost its plan= builder"
+        plan = spec.plan_fn(spark, SF_DIR)._jdf.queryExecution().toString()
+        # the builder must expose the real pipeline, not the checkpoint: a
+        # builder that merely re-read the substrate would be a bare
+        # RDD-scan plan with no relational operators, making the plan
+        # audit vacuous again (every one of these pipelines aggregates,
+        # joins, or shuffles)
+        assert any(op in plan for op in ("Join", "Aggregate", "Exchange")), (
+            f"{name}: builder plan exposes no relational operators"
+        )
