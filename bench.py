@@ -72,6 +72,55 @@ def build_inline_line(
     return out
 
 
+def sweep_timings(
+    names: list[str],
+    run_one,
+    passes: int = 2,
+    on_error=lambda name, exc: print(
+        f"bench: {name} failed: {exc}", file=sys.stderr
+    ),
+) -> tuple[dict[str, float], float]:
+    """Min-of-N per query, taken as N SEPARATE full sweeps over the query
+    list (pass 1 times everything, then pass 2 re-times everything)
+    rather than back-to-back repeats: the box is shared, and a sustained
+    CPU-contention spike spans many seconds — back-to-back repeats of one
+    query both land inside the spike and min-of-N records the inflated
+    cost anyway (observed: a ~60 s spike inflated the whole alphabetical
+    q_s* band 2-8x in one run). With full-sweep separation the same
+    query's samples are minutes apart, so a localized spike can poison at
+    most one of them.
+
+    A failure on ANY run marks the query failed (-1.0, excluded from the
+    total) and skips its remaining sweeps: a succeed-then-throw flake
+    previously kept run 1's time and reported green while stderr said
+    otherwise. NaN would serialize as bare `NaN` — invalid JSON — hence
+    the -1 sentinel. Importable so tests exercise the real sweep loop.
+    """
+    samples: dict[str, list[float]] = {}
+    failed: set[str] = set()
+    for _ in range(passes):
+        for name in names:
+            if name in failed:
+                continue
+            try:
+                dt = run_one(name)
+            except Exception as exc:  # noqa: BLE001
+                on_error(name, exc)
+                failed.add(name)
+                continue
+            samples.setdefault(name, []).append(dt)
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        if name in failed or not samples.get(name):
+            timings[name] = -1.0
+        else:
+            best = min(samples[name])
+            timings[name] = round(best, 3)
+            total += best
+    return timings, total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -98,45 +147,14 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - warm-up is best-effort
                 pass
 
-    # min of two timed runs per query, taken as two SEPARATE full sweeps
-    # over the sorted query list (pass 1 times everything, then pass 2
-    # re-times everything) rather than back-to-back repeats: the box is
-    # shared, and a sustained CPU-contention spike spans many seconds —
-    # back-to-back repeats of one query both land inside the spike and
-    # min-of-N records the inflated cost anyway (observed: a ~60 s spike
-    # inflated the whole alphabetical q_s* band 2-8x in one run). With
-    # full-sweep separation the same query's two samples are minutes
-    # apart, so a localized spike can poison at most one of them.
-    samples: dict[str, list[float]] = {}
-    failed_queries: set[str] = set()
-    for _pass in range(2):
-        for name, spec in sorted(all_queries().items()):
-            if name in failed_queries:
-                continue
-            t0 = time.perf_counter()
-            try:
-                df = spec.fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-            except Exception as e:  # noqa: BLE001
-                print(f"bench: {name} failed: {e}", file=sys.stderr)
-                # A failure on ANY run marks the query failed (-1.0): a
-                # succeed-then-throw flake previously kept run 1's time
-                # and reported green while stderr said otherwise. NaN
-                # would serialize as bare `NaN` — invalid JSON — hence
-                # the -1 sentinel.
-                failed_queries.add(name)
-                continue
-            samples.setdefault(name, []).append(dt)
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in sorted(all_queries()):
-        if name in failed_queries or not samples.get(name):
-            timings[name] = -1.0
-        else:
-            best = min(samples[name])
-            timings[name] = round(best, 3)
-            total += best
+    def _run_one(name: str) -> float:
+        t0 = time.perf_counter()
+        all_queries()[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    timings, total = sweep_timings(sorted(all_queries()), _run_one)
 
     # Full per-query map goes to BENCH_FULL.json (the one-line stdout
     # contract is read from a bounded tail buffer — observed 2000 chars in

@@ -90,3 +90,56 @@ def test_bench_inline_line_survives_catastrophic_failure_count():
     assert payload["failed_queries"] == 150
     assert payload["queries"] == {}
     assert payload["full"] == "BENCH_FULL.json"
+
+
+def test_sweep_timings_min_across_separated_sweeps():
+    from bench import sweep_timings
+
+    walls = {"q_a": iter([3.0, 1.0]), "q_b": iter([0.5, 0.7])}
+    timings, total = sweep_timings(
+        ["q_a", "q_b"], lambda n: next(walls[n]), on_error=lambda n, e: None
+    )
+    # min is taken per query ACROSS sweeps (q_a's spike-poisoned first
+    # sample is discarded by its clean second-sweep sample)
+    assert timings == {"q_a": 1.0, "q_b": 0.5}
+    assert abs(total - 1.5) < 1e-9
+
+
+def test_sweep_timings_failure_pins_sentinel_and_skips_remaining_sweeps():
+    from bench import sweep_timings
+
+    calls = []
+
+    def run_one(name):
+        calls.append(name)
+        if name == "q_bad":
+            raise RuntimeError("boom")
+        return 0.1
+
+    timings, total = sweep_timings(
+        ["q_bad", "q_ok"], run_one, on_error=lambda n, e: None
+    )
+    # a failure on ANY run is a -1.0 sentinel excluded from the total,
+    # and the query is not retried on later sweeps
+    assert timings["q_bad"] == -1.0
+    assert timings["q_ok"] == 0.1
+    assert abs(total - 0.1) < 1e-9
+    assert calls.count("q_bad") == 1
+    assert calls.count("q_ok") == 2
+
+
+def test_sweep_timings_succeed_then_throw_is_failed():
+    from bench import sweep_timings
+
+    seen = []
+
+    def run_one(name):
+        seen.append(name)
+        if len(seen) > 1:
+            raise RuntimeError("flake on sweep 2")
+        return 2.5
+
+    timings, total = sweep_timings(["q_x"], run_one, on_error=lambda n, e: None)
+    # sweep-1 success must NOT survive a sweep-2 throw
+    assert timings == {"q_x": -1.0}
+    assert total == 0.0
