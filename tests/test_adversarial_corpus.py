@@ -55,6 +55,11 @@ KEYS = [
     "q_stratified_sample", # digit-less source -> base weight, not a cast kill
     "q_multimodal_features",  # NULL payload + non-ASCII head checksum
     "q_multimodal_frames",    # NULL payload + codepoint frame windows
+    "q_dedup_minhash",        # signature pipeline over NULL/empty/1-token docs
+    "q_dedup_cross_source",   # source attachment when the pair set is degenerate
+    "q_dedup_survivors",      # NULL-text length coalesce in survivor pick
+    "q_cluster_size_dist",    # histogram over a near-empty duplicate graph
+    "q_split_leakage",        # md5-nibble sides on a degenerate pair set
 ]
 
 
