@@ -537,7 +537,8 @@ fv AS (
            i -> CAST(len(list_filter(b, x -> x = i)) AS BIGINT)) AS features
   FROM bk
 )
-SELECT doc_id, CAST(len(b) AS BIGINT) AS n_tokens, features,
+SELECT doc_id, CAST(len(b) AS BIGINT) AS n_tokens,
+       array_to_string(features, ',') AS features,
        CAST(len(list_filter(features, v -> v > 0)) AS BIGINT) AS nnz,
        floor(sqrt(list_sum(list_transform(features, v -> v * v)))
              * 1000000) / 1000000 AS l2_norm
@@ -554,7 +555,12 @@ FROM fv
         "per-bucket lists readable). The whole query is MAP-ONLY: one md5 "
         "per token, bucket counts folded per row, zero exchanges — "
         "featurizing scales linearly with corpus bytes. nnz and the "
-        "l2 norm ride along for downstream normalization."
+        "l2 norm ride along for downstream normalization. The vector is "
+        "EMITTED as a comma-joined string (not array<bigint>): the "
+        "registered-output contract is scalar columns only, because the "
+        "driver's pandas-based row canonicalizer cannot sort/hash "
+        "list-typed cells (CORRECTNESS_r04 ERR); integer rendering is "
+        "identical across engines so the join is hash-stable."
     ).format(b=_FH_BUCKETS),
 )
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,7 +596,13 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("bk").cast("long").alias("n_tokens"),
-            "features",
+            # scalar-only output contract: serialize the count vector as a
+            # canonical comma-joined string (bigint rendering is identical
+            # in Spark and DuckDB), because the driver's pandas
+            # canonicalizer cannot sort list cells
+            F.array_join(
+                F.transform("features", lambda v: v.cast("string")), ","
+            ).alias("features"),
             F.size(F.filter("features", lambda v: v > 0)).cast("long").alias("nnz"),
             floor_ratio(l2, 6).alias("l2_norm"),
         )
@@ -785,14 +797,13 @@ proj AS MATERIALIZED (
          {_RP_SUMS_SQL} AS p
   FROM vecs
 )
-SELECT vec_id, label,
-       list_transform(p, x -> CASE WHEN abs(x * 1000000) < 9007199254740992
-                                   THEN floor(x * 1000000) / 1000000 END)
-         AS reduced,
+SELECT vec_id, label, CAST(t.i - 1 AS BIGINT) AS dim,
+       CASE WHEN abs(p[t.i] * 1000000) < 9007199254740992
+            THEN floor(p[t.i] * 1000000) / 1000000 END AS component,
        floor(sqrt(list_sum(list_transform(p, x -> x * x)))
              / sqrt(list_sum(list_transform(e, x -> x * x)))
              * 10000) / 10000 AS norm_ratio
-FROM proj
+FROM proj, LATERAL unnest(generate_series(1, {_RP_OUT})) AS t(i)
 """,
     doc=(
         "Johnson-Lindenstrauss random projection 64 -> {k} dims "
@@ -806,7 +817,10 @@ FROM proj
         "hashed at runtime), so the projection is a per-row fold with "
         "zero exchanges, zero broadcast, linear in corpus bytes. At 100 "
         "TB nothing changes; for larger targets the literal matrix swaps "
-        "for a seeded executor-side generator, same plan."
+        "for a seeded executor-side generator, same plan. Output is one "
+        "row per (vector, output dim) — scalar columns only, per the "
+        "registered-output contract (the driver's canonicalizer cannot "
+        "hash array cells)."
     ).format(k=_RP_OUT, d=_DIM),
 )
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,29 +847,39 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         vecs.withColumn("m", m)
         .withColumn("p", proj)
-        .select(
-            "vec_id",
-            "label",
-            # 6-dp truncation is only meaningful while x*1e6 has integer
-            # resolution in a double (< 2^53); beyond that Spark's floor
-            # (returns LONG, silently clamps at ±2^63) and DuckDB's floor
-            # (stays DOUBLE) diverge — emit NULL for such garbage-scale
-            # components on both engines (oracle carries the same CASE).
-            F.transform(
-                "p",
-                lambda x: F.when(
-                    F.abs(x * 1000000) < F.lit(2.0**53),
-                    F.floor(x * 1000000) / 1000000,
-                ),
-            ).alias("reduced"),
+        .withColumn(
             # try_divide: a zero input vector projects to zero and its
             # norm ratio is 0/0 — NULL on both engines (DuckDB division
             # by zero yields NULL), not an ANSI DIVIDE_BY_ZERO job kill
+            "norm_ratio",
             floor_ratio(
                 F.try_divide(
                     F.sqrt(sq_sum(F.col("p"))), F.sqrt(sq_sum(F.col("e")))
                 ),
                 4,
-            ).alias("norm_ratio"),
+            ),
+        )
+        # scalar-only output contract: the reduced vector is EXPLODED to one
+        # (vec_id, dim, component) row per output dimension instead of an
+        # array<double> column — the driver's pandas canonicalizer cannot
+        # sort list cells (the q_feature_hash CORRECTNESS_r04 lesson). 16
+        # dims × N rows is a bounded fan-out and stays map-only.
+        .select(
+            "vec_id", "label", "norm_ratio", F.posexplode("p").alias("dim", "c")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            # 6-dp truncation is only meaningful while x*1e6 has integer
+            # resolution in a double (< 2^53); beyond that Spark's floor
+            # (returns LONG, silently clamps at ±2^63) and DuckDB's floor
+            # (stays DOUBLE) diverge — emit NULL for such garbage-scale
+            # components on both engines (oracle carries the same CASE).
+            F.when(
+                F.abs(F.col("c") * 1000000) < F.lit(2.0**53),
+                F.floor(F.col("c") * 1000000) / 1000000,
+            ).alias("component"),
+            "norm_ratio",
         )
     )

@@ -1223,7 +1223,7 @@ posting AS (
            AS postings
   FROM toks GROUP BY term
 )
-SELECT term, df, postings
+SELECT term, df, array_to_string(postings, ',') AS postings
 FROM posting
 ORDER BY df DESC, term
 LIMIT 100
@@ -1231,7 +1231,9 @@ LIMIT 100
     doc=(
         "Inverted-index build: per term, document frequency and a "
         f"sorted, {_IDX_MAX_POSTINGS}-capped posting list over the "
-        "corpus — the search-index artifact. ONE term-key exchange "
+        "corpus, serialized as a comma-joined string per the scalar-only "
+        "registered-output contract — the search-index artifact. ONE "
+        "term-key exchange "
         "builds every posting (collect_list + sort_array is "
         "deterministic and the cap bounds memory per term — at 100 TB "
         "the hot-term guard is this cap plus a stopword df ceiling, "
@@ -1249,8 +1251,18 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     posting = toks.groupBy("term").agg(
         F.count("*").alias("df"),
-        F.slice(
-            F.sort_array(F.collect_list("doc_id")), 1, _IDX_MAX_POSTINGS
+        # scalar-only output contract: the capped posting list is emitted
+        # as a comma-joined string (bigint rendering matches across
+        # engines) — the driver's pandas canonicalizer cannot sort/hash
+        # array cells (the q_feature_hash CORRECTNESS_r04 lesson)
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, _IDX_MAX_POSTINGS
+                ),
+                lambda d: d.cast("string"),
+            ),
+            ",",
         ).alias("postings"),
     )
     return posting.orderBy(F.desc("df"), "term").limit(100)

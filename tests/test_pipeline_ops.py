@@ -82,9 +82,12 @@ def test_inverted_index_postings_sorted_capped(spark):
     dfs = [r.df for r in rows]
     assert dfs == sorted(dfs, reverse=True)
     for r in rows:
-        assert 1 <= len(r.postings) <= 20
-        assert len(r.postings) == min(r.df, 20)
-        assert list(r.postings) == sorted(r.postings)
+        # scalar-only output contract: postings arrive comma-joined
+        assert isinstance(r.postings, str)
+        postings = [int(x) for x in r.postings.split(",")]
+        assert 1 <= len(postings) <= 20
+        assert len(postings) == min(r.df, 20)
+        assert postings == sorted(postings)
 
 
 def test_zorder_interleave_is_a_bijection_on_the_bucket_grid(spark):

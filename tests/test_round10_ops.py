@@ -100,14 +100,18 @@ def test_feature_hash_counts_and_norms(spark):
     assert len(rows) == len(docs)
     for r in rows[:50]:
         toks = docs[r.doc_id]
+        # scalar-only output contract: the vector arrives comma-joined
+        assert isinstance(r.features, str)
+        feats = [int(x) for x in r.features.split(",")]
+        assert len(feats) == 16
         assert r.n_tokens == len(toks)
-        assert sum(r.features) == len(toks)  # buckets partition the tokens
+        assert sum(feats) == len(toks)  # buckets partition the tokens
         expect = [0] * 16
         for t in toks:
             expect[int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % 16] += 1
-        assert list(r.features) == expect
-        assert r.nnz == sum(1 for v in r.features if v > 0)
-        l2 = math.sqrt(sum(v * v for v in r.features))
+        assert feats == expect
+        assert r.nnz == sum(1 for v in feats if v > 0)
+        l2 = math.sqrt(sum(v * v for v in feats))
         assert abs(r.l2_norm - math.floor(l2 * 1e6) / 1e6) < 1e-9
 
 
@@ -184,14 +188,23 @@ def test_random_projection_preserves_norms_and_signs(spark):
     M = np.array(_RP_M)  # 16 x 64 of +-1
     assert set(np.unique(M)) == {-1.0, 1.0}
     rows = _run(spark, "q_random_projection")
-    assert len(rows) == len(raw)
+    # scalar-only output contract: one row per (vector, output dim)
+    assert len(rows) == len(raw) * len(_RP_M)
+    by_vec: dict[int, dict[int, float]] = {}
+    ratio_of: dict[int, float] = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, {})[r.dim] = r.component
+        ratio_of[r.vec_id] = r.norm_ratio
     ratios = []
-    for r in rows[:100]:
-        e = raw[r.vec_id]
+    for vec_id in list(by_vec)[:100]:
+        comps = by_vec[vec_id]
+        assert sorted(comps) == list(range(len(_RP_M)))
+        e = raw[vec_id]
         p = (M @ e) * 0.25
         expect = np.floor(p * 1e6) / 1e6
-        assert np.allclose(np.array(r.reduced), expect, atol=1e-9)
-        ratios.append(r.norm_ratio)
+        got = np.array([comps[i] for i in range(len(_RP_M))])
+        assert np.allclose(got, expect, atol=1e-9)
+        ratios.append(ratio_of[vec_id])
     # JL: norms concentrate around 1 — mean within 25%, none degenerate
     assert 0.75 < sum(ratios) / len(ratios) < 1.25
     assert all(0.2 < x < 3.0 for x in ratios)

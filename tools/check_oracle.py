@@ -51,6 +51,26 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]
     return [cols[i] for i in order], out
 
 
+def driver_canon_error(cols: list[str], rows: list[tuple]) -> str | None:
+    """Replicate the DRIVER's canonicalization path, not our friendlier one.
+
+    The driver sorts result rows with ``pandas.DataFrame.sort_values`` over
+    every column before hashing; list/dict cells crash it with
+    ``TypeError: unhashable type`` (CORRECTNESS_r04: q_feature_hash ERR
+    while this tool was green, because ``_canon_cell`` serializes lists
+    itself). Running the exact pandas path here restores the invariant
+    that local green implies driver green. Returns the error string, or
+    None when the driver can canonicalize the result."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf.sort_values(by=sorted(cols))
+        return None
+    except Exception as e:  # noqa: BLE001 - any crash = driver incompat
+        return f"{type(e).__name__}: {e}"
+
+
 def value_hash(lines: list[str]) -> str:
     h = hashlib.md5()
     for line in lines:
@@ -95,6 +115,25 @@ def main() -> int:
             scols = list(sdf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        # structural guard: registered outputs are scalar columns ONLY —
+        # array/map/struct cells crash the driver's pandas canonicalizer
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            print(
+                f"FAIL  {name}: non-scalar output column(s) {complex_cols} "
+                "(driver canonicalizer cannot hash array/map/struct cells)"
+            )
+            failures += 1
+            continue
+        canon_err = driver_canon_error(scols, srows)
+        if canon_err:
+            print(f"FAIL  {name}: driver-canonicalizer incompat: {canon_err}")
             failures += 1
             continue
         if spec.oracle is None:
