@@ -5,11 +5,13 @@ column (or as object-store paths for >2 GB blobs), metadata as typed
 columns; decode / feature-extraction runs in Arrow-batched ``mapInPandas``
 so each Python worker sees a columnar batch, never a row at a time.
 
-The container has no image/audio codecs, so ``decode_payload`` STUBS the
-real decode behind an import-guard (NotImplementedError) and the default
-"codec" is a deterministic fake — but the Spark-side plumbing (binary
-column, schema, batch shape, partition parallelism) is real and oracle-
-checked where SQL-expressible.
+The container has no codec *libraries*, so the default decode is a
+deterministic fake the DuckDB oracle replays; the opt-in real path
+(CLOUD_SYNC_REAL_DECODE=1) runs pure-Python container parsers — PNG
+IHDR, WAV RIFF, MP4 boxes (functions/media.py) — extracting structural
+metadata without any third-party dependency. The Spark-side plumbing
+(binary column, schema, batch shape, partition parallelism) is identical
+on both paths and oracle-checked where SQL-expressible.
 
 Payloads are synthesized from ``documents.text`` (utf-8 bytes) so the
 oracle can rebuild the identical binary column with DuckDB's encode().
@@ -26,12 +28,13 @@ from pyspark.sql import functions as F
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table
 
-# Real-decode opt-in: the genuine codec path (PIL/librosa/ffmpeg) is
-# intentionally unwired in this build. The gate is an EXPLICIT flag, not
-# a probe for whether a codec library happens to be importable — keying
-# on PIL's presence would make an unrelated dependency that pulls in
-# Pillow break every feature extraction at executor runtime with no code
-# change in this repo.
+# Real-decode opt-in: container-header decode (functions/media.py) in
+# pure Python. The gate is an EXPLICIT flag, not a probe for whether a
+# codec library happens to be importable — keying on PIL's presence
+# would make an unrelated dependency that pulls in Pillow break every
+# feature extraction at executor runtime with no code change in this
+# repo. Default stays the oracle-replayable fake because the synthetic
+# corpus payloads are UTF-8 text, not real PNG/WAV/MP4 containers.
 import os as _os
 
 REAL_DECODE_REQUESTED = _os.environ.get("CLOUD_SYNC_REAL_DECODE") == "1"
@@ -64,14 +67,18 @@ def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_payload(content: bytes, media_type: str) -> dict:
-    """Decode stub. Real codecs (PIL/librosa/ffmpeg) are not in this
-    container; when they are, replace the fake branch per media_type.
-    The fake is deterministic: frame count and checksum derive only from
-    the bytes."""
-    if REAL_DECODE_REQUESTED:  # pragma: no cover - opt-in only
-        # the real decode path is intentionally unwired; fail loudly when
-        # explicitly requested rather than silently returning fake features
-        raise NotImplementedError("real media decode path not wired in this build")
+    """Decode dispatcher. The default branch is the deterministic fake the
+    DuckDB oracle replays (payloads here are synthesized UTF-8 text); the
+    opt-in branch is a REAL pure-Python container decode — PNG IHDR / WAV
+    RIFF / MP4 box parsing (functions/media.py) — which extracts the
+    structural metadata (dimensions, sample rate, frame counts, brand) a
+    100 TB ingest pass wants before any pixel/sample decode. Payloads
+    that fail their labeled container parse come back TAGGED
+    (codec='invalid/...'), never as a worker crash."""
+    if REAL_DECODE_REQUESTED:
+        from cloud_data_sync_spark.functions.media import decode_media
+
+        return decode_media(content, media_type)
     # head checksum over the first 8 CODEPOINTS of the decoded payload
     # (payloads here are synthesized UTF-8; errors='replace' keeps real
     # binary deterministic). Codepoints, not raw bytes, because the
