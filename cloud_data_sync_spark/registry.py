@@ -86,6 +86,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from cloud_data_sync_spark.functions import udfs  # noqa: F401
     from cloud_data_sync_spark.operators import (  # noqa: F401
         analytics,
+        bucketed,
         corpus,
         dedup,
         ml,

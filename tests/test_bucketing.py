@@ -57,3 +57,36 @@ def test_bucketed_groupby_on_bucket_key_is_exchange_free(spark, bucketed_tables)
     agg = orders.groupBy("o_custkey").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_registered_bucketed_join_plan_is_shuffle_free(spark):
+    """q_join_bucketed: the REGISTERED demonstration — whole plan free of
+    shuffle Exchange nodes (broadcast dim exchange is the wanted shape)."""
+    import re
+
+    from cloud_data_sync_spark.operators.bucketed import q_join_bucketed
+
+    df = q_join_bucketed(spark, SF_DIR)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert not re.search(r"^\(\d+\) Exchange$", plan, re.MULTILINE), plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+
+
+def test_bucketed_layout_substrate_reused_within_session(spark):
+    from cloud_data_sync_spark.operators import bucketed
+
+    first = bucketed.bucketed_fact_tables(spark, SF_DIR)
+    again = bucketed.bucketed_fact_tables(spark, SF_DIR)
+    assert first == again
+    for name in first.values():
+        assert spark.catalog.tableExists(name)
+    # a dropped catalog table (fresh session replaying cached names) must
+    # trigger a rewrite, not a stale-table read error
+    spark.sql(f"DROP TABLE {first['orders']}")
+    rebuilt = bucketed.bucketed_fact_tables(spark, SF_DIR)
+    assert spark.catalog.tableExists(rebuilt["orders"])

@@ -147,6 +147,14 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     "q_histogram": {"require": ("partial_count",)},
     # the salting demo must actually shuffle on (key, salt)
     "q_join_skew_salted": {"require": ("SortMergeJoin",)},
+    # bucketed co-located fact join: the WHOLE plan (dim attach, fact SMJ,
+    # group agg, top-k) must be SHUFFLE-free — the layout's entire point.
+    # The dim attach is a BroadcastExchange (wanted), so the forbid is the
+    # anchored shuffle-exchange node header, not the bare substring.
+    "q_join_bucketed": {
+        "require": ("SortMergeJoin", "TakeOrderedAndProject", "Bucketed: true"),
+        "forbid": (r"re:^\(\d+\) Exchange$",),
+    },
     # one aggregation exchange is the floor for a groupBy — but it must be
     # preceded by a map-side partial aggregate
     "q_json_props": {"require": ("partial_count",)},
@@ -204,6 +212,16 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
 }
 
 
+def _matches(pat: str, plan: str) -> bool:
+    """Rule patterns are plain substrings, or anchored regexes with an
+    ``re:`` prefix (multiline) for cases where a substring is too coarse —
+    e.g. forbidding the shuffle ``Exchange`` node without also matching
+    the broadcast ``BroadcastExchange`` node header."""
+    if pat.startswith("re:"):
+        return re.search(pat[3:], plan, re.MULTILINE) is not None
+    return pat in plan
+
+
 def plan_of(df: DataFrame) -> str:
     sc = df.sparkSession.sparkContext
     return sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
@@ -222,10 +240,10 @@ def audit_one(name: str, df: DataFrame) -> list[str]:
         bad.append("forbidden 'BroadcastNestedLoopJoin' in plan")
     rules = RULES.get(name, {})
     for pat in rules.get("require", ()):
-        if pat not in plan:
+        if not _matches(pat, plan):
             bad.append(f"missing required {pat!r}")
     for pat in rules.get("forbid", ()):
-        if pat in plan:
+        if _matches(pat, plan):
             bad.append(f"forbidden {pat!r} in plan")
     # a window with an empty partition spec funnels everything into one
     # partition — never acceptable unless the input is provably bounded
