@@ -124,10 +124,50 @@ def compact_table(
     # without the parameter, half the FORMATS could never be compacted)
     df = read_table(spark, src_path, fmt=fmt, schema=schema)
     if part_keys:
-        # per-partition sizing: repartition by key so each partition
-        # directory compacts toward the target size independently
+        # Per-partition-value sizing, still from the LISTING (no data
+        # scan): repartitioning by key alone lands ALL rows of a
+        # partition value in one task — one output file per key=value
+        # directory regardless of target size, i.e. compaction would
+        # recreate oversized files for large partitions (r4 advice). A
+        # same-key SALT expression splits each first-level value into
+        # ceil(dir_bytes / target) tasks instead; small values keep salt
+        # modulus 1 and still fold to a single file.
+        val_bytes: dict[str, int] = {}
+        for child in fs.listStatus(jpath):
+            name = child.getPath().getName()
+            if child.isDirectory() and "=" in name and not name.startswith("_"):
+                v = name.split("=", 1)[1]
+                b = fs.getContentSummary(child.getPath()).getLength()
+                val_bytes[v] = val_bytes.get(v, 0) + b
+        splits = {
+            v: max(1, -(-b // target_file_bytes)) for v, b in val_bytes.items()
+        }
+        if any(n > 1 for n in splits.values()):
+            # directory names carry Hive's string rendering of the value;
+            # unlisted/escaped values fall back to modulus 1 (one file —
+            # the pre-salt behavior, never a crash)
+            per_value = F.create_map(
+                *[F.lit(x) for kv in splits.items() for x in kv]
+            )
+            modulus = F.coalesce(
+                per_value[F.col(part_keys[0]).cast("string")], F.lit(1)
+            )
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), modulus
+            )
+        else:
+            salt = F.lit(0)
+        # repartitionByRange, not hash repartition: a hash partitioner can
+        # land two salts of the SAME value in one task, which the dynamic
+        # partition writer merges back into one oversized file (observed:
+        # 3 salts → 2 files). Under range partitioning same-value salt
+        # groups are adjacent and equal-weight, so a boundary-sampling
+        # error only SPLITS a group across tasks (two smaller files —
+        # harmless) or merges groups of different values (two files in
+        # two directories — also harmless).
+        n_tasks = max(sum(splits.values()) if splits else n_files, 1)
         writer = (
-            df.repartition(max(n_files, len(part_keys)), *part_keys)
+            df.repartitionByRange(n_tasks, *part_keys, salt)
             .write.format(fmt)
             .mode("error")
             .partitionBy(*part_keys)

@@ -84,7 +84,7 @@ def session_substrate(
     cache: dict,
     sf_dir: str,
     tag: str,
-    table_name: str,
+    table_names: str | tuple[str, ...],
     build,
 ) -> DataFrame:
     """Session-scoped materialization of a deterministic intermediate.
@@ -98,20 +98,28 @@ def session_substrate(
     the signature/pair table a production pipeline at 100 TB writes once
     and scans from many consumers — not a semantics change.
 
-    The cache key is computed HERE from ``table_name``'s file vintage
-    (size, mtime) so no call site can forget the staleness guard: an
-    in-session testdata rewrite misses the cache instead of serving stale
-    rows, and the superseded same-(session, sf_dir, tag) entry is evicted
-    on that miss — dropping the last driver-side reference so the
-    ContextCleaner can unpersist its materialized blocks instead of
-    pinning them for the session's lifetime.
+    The cache key is computed HERE from the file vintages (size, mtime)
+    of EVERY table in ``table_names`` so no call site can forget the
+    staleness guard: an in-session testdata rewrite misses the cache
+    instead of serving stale rows, and the superseded same-(session,
+    sf_dir, tag) entry is evicted on that miss — dropping the last
+    driver-side reference so the ContextCleaner can unpersist its
+    materialized blocks instead of pinning them for the session's
+    lifetime. ``table_names`` must list ALL tables the builder reads
+    (a single string is accepted for the common one-input case): a
+    builder keyed on a subset would serve checkpointed rows that are
+    stale with respect to the unlisted inputs (r4 advice).
 
     ``localCheckpoint(eager=False)`` materializes on first consumer action
     and pins computed partitions on executors; later consumers scan the
     checkpoint instead of re-running tokenize/hash/sign pipelines.
     """
+    if isinstance(table_names, str):
+        table_names = (table_names,)
     base = (_session_key(spark), sf_dir, tag)
-    key = base + (_file_vintage(table_path(sf_dir, table_name)),)
+    key = base + tuple(
+        _file_vintage(table_path(sf_dir, t)) for t in table_names
+    )
     df = cache.get(key)
     if df is not None:
         return df

@@ -161,3 +161,37 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     assert set(got.columns) == {"id", "part"}
     # partition pruning still works: a filter lists one directory
     assert got.filter("part = 2").count() == 25
+
+
+def test_compact_splits_oversized_partitions(spark, tmp_path):
+    """A partition value whose directory exceeds target_file_bytes must
+    compact into MULTIPLE files (within-partition salt), not collapse to
+    one oversized file per key=value directory (r4 advice finding)."""
+    import glob
+    import os
+
+    from cloud_data_sync_spark.sources.formats import compact_table, write_table
+
+    # part=0 is ~50x larger than part=1
+    df = spark.range(10200).selectExpr(
+        "id",
+        "CASE WHEN id < 10000 THEN 0 ELSE 1 END AS part",
+        "repeat('x', 64) AS pad",
+    )
+    src = str(tmp_path / "skew_src")
+    dst = str(tmp_path / "skew_dst")
+    write_table(df, src, partition_by=["part"])
+    big_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(f"{src}/part=0/part-*")
+    )
+    # target ~1/3 of the big partition → it must split into >= 3 files
+    target = max(1, big_bytes // 3)
+    compact_table(spark, src, dst, target_file_bytes=target)
+    big_out = glob.glob(f"{dst}/part=0/part-*")
+    small_out = glob.glob(f"{dst}/part=1/part-*")
+    assert len(big_out) >= 3, big_out
+    # the small partition still folds to a single file
+    assert len(small_out) == 1, small_out
+    got = spark.read.parquet(dst)
+    assert got.count() == 10200
+    assert got.filter("part = 1").count() == 200

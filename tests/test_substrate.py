@@ -74,6 +74,35 @@ def test_stale_vintage_is_evicted_not_served(spark, tmp_path):
     assert len(cache) == 1  # the stale entry was evicted, not accumulated
 
 
+def test_multi_table_key_tracks_every_input_vintage(spark, tmp_path):
+    """A builder that reads TWO tables must miss the cache when EITHER
+    input is rewritten — keying on one table only would serve stale rows
+    for the other (r4 advice)."""
+    sf = str(tmp_path)
+    for t in ("region", "nation"):
+        shutil.copyfile(
+            os.path.join(SF_DIR, f"{t}.parquet"), os.path.join(sf, f"{t}.parquet")
+        )
+    cache: dict = {}
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(3)
+
+    a = session_substrate(spark, cache, sf, "t2", ("region", "nation"), build)
+    assert a.count() == 3 and builds == [1]
+    # rewrite the SECOND input: the tuple key must miss
+    second = os.path.join(sf, "nation.parquet")
+    with open(second, "ab") as f:
+        f.write(b"x")
+    os.utime(second, (1, 1))
+    b = session_substrate(spark, cache, sf, "t2", ("region", "nation"), build)
+    assert len(builds) == 2
+    assert b is not a
+    assert len(cache) == 1  # superseded entry evicted
+
+
 def test_checkpoint_materializes_once(spark):
     # behavioral pin of "scan, not recompute": a pandas-UDF side effect in
     # the build pipeline fires during the first action only — the second
