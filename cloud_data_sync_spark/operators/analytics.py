@@ -916,6 +916,119 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic bootstrap: R resamples, each row's multiplicity in
+# resample r drawn from a Poisson(1) surrogate keyed on
+# md5(row-key || resample-id) — the hash plays the RNG so both engines
+# (and any two cluster runs) draw the IDENTICAL resamples. Cumulative
+# Poisson(1) thresholds: P(0)=1/e, P(<=1)=2/e, etc.
+_BOOT_R = 32
+_POIS = (0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+         0.9810118431238462)
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+           AS k,
+         l_extendedprice AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+expanded AS (
+  SELECT r.r AS r, b.x,
+         CAST('0x' || substr(md5(b.k || '-' || CAST(r.r AS VARCHAR)), 1, 8)
+              AS BIGINT) / 4294967296.0 AS u
+  FROM base b, LATERAL unnest(generate_series(1, {_BOOT_R})) AS r(r)
+),
+weighted AS (
+  SELECT r, x, CASE WHEN u < {_POIS[0]!r} THEN 0
+                    WHEN u < {_POIS[1]!r} THEN 1
+                    WHEN u < {_POIS[2]!r} THEN 2
+                    WHEN u < {_POIS[3]!r} THEN 3
+                    ELSE 4 END AS w
+  FROM expanded
+),
+means AS (SELECT r, sum(w * x) / sum(w) AS m FROM weighted GROUP BY r),
+pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, avg(x) AS mu FROM base),
+bs AS (SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+              stddev_samp(m) AS boot_sd FROM means)
+SELECT pt.n_rows, bs.n_resamples,
+       floor(pt.mu * 10000) / 10000 AS point_est,
+       floor(bs.boot_sd * 10000) / 10000 AS boot_sd,
+       floor((pt.mu - 1.96 * bs.boot_sd) * 10000) / 10000 AS ci_lo,
+       floor((pt.mu + 1.96 * bs.boot_sd) * 10000) / 10000 AS ci_hi
+FROM pt CROSS JOIN bs
+""",
+    doc=(
+        "Bootstrap confidence interval for a corpus mean with a "
+        "DETERMINISTIC resampler: each row's multiplicity in each of the "
+        "{r} resamples is a Poisson(1) draw keyed on md5(row-key, "
+        "resample-id), so the resamples are identical across engines, "
+        "runs, and cluster topologies — the reproducibility property "
+        "rand()-based bootstrap loses the moment a task retries. Plan "
+        "shape: map-only ×{r} expansion (explode of a literal sequence — "
+        "no shuffle grows with R), ONE aggregate whose shuffle carries "
+        "{r} (sum, count) partials regardless of corpus size, then a "
+        "1-row summary pack; the normal-approximation CI (±1.96·sd of "
+        "the resample means) avoids rank-selection on engine-ulp-"
+        "divergent doubles. This is the error-bar primitive for any "
+        "corpus statistic a dataset card reports."
+    ).format(r=_BOOT_R),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    ).select(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    expanded = li.select(
+        "k", "x", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("r")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.col("k"), F.col("r").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = (
+        F.when(u < _POIS[0], 0)
+        .when(u < _POIS[1], 1)
+        .when(u < _POIS[2], 2)
+        .when(u < _POIS[3], 3)
+        .otherwise(4)
+    )
+    means = (
+        expanded.withColumn("w", w)
+        .groupBy("r")
+        .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m"))
+    )
+    bs = means.agg(
+        F.count("*").alias("n_resamples"),
+        F.stddev_samp("m").alias("boot_sd"),
+    )
+    pt = li.agg(F.count("*").alias("n_rows"), F.avg("x").alias("mu"))
+    return pt.crossJoin(F.broadcast(bs)).select(
+        "n_rows",
+        "n_resamples",
+        floor_ratio(F.col("mu"), 4).alias("point_est"),
+        floor_ratio(F.col("boot_sd"), 4).alias("boot_sd"),
+        floor_ratio(F.col("mu") - 1.96 * F.col("boot_sd"), 4).alias("ci_lo"),
+        floor_ratio(F.col("mu") + 1.96 * F.col("boot_sd"), 4).alias("ci_hi"),
+    )
+
+
 # PSI binning: fixed-width value bins (width 20, clamped to [0, 9]) and
 # +0.5 additive smoothing so empty bins cannot produce ln(0). Fixed bins
 # keep the op map-only; production swaps in stored training-time bin

@@ -141,3 +141,43 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q_agg_bucketed",
+    oracle="""
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+""",
+    doc=(
+        "Aggregation riding the bucketed layout: per-order line count and "
+        "revenue over the SAME bucketed lineitem copy q_join_bucketed "
+        "wrote — grouping on the bucket key means the hash aggregate "
+        "inherits the scan's partitioning and the plan's only post-scan "
+        "operators are the (exchange-free) aggregate and the top-20 heap "
+        "merge (plan-audited: zero shuffle Exchange nodes). The point: a "
+        "bucketed layout is paid for ONCE and then every downstream "
+        "join AND aggregation on that key is shuffle-free — which is why "
+        "real warehouses bucket their biggest fact tables. Values are "
+        "layout-independent (oracle runs the plain GROUP BY)."
+    ),
+)
+def q_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = bucketed_fact_tables(spark, sf_dir)
+    li = spark.table(tables["lineitem"])
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(20)
+    )

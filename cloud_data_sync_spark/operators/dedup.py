@@ -1305,6 +1305,94 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Threshold grid for the SemDeDup sweep. Starts at the pair pipeline's
+# own 0.4 emission floor — below that no pairs exist on either engine.
+_SWEEP_TS = (0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+@register(
+    "q_semdedup_sweep",
+    oracle=f"""
+WITH pairs AS ({_embedding_oracle()}),
+perb AS (SELECT vec_b, max(cos_sim) AS mc FROM pairs GROUP BY vec_b),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings),
+th AS (SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in _SWEEP_TS)}])
+         AS threshold),
+sel AS (
+  SELECT t.threshold,
+         (SELECT count(*) FROM pairs p WHERE p.cos_sim >= t.threshold)
+           AS n_pairs,
+         (SELECT count(*) FROM perb b WHERE b.mc >= t.threshold)
+           AS n_dropped
+  FROM th t)
+SELECT s.threshold, CAST(s.n_pairs AS BIGINT) AS n_pairs,
+       CAST(s.n_dropped AS BIGINT) AS n_dropped, tot.n_vecs,
+       floor(CAST(s.n_dropped AS DOUBLE) / tot.n_vecs * 1000000) / 1000000
+         AS drop_frac
+FROM sel s CROSS JOIN tot
+""",
+    doc=(
+        "SemDeDup threshold calibration sweep: for each cosine threshold "
+        "on the grid, how many near-dup pairs fire and how much of the "
+        "corpus the id-order keep-policy would drop — THE table a curation "
+        "owner reads before committing a semantic-dedup pass (too low a "
+        "threshold silently deletes diversity; too high keeps mirror "
+        "embeddings). Rides the SHARED candidate-pair substrate (one band "
+        "join + Arrow cosine batch for the whole family): per-threshold "
+        "drop counts come from ONE (vec_b → max cosine) aggregate — "
+        "monotonicity of max makes every threshold answerable from that "
+        "single pass — and the sweep itself is a constant-size conditional "
+        "aggregate, so audit cost does not grow with the grid. Scale shape: "
+        "pair keys + one double per vec shuffle once; thresholds never "
+        "touch the corpus again."
+    ),
+)
+def q_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_embedding(spark, sf_dir)
+    per_b = pairs.groupBy("vec_b").agg(F.max("cos_sim").alias("mc"))
+    pc = pairs.agg(
+        *[
+            F.sum((F.col("cos_sim") >= F.lit(t)).cast("long")).alias(f"p{i}")
+            for i, t in enumerate(_SWEEP_TS)
+        ]
+    )
+    dc = per_b.agg(
+        *[
+            F.sum((F.col("mc") >= F.lit(t)).cast("long")).alias(f"d{i}")
+            for i, t in enumerate(_SWEEP_TS)
+        ]
+    )
+    tot = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    packed = pc.crossJoin(F.broadcast(dc)).crossJoin(F.broadcast(tot))
+    rows = packed.select(
+        "n_vecs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(t)).alias("threshold"),
+                        F.coalesce(F.col(f"p{i}"), F.lit(0)).alias("n_pairs"),
+                        F.coalesce(F.col(f"d{i}"), F.lit(0)).alias("n_dropped"),
+                    )
+                    for i, t in enumerate(_SWEEP_TS)
+                ]
+            )
+        ).alias("s"),
+    )
+    return rows.select(
+        F.col("s.threshold").alias("threshold"),
+        F.col("s.n_pairs").alias("n_pairs"),
+        F.col("s.n_dropped").alias("n_dropped"),
+        "n_vecs",
+        floor_ratio(
+            F.col("s.n_dropped").cast("double") / F.col("n_vecs"), 6
+        ).alias("drop_frac"),
+    )
+
+
 _PF_T = 0.7  # shingle-Jaccard threshold for the prefix-filter join
 
 

@@ -372,10 +372,11 @@ def _dot(w: Column, x: Column) -> Column:
     )
 
 
-@register(
-    "q_logreg_probe",
-    oracle=f"""
-WITH pts AS (
+# Shared oracle CTE chain for the probe family: pts → unrolled 2-step GD
+# (g1/w1/s1/g2/w2) → scored s2. Both q_logreg_probe and
+# q_logreg_calibration append their own readout SELECTs, so a learning-
+# rate or split change cannot desync the twins.
+_PROBE_CTES = f"""pts AS (
   SELECT CAST(embedding AS DOUBLE[]) AS x,
          CASE WHEN label < 4 THEN 1.0 ELSE 0.0 END AS y
   FROM embeddings
@@ -406,7 +407,11 @@ s2 AS (
          1 / (1 + exp(-list_inner_product(p.x, w2.w))) AS p2,
          list_inner_product(p.x, w2.w) AS m2
   FROM pts p CROSS JOIN w2
-),
+)"""
+
+
+_PROBE_ORACLE = f"""
+WITH {_PROBE_CTES},
 l1 AS (
   SELECT round(avg(-y * ln(least(greatest(p1, 1e-15), 1 - 1e-15))
                    - (1 - y) * ln(least(greatest(1 - p1, 1e-15), 1 - 1e-15))), 4)
@@ -424,8 +429,9 @@ l2 AS (
 )
 SELECT l2.n, round(ln(2), 4) AS loss0, l1.loss1, l2.loss2, l2.train_acc
 FROM l2 CROSS JOIN l1
-""",
-    doc=(
+"""
+
+_PROBE_DOC = (
         "Linear-probe training ON the engine: two unrolled gradient-descent "
         "steps of logistic regression (labels: embedding cluster id < 4) — "
         "the fastText-style quality-classifier / probe-training primitive a "
@@ -440,9 +446,16 @@ FROM l2 CROSS JOIN l1
         "pattern), and the loss/accuracy folds are 1-row aggregates. "
         "Iterations unrolled to a static DAG exactly like q_kmeans, which "
         "is what keeps it oracle-replayable."
-    ),
 )
-def q_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _probe_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(s1, s2): the unrolled 2-step GD pipeline shared by the probe's
+    loss readout and the calibration readout — one definition so the
+    learning rate / label split / clamping cannot diverge between them.
+    s1 carries (y, x, p1); s2 carries (y, m2, p2)."""
     # NULL embeddings carry no features — excluded from train/score on
     # BOTH engines (the q_kmeans rule; DuckDB's list_inner_product raises
     # on NULL-bearing operands rather than skipping them)
@@ -484,6 +497,12 @@ def q_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = pts.crossJoin(F.broadcast(w2)).withColumn(
         "m2", _dot(F.col("w"), F.col("x"))
     ).withColumn("p2", 1 / (1 + F.exp(-F.col("m2"))))
+    return s1, s2
+
+
+@register("q_logreg_probe", oracle=_PROBE_ORACLE, doc=_PROBE_DOC)
+def q_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1, s2 = _probe_pipeline(spark, sf_dir)
     # probabilities clamped to [eps, 1-eps] before the log — the standard
     # cross-entropy guard: a garbage-magnitude feature vector saturates
     # the sigmoid to exactly 0/1 and ln(0) otherwise NULLs (Spark) or
@@ -509,6 +528,44 @@ def q_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loss1",
         "loss2",
         "train_acc",
+    )
+
+
+@register(
+    "q_logreg_calibration",
+    oracle=f"""
+WITH {_PROBE_CTES}
+SELECT CAST(least(floor(p2 * 10), 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(avg(p2) * 10000) / 10000 AS avg_pred,
+       floor(avg(y) * 1000000) / 1000000 AS frac_pos
+FROM s2
+GROUP BY 1
+""",
+    doc=(
+        "Reliability diagram for the trained linear probe: predicted "
+        "probabilities bucketed into 10 equal-width bins, each reporting "
+        "mean prediction vs observed positive rate — the calibration "
+        "check every score-gated curation pipeline runs before trusting "
+        "a quality classifier's threshold (a probe can rank well and "
+        "still be wildly miscalibrated). Rides the SHARED unrolled-GD "
+        "pipeline (_probe_pipeline — one definition for probe and "
+        "calibration, oracle CTEs shared the same way), adding only a "
+        "map-side bin projection and ONE ≤10-group hash aggregate: at "
+        "100 TB calibration costs one scan over the scored set. Bin "
+        "identity passes through one exp() layer; stability rests on "
+        "p2×10 sitting ulp-far from integer boundaries (the module "
+        "docstring's margin argument — same class as q_gaussian_nb's "
+        "argmax; fixture margin ~1e-4 vs ~1e-11 noise)."
+    ),
+)
+def q_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, s2 = _probe_pipeline(spark, sf_dir)
+    bin_col = F.least(F.floor(F.col("p2") * 10), F.lit(9)).cast("long")
+    return s2.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("n"),
+        floor_ratio(F.avg("p2"), 4).alias("avg_pred"),
+        floor_ratio(F.avg("y"), 6).alias("frac_pos"),
     )
 
 

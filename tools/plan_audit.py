@@ -73,7 +73,18 @@ GLOBAL_FORBID = ("CartesianProduct",)
 # - q_hll_pair_overlap: the pair lattice is a < theta-join over the
 #   per-source sketch table, bounded by the CONFIG-constant source set
 #   (4 rows broadcast) — never corpus-sized.
+# - q_logreg_calibration: inherits q_logreg_probe's ONE-row weight-vector
+#   broadcast packs (the shared _probe_pipeline).
+# - q_bootstrap_ci: the (n_rows, mu) point estimate and the (n_resamples,
+#   boot_sd) resample summary are ONE-row packs cross-joined for the
+#   1-row CI readout.
+# - q_semdedup_sweep: three ONE-row packs (per-threshold pair counters,
+#   per-threshold drop counters, corpus total) cross-joined before the
+#   constant-size threshold explode.
 BNLJ_ALLOWED = {
+    "q_logreg_calibration",
+    "q_bootstrap_ci",
+    "q_semdedup_sweep",
     "q_gaussian_nb",
     "q_hll_pair_overlap",
     "q_bm25",
@@ -153,6 +164,12 @@ RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # anchored shuffle-exchange node header, not the bare substring.
     "q_join_bucketed": {
         "require": ("SortMergeJoin", "TakeOrderedAndProject", "Bucketed: true"),
+        "forbid": (r"re:^\(\d+\) Exchange$",),
+    },
+    # same layout, aggregation consumer: group keys = bucket key ⇒ the
+    # hash aggregate inherits the scan partitioning, zero shuffles
+    "q_agg_bucketed": {
+        "require": ("TakeOrderedAndProject", "Bucketed: true"),
         "forbid": (r"re:^\(\d+\) Exchange$",),
     },
     # one aggregation exchange is the floor for a groupBy — but it must be
