@@ -540,3 +540,135 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("in_budget"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) per-source selection and deterministic weighted sampling
+# ---------------------------------------------------------------------------
+
+_TOP_P = 0.5  # keep the head of each source until half its chars are covered
+
+
+@register(
+    "q_group_top_p",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_chars) OVER (PARTITION BY source) AS tot
+  FROM documents
+),
+kept AS (
+  SELECT * FROM ranked WHERE cum - n_chars < {_TOP_P} * tot
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       floor(CAST(sum(n_chars) AS DOUBLE) / max(tot) * 1000000) / 1000000
+         AS kept_share
+FROM kept GROUP BY source ORDER BY source
+""",
+    doc=(
+        "Nucleus (top-p) selection per source: keep each source's largest "
+        "documents until the cumulative character mass first reaches "
+        f"p={_TOP_P} of the source total (the crossing doc is kept — "
+        "standard nucleus semantics, cum BEFORE this doc < p·total). The "
+        "cumulative sum runs over exact BIGINT char counts, so the keep "
+        "decision has no floating-point boundary; ties break on doc_id. "
+        "Plan shape: ONE exchange on source serves both windows (the "
+        "ordered running sum and the unordered source total), then a "
+        "map-side filter and a source-level hash agg. This is the "
+        "head-selection primitive for mixture building when a source "
+        "must be downsampled to its highest-value documents."
+    ),
+)
+def q_group_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w_cum).alias("cum"),
+        F.sum("n_chars").over(w_tot).alias("tot"),
+    )
+    kept = ranked.filter(
+        (F.col("cum") - F.col("n_chars")) < F.lit(_TOP_P) * F.col("tot")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+            floor_ratio(
+                F.sum("n_chars").cast("double") / F.max("tot"), 6
+            ).alias("kept_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_WS_K = 50
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) + 1) / 4294967296.0)
+           / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       floor(k * 1000000) / 1000000 AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {_WS_K}
+""",
+    doc=(
+        "Deterministic weighted reservoir sample (Efraimidis-Spirakis "
+        "A-Res): each doc draws u from md5(doc_id) and competes on key "
+        "ln(u)/weight (monotone-equivalent to u^(1/w)); the top-k keys ARE "
+        "the weighted sample without replacement, with inclusion "
+        "probability proportional to n_chars. The md5-derived u makes the "
+        "sample identical across engines, retries, and topologies — "
+        "rand() would resample on every task retry. Plan shape: the key "
+        "is a per-row projection (map-only) and the top-k is "
+        "TakeOrderedAndProject — a per-partition heap plus a k-row merge; "
+        "the corpus is never globally sorted and never shuffled. This is "
+        "the size-weighted subsampling primitive for corpus downscaling "
+        "(sample tokens, not documents, uniformly)."
+    ),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.desc("k"), "doc_id")
+        .limit(_WS_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            floor_ratio(F.col("k"), 6).alias("sample_key"),
+        )
+    )

@@ -940,3 +940,161 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_ratio",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent-pair mining (A-priori) and out-of-fold target encoding
+# ---------------------------------------------------------------------------
+
+# Item-support threshold for the A-priori prune. The synthetic catalog is
+# uniform (~30 baskets per item at every sf), so 31 genuinely prunes about
+# half the items — the point of the demo is that the PAIR join runs only
+# over surviving items. At production scale this is the knob that keeps
+# the candidate space sub-quadratic.
+_PAIR_MIN_ITEM_SUP = 31
+_PAIR_TOPK = 20
+
+
+@register(
+    "q_itemset_pairs",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+),
+freq AS (
+  SELECT item FROM baskets GROUP BY item
+  HAVING count(*) >= {_PAIR_MIN_ITEM_SUP}
+),
+pruned AS (
+  SELECT b.okey, b.item FROM baskets b
+  WHERE b.item IN (SELECT item FROM freq)
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS pair_support
+  FROM pruned a JOIN pruned b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT item_a, item_b, pair_support
+FROM pairs
+ORDER BY pair_support DESC, item_a, item_b
+LIMIT {_PAIR_TOPK}
+""",
+    doc=(
+        "Frequent co-occurring item pairs (market-basket) with the "
+        "A-priori candidate prune: items below the support threshold are "
+        "removed BEFORE the pair join, because any pair containing an "
+        "infrequent item is itself infrequent (downward closure). Plan "
+        "shape: distinct-basket projection -> item-support hash agg -> "
+        "semi-join prune (shuffle co-partition on item; the frequent set "
+        "scales with the catalog, so it is NOT broadcast) -> self "
+        "equi-join on the basket key (fan-out bounded by basket size "
+        "squared, never corpus squared) -> pair hash agg -> "
+        "TakeOrderedAndProject top-k. The reference has no mining "
+        "surface; this is the pattern its per-mapping aggregation loop "
+        "(sync.go:97-99) would need to become a co-occurrence report."
+    ),
+)
+def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+    )
+    freq = (
+        baskets.groupBy("item")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _PAIR_MIN_ITEM_SUP)
+        .select("item")
+    )
+    # semi join, not broadcast: the frequent-item set is catalog-sized and
+    # grows with the data; the co-partition on item is the scale-safe prune.
+    pruned = baskets.join(freq, "item", "semi")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("pair_support"))
+    )
+    return pairs.orderBy(
+        F.desc("pair_support"), "item_a", "item_b"
+    ).limit(_PAIR_TOPK)
+
+
+_TE_FOLDS = 5
+
+
+@register(
+    "q_target_encode",
+    oracle=f"""
+WITH folds AS (
+  SELECT o_orderpriority AS cat,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_TE_FOLDS} AS fold,
+         o_totalprice AS y
+  FROM orders
+),
+cell AS (
+  SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_rows, sum(y) AS s
+  FROM folds GROUP BY cat, fold
+)
+SELECT cat, fold, n_rows,
+       floor((sum(s) OVER (PARTITION BY cat) - s)
+             / (sum(n_rows) OVER (PARTITION BY cat) - n_rows) * 10000)
+         / 10000 AS encoded
+FROM cell
+ORDER BY cat, fold
+""",
+    doc=(
+        "Out-of-fold target encoding: each (category, fold) cell's code is "
+        "the target mean over the OTHER folds — the leak-free categorical "
+        "encoding every tabular-ML pipeline needs (a row never sees its "
+        "own fold's labels). Folds are md5-keyed on the row key, so fold "
+        "membership is deterministic across engines, retries, and cluster "
+        "topologies. Plan shape: ONE hash agg to |cats|x|folds| cells "
+        "(map-side combined; the only shuffle that touches the fact "
+        "table), then the leave-one-fold-out arithmetic runs as windows "
+        "over the aggregate-sized cell table partitioned by category. "
+        "Applying the encoding to rows would be a broadcast join of this "
+        "same cell table - the fact stream is never re-shuffled."
+    ),
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    folds = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _TE_FOLDS
+        ).alias("fold"),
+        F.col("o_totalprice").alias("y"),
+    )
+    cell = folds.groupBy("cat", "fold").agg(
+        F.count("*").alias("n_rows"), F.sum("y").alias("s")
+    )
+    w = Window.partitionBy("cat")
+    return (
+        cell.select(
+            "cat",
+            "fold",
+            "n_rows",
+            floor_ratio(
+                (F.sum("s").over(w) - F.col("s"))
+                / (F.sum("n_rows").over(w) - F.col("n_rows")),
+                4,
+            ).alias("encoded"),
+        )
+        .orderBy("cat", "fold")
+    )

