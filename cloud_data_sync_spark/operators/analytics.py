@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.registry import floor_ratio, register
-from cloud_data_sync_spark.tables import load_table
+from cloud_data_sync_spark.tables import load_table, spread
 
 
 @register(
@@ -917,68 +917,111 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Deterministic bootstrap: R resamples, each row's multiplicity in
-# resample r drawn from a Poisson(1) surrogate keyed on
-# md5(row-key || resample-id) — the hash plays the RNG so both engines
-# (and any two cluster runs) draw the IDENTICAL resamples. Cumulative
-# Poisson(1) thresholds: P(0)=1/e, P(<=1)=2/e, etc.
+# resample r drawn from a Poisson(1) surrogate keyed on md5 — the hash
+# plays the RNG so both engines (and any two cluster runs) draw the
+# IDENTICAL resamples. One md5 yields 32 hex chars = EIGHT independent
+# 16-bit uniforms, so 32 resamples cost 4 hashes per row (not 32), and
+# the multiplicities feed 32 (sum(w·x), sum(w)) aggregate pairs computed
+# in ONE pass over the scan — no ×R row explosion ever materializes
+# (the exploded form measured 17 s at sf0.1: 19.2M md5s squeezed into
+# the scan's 3 input partitions). Cumulative Poisson(1) thresholds
+# quantized to the 16-bit lattice: P(0)=1/e, P(<=1)=2/e, etc — the
+# ≤1.5e-5 quantization error is statistically invisible at R=32.
 _BOOT_R = 32
 _POIS = (0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
          0.9810118431238462)
+_POIS16 = tuple(int(p * 65536) for p in _POIS)  # integer thresholds
 
 
-@register(
-    "q_bootstrap_ci",
-    oracle=f"""
+def _boot_oracle() -> str:
+    """DuckDB twin of the hash-windowed bootstrap, generated so the
+    per-resample expressions stay literally identical to the Spark
+    side's (chunk c = (r-1)//8 picks the md5, window j = (r-1)%8 picks
+    the 4-hex-char slice)."""
+    t0, t1, t2, t3 = _POIS16
+    ws, sums = [], []
+    # one 32-bit hex parse yields TWO 16-bit draws (high via >>16, low
+    # via %65536) — halves the string→int conversions, the hot cost of
+    # the map stage on both engines
+    us = [
+        f"CAST('0x' || substr(h{c}, {1 + 8 * p}, 8) AS BIGINT) AS u{c}_{p}"
+        for c in range(4)
+        for p in range(4)
+    ]
+    for r in range(1, _BOOT_R + 1):
+        c, q = divmod(r - 1, 8)
+        p, hi = divmod(q, 2)
+        v = f"(u{c}_{p} >> 16)" if hi == 0 else f"(u{c}_{p} % 65536)"
+        ws.append(
+            f"CASE WHEN {v} < {t0} THEN 0 WHEN {v} < {t1} THEN 1 "
+            f"WHEN {v} < {t2} THEN 2 WHEN {v} < {t3} THEN 3 ELSE 4 END AS w{r}"
+        )
+        sums.append(f"sum(w{r} * x) AS s{r}, CAST(sum(w{r}) AS DOUBLE) AS c{r}")
+    means = [f"(s{r} / c{r})" for r in range(1, _BOOT_R + 1)]
+    mbar = "(" + " + ".join(means) + f") / {_BOOT_R}.0"
+    ss = " + ".join(f"({m} - mbar) * ({m} - mbar)" for m in means)
+    return f"""
 WITH base AS (
   SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
            AS k,
          l_extendedprice AS x
   FROM lineitem WHERE l_extendedprice IS NOT NULL
 ),
-expanded AS (
-  SELECT r.r AS r, b.x,
-         CAST('0x' || substr(md5(b.k || '-' || CAST(r.r AS VARCHAR)), 1, 8)
-              AS BIGINT) / 4294967296.0 AS u
-  FROM base b, LATERAL unnest(generate_series(1, {_BOOT_R})) AS r(r)
+hashed AS (
+  SELECT x, {', '.join(f"md5(k || '#{c}') AS h{c}" for c in range(4))}
+  FROM base
 ),
-weighted AS (
-  SELECT r, x, CASE WHEN u < {_POIS[0]!r} THEN 0
-                    WHEN u < {_POIS[1]!r} THEN 1
-                    WHEN u < {_POIS[2]!r} THEN 2
-                    WHEN u < {_POIS[3]!r} THEN 3
-                    ELSE 4 END AS w
-  FROM expanded
+parsed AS (SELECT x, {', '.join(us)} FROM hashed),
+weighted AS (SELECT x, {', '.join(ws)} FROM parsed),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows, avg(x) AS mu, {', '.join(sums)}
+  FROM weighted
 ),
-means AS (SELECT r, sum(w * x) / sum(w) AS m FROM weighted GROUP BY r),
-pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, avg(x) AS mu FROM base),
-bs AS (SELECT CAST(count(*) AS BIGINT) AS n_resamples,
-              stddev_samp(m) AS boot_sd FROM means)
-SELECT pt.n_rows, bs.n_resamples,
-       floor(pt.mu * 10000) / 10000 AS point_est,
-       floor(bs.boot_sd * 10000) / 10000 AS boot_sd,
-       floor((pt.mu - 1.96 * bs.boot_sd) * 10000) / 10000 AS ci_lo,
-       floor((pt.mu + 1.96 * bs.boot_sd) * 10000) / 10000 AS ci_hi
-FROM pt CROSS JOIN bs
-""",
+stats AS (SELECT *, {mbar} AS mbar FROM agg),
+bs AS (SELECT n_rows, mu, sqrt(({ss}) / {_BOOT_R - 1}.0) AS boot_sd
+       FROM stats)
+SELECT n_rows, CAST({_BOOT_R} AS BIGINT) AS n_resamples,
+       floor(mu * 10000) / 10000 AS point_est,
+       floor(boot_sd * 10000) / 10000 AS boot_sd,
+       floor((mu - 1.96 * boot_sd) * 10000) / 10000 AS ci_lo,
+       floor((mu + 1.96 * boot_sd) * 10000) / 10000 AS ci_hi
+FROM bs
+"""
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=_boot_oracle(),
     doc=(
         "Bootstrap confidence interval for a corpus mean with a "
         "DETERMINISTIC resampler: each row's multiplicity in each of the "
-        "{r} resamples is a Poisson(1) draw keyed on md5(row-key, "
-        "resample-id), so the resamples are identical across engines, "
-        "runs, and cluster topologies — the reproducibility property "
-        "rand()-based bootstrap loses the moment a task retries. Plan "
-        "shape: map-only ×{r} expansion (explode of a literal sequence — "
-        "no shuffle grows with R), ONE aggregate whose shuffle carries "
-        "{r} (sum, count) partials regardless of corpus size, then a "
-        "1-row summary pack; the normal-approximation CI (±1.96·sd of "
-        "the resample means) avoids rank-selection on engine-ulp-"
-        "divergent doubles. This is the error-bar primitive for any "
-        "corpus statistic a dataset card reports."
+        "{r} resamples is a Poisson(1) draw read off an md5 of the row "
+        "key — 4 hashes per row yield 32 independent 16-bit uniforms "
+        "(8 hex-windows each), so the resamples are identical across "
+        "engines, runs, and cluster topologies — the reproducibility "
+        "property rand()-based bootstrap loses the moment a task "
+        "retries. Plan shape: entirely map-side — the {r} multiplicities "
+        "are per-row projections feeding {r} (sum(w·x), sum(w)) "
+        "aggregate pairs computed in ONE pass over the scan (no ×R row "
+        "expansion; the exploded alternative measured 17 s at sf0.1), "
+        "then the resample means, their spread, and the normal-"
+        "approximation CI (±1.96·sd) reduce on the single partial-agg "
+        "row. The CI avoids rank-selection on engine-ulp-divergent "
+        "doubles. This is the error-bar primitive for any corpus "
+        "statistic a dataset card reports."
     ).format(r=_BOOT_R),
 )
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull()
+    from functools import reduce
+
+    t0, t1, t2, t3 = _POIS16
+    # spread(): the per-row hash/conv pipeline is CPU-bound and the local
+    # parquet arrives in 3 splits — round-robin to cores (no-op at real
+    # scale where the scan already yields >= cores splits)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_extendedprice").isNotNull()
+        )
     ).select(
         F.concat_ws(
             "-",
@@ -987,45 +1030,74 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("l_extendedprice").alias("x"),
     )
-    expanded = li.select(
-        "k", "x", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("r")
+    hashed = li.select(
+        "x",
+        *[
+            F.md5(F.concat(F.col("k"), F.lit(f"#{c}"))).alias(f"h{c}")
+            for c in range(4)
+        ],
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("-", F.col("k"), F.col("r").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
+    # weights land in their own PROJECTION (mirroring the oracle's
+    # `weighted` CTE) so the hash/conv/CASE work runs inside whole-stage
+    # codegen; folding them into the 64 aggregate expressions instead
+    # pushed the HashAggregate past the codegen field limit and the
+    # whole row-level pipeline fell back to interpreted mode (~10 s at
+    # sf0.1 vs ~1 s in this shape).
+    # one 32-bit hex parse per TWO 16-bit draws (high >>16, low %65536) —
+    # halves the conv() calls, the hot cost of the map stage
+    parsed = hashed.select(
+        "x",
+        *[
+            F.conv(F.substring(F.col(f"h{c}"), 1 + 8 * p, 8), 16, 10)
+            .cast("long")
+            .alias(f"u{c}_{p}")
+            for c in range(4)
+            for p in range(4)
+        ],
     )
-    w = (
-        F.when(u < _POIS[0], 0)
-        .when(u < _POIS[1], 1)
-        .when(u < _POIS[2], 2)
-        .when(u < _POIS[3], 3)
-        .otherwise(4)
+    wcols = []
+    for r in range(1, _BOOT_R + 1):
+        c, q = divmod(r - 1, 8)
+        p, hi = divmod(q, 2)
+        u = F.col(f"u{c}_{p}")
+        v = F.shiftright(u, 16) if hi == 0 else u % 65536
+        wcols.append(
+            F.when(v < t0, 0)
+            .when(v < t1, 1)
+            .when(v < t2, 2)
+            .when(v < t3, 3)
+            .otherwise(4)
+            .alias(f"w{r}")
+        )
+    weighted = parsed.select("x", *wcols)
+    aggs = [F.count("*").alias("n_rows"), F.avg("x").alias("mu")]
+    for r in range(1, _BOOT_R + 1):
+        aggs.append(F.sum(F.col(f"w{r}") * F.col("x")).alias(f"s{r}"))
+        aggs.append(F.sum(f"w{r}").cast("double").alias(f"c{r}"))
+    agg = weighted.agg(*aggs)
+    means = [F.col(f"s{r}") / F.col(f"c{r}") for r in range(1, _BOOT_R + 1)]
+    # left-assoc fold mirrors the oracle's " + ".join() literally, so
+    # both engines sum the 32 means in the same order
+    mbar = (reduce(lambda a, b: a + b, means) / float(_BOOT_R)).alias("mbar")
+    stats = agg.withColumn("mbar", mbar)
+    ss = reduce(
+        lambda a, b: a + b,
+        [(m - F.col("mbar")) * (m - F.col("mbar")) for m in means],
     )
-    means = (
-        expanded.withColumn("w", w)
-        .groupBy("r")
-        .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m"))
+    bs = stats.withColumn(
+        "boot_sd_raw", F.sqrt(ss / float(_BOOT_R - 1))
     )
-    bs = means.agg(
-        F.count("*").alias("n_resamples"),
-        F.stddev_samp("m").alias("boot_sd"),
-    )
-    pt = li.agg(F.count("*").alias("n_rows"), F.avg("x").alias("mu"))
-    return pt.crossJoin(F.broadcast(bs)).select(
+    return bs.select(
         "n_rows",
-        "n_resamples",
+        F.lit(_BOOT_R).cast("long").alias("n_resamples"),
         floor_ratio(F.col("mu"), 4).alias("point_est"),
-        floor_ratio(F.col("boot_sd"), 4).alias("boot_sd"),
-        floor_ratio(F.col("mu") - 1.96 * F.col("boot_sd"), 4).alias("ci_lo"),
-        floor_ratio(F.col("mu") + 1.96 * F.col("boot_sd"), 4).alias("ci_hi"),
+        floor_ratio(F.col("boot_sd_raw"), 4).alias("boot_sd"),
+        floor_ratio(F.col("mu") - 1.96 * F.col("boot_sd_raw"), 4).alias(
+            "ci_lo"
+        ),
+        floor_ratio(F.col("mu") + 1.96 * F.col("boot_sd_raw"), 4).alias(
+            "ci_hi"
+        ),
     )
 
 

@@ -76,17 +76,18 @@ def test_bootstrap_ci_brackets_the_point_estimate(spark):
     assert row.boot_sd > 0
     # CI width is symmetric by construction (normal approximation)
     assert abs((row.ci_hi - row.point_est) - (row.point_est - row.ci_lo)) < 1e-3
-    # the resampler is the documented md5-keyed Poisson surrogate:
-    # replay resample r=1 in pure Python and check its weighted mean is
-    # plausible (within 5 sd of the point estimate)
+    # the resampler is the documented md5-hex-window Poisson surrogate:
+    # replay resample r=1 (chunk 0, window 0) in pure Python and check
+    # its weighted mean is plausible (within 5 sd of the point estimate)
+    from cloud_data_sync_spark.operators.analytics import _POIS16
+
     tot_w = tot_wx = 0
     for r in li:
-        key = f"{r.l_orderkey}-{r.l_linenumber}-1".encode()
-        u = int(hashlib.md5(key).hexdigest()[:8], 16) / 4294967296.0
-        w = 0 if u < 0.3678794411714423 else (
-            1 if u < 0.7357588823428846 else (
-                2 if u < 0.9196986029286058 else (
-                    3 if u < 0.9810118431238462 else 4)))
+        key = f"{r.l_orderkey}-{r.l_linenumber}#0".encode()
+        v = int(hashlib.md5(key).hexdigest()[:4], 16)
+        w = next(
+            (i for i, t in enumerate(_POIS16) if v < t), len(_POIS16)
+        )
         tot_w += w
         tot_wx += w * r.l_extendedprice
     m1 = tot_wx / tot_w
