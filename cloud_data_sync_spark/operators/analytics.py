@@ -1370,3 +1370,70 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", floor_ratio(F.try_divide(num, den), 6).alias("ewma")
     )
+
+
+_SEASON_LAG_DAYS = 7
+
+
+@register(
+    "q_seasonal_forecast",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, sum(value) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+scored AS (
+  SELECT a.event_type, a.d, a.v, p.v AS pred
+  FROM daily a
+  JOIN daily p ON p.event_type = a.event_type
+              AND p.d = a.d - INTERVAL {_SEASON_LAG_DAYS} DAY
+  WHERE a.v <> 0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       floor(avg(abs(v - pred) / abs(v)) * 1000000) / 1000000 AS mape,
+       floor(avg((pred - v) / v) * 1000000) / 1000000 AS bias
+FROM scored GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Seasonal-naive forecast backtest: predict each (event_type, "
+        "day)'s total as the value {lag} days earlier and report MAPE "
+        "and signed bias per type — the baseline every production "
+        "forecasting pipeline must beat, and the cheapest drift alarm "
+        "for a metrics warehouse. The lag is a calendar self-JOIN on "
+        "(type, day-{lag}), not lag({lag}) over a row window — row "
+        "offsets silently misalign when days are missing. Plan shape: "
+        "ONE corpus hash agg to (type, day) cells, then the self-join "
+        "and the readout agg run on the aggregate-sized daily table "
+        "(types x days rows — KB at any corpus size)."
+    ).format(lag=_SEASON_LAG_DAYS),
+)
+def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("d")
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    a = daily.alias("a")
+    p = daily.alias("p")
+    scored = a.join(
+        p,
+        (F.col("p.event_type") == F.col("a.event_type"))
+        & (F.col("p.d") == F.date_sub(F.col("a.d"), _SEASON_LAG_DAYS)),
+    ).filter(F.col("a.v") != 0)
+    return (
+        scored.groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_days"),
+            floor_ratio(
+                F.avg(F.abs(F.col("a.v") - F.col("p.v")) / F.abs(F.col("a.v"))),
+                6,
+            ).alias("mape"),
+            floor_ratio(
+                F.avg((F.col("p.v") - F.col("a.v")) / F.col("a.v")), 6
+            ).alias("bias"),
+        )
+        .orderBy("event_type")
+    )

@@ -672,3 +672,68 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor_ratio(F.col("k"), 6).alias("sample_key"),
         )
     )
+
+
+_MIX_BUDGET = 200  # total sampled-doc budget across languages
+
+
+@register(
+    "q_mixture_sample",
+    oracle=f"""
+WITH grp AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT sum(pow(CAST(n_docs AS DOUBLE), {_TEMP})) AS z FROM grp
+),
+quota AS (
+  SELECT g.lang,
+         CAST(floor(pow(CAST(g.n_docs AS DOUBLE), {_TEMP}) / t.z
+                    * {_MIX_BUDGET}) AS BIGINT) AS quota
+  FROM grp g CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, q.quota,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rk
+  FROM documents d JOIN quota q ON d.lang = q.lang
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= quota
+""",
+    doc=(
+        "Materialize the temperature-scaled mixture: per-language quotas "
+        f"(floor(share_T x {_MIX_BUDGET}), same p proportional to n^T "
+        "definition as q_mixture_temperature) are FILLED with concrete "
+        "documents, selected by md5-rank within each language — the "
+        "deterministic 'actually build the sampled corpus' step that the "
+        "share-computing queries stop short of. Every engine, retry, and "
+        "topology picks the IDENTICAL documents (rand() would not). Plan "
+        "shape: ONE corpus hash agg to langs cells; the normalizer is a "
+        "1-row broadcast pack (whitelisted scalar cross join); quotas "
+        "attach to docs via a broadcast-sized lang join; selection is "
+        "one lang-partitioned rank window. The per-language window is "
+        "the skew exposure at 100 TB — for a dominant language, pre-"
+        "aggregate to per-shard heaps (the q_topk pattern) or sample "
+        "hierarchically (shard-level quotas first)."
+    ),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grp = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    powed = F.pow(F.col("n_docs").cast("double"), F.lit(_TEMP))
+    tot = grp.agg(F.sum(powed).alias("z"))
+    quota = grp.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(powed / F.col("z") * _MIX_BUDGET).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.join(F.broadcast(quota), "lang")
+        .select("doc_id", "lang", "quota", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "rk")
+    )

@@ -135,3 +135,69 @@ def test_weighted_sample_is_the_ares_top_k(spark):
     by_id = {r.doc_id: r.n_chars for r in docs}
     mean_sample = sum(by_id[d] for d in expect) / len(expect)
     assert mean_sample > mean_all
+
+
+def test_mixture_sample_fills_temperature_quotas(spark):
+    from cloud_data_sync_spark.operators.corpus import _MIX_BUDGET, _TEMP
+    from cloud_data_sync_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang").collect()
+    by_lang = defaultdict(list)
+    for r in docs:
+        by_lang[r.lang].append(r.doc_id)
+    z = sum(len(v) ** _TEMP for v in by_lang.values())
+    quotas = {
+        lang: math.floor(len(v) ** _TEMP / z * _MIX_BUDGET)
+        for lang, v in by_lang.items()
+    }
+    rows = _run(spark, "q_mixture_sample")
+    got = defaultdict(list)
+    for r in rows:
+        got[r.lang].append(r.doc_id)
+    for lang, ids in by_lang.items():
+        want = min(quotas[lang], len(ids))
+        assert len(got[lang]) == want
+        # selection = md5-rank head, replayed independently
+        expect = sorted(
+            ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )[:want]
+        assert sorted(got[lang]) == sorted(expect)
+    # budget respected and the flattening direction holds: the head
+    # language's sampled share is below its natural share
+    assert len(rows) <= _MIX_BUDGET
+    head = max(by_lang, key=lambda k: len(by_lang[k]))
+    assert len(got[head]) / len(rows) < len(by_lang[head]) / len(docs)
+
+
+def test_seasonal_forecast_matches_pure_python_backtest(spark):
+    from cloud_data_sync_spark.operators.analytics import _SEASON_LAG_DAYS
+    from cloud_data_sync_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    daily = defaultdict(float)
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += r.value
+    import datetime
+
+    rows = _run(spark, "q_seasonal_forecast")
+    assert len(rows) > 0
+    for r in rows:
+        errs, biases = [], []
+        for (etype, d), v in daily.items():
+            if etype != r.event_type or v == 0:
+                continue
+            prev = daily.get(
+                (etype, d - datetime.timedelta(days=_SEASON_LAG_DAYS))
+            )
+            if prev is None:
+                continue
+            errs.append(abs(v - prev) / abs(v))
+            biases.append((prev - v) / v)
+        assert r.n_days == len(errs)
+        assert abs(r.mape - math.floor(sum(errs) / len(errs) * 1e6) / 1e6) < 1e-9
+        assert (
+            abs(r.bias - math.floor(sum(biases) / len(biases) * 1e6) / 1e6)
+            < 1e-9
+        )

@@ -83,7 +83,9 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   constant-size threshold explode.
 BNLJ_ALLOWED = {
     "q_logreg_calibration",
-    "q_bootstrap_ci",
+    # q_bootstrap_ci left this list in r5: the hash-window rework computes
+    # its CI entirely on the single aggregate row — no scalar pack remains
+    "q_mixture_sample",
     "q_semdedup_sweep",
     "q_gaussian_nb",
     "q_hll_pair_overlap",
