@@ -1437,3 +1437,135 @@ def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_CUPED_SPLIT_DAY = 15  # pre-period covariate: days 1..15; metric: 16+
+
+
+@register(
+    "q_ab_cuped",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         coalesce(sum(CASE WHEN day(ts) <= {_CUPED_SPLIT_DAY}
+                           THEN value END), 0) AS x,
+         coalesce(sum(CASE WHEN day(ts) > {_CUPED_SPLIT_DAY}
+                           THEN value END), 0) AS y
+  FROM events GROUP BY user_id
+),
+cell AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM per_user GROUP BY arm
+),
+pool AS (
+  SELECT sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS n1,
+         sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS n0,
+         sum(CASE WHEN arm = 1 THEN sx ELSE 0 END) AS sx1,
+         sum(CASE WHEN arm = 0 THEN sx ELSE 0 END) AS sx0,
+         sum(CASE WHEN arm = 1 THEN sy ELSE 0 END) AS sy1,
+         sum(CASE WHEN arm = 0 THEN sy ELSE 0 END) AS sy0,
+         sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+         sum(sxx) AS sxx, sum(sxy) AS sxy, sum(syy) AS syy
+  FROM cell
+),
+fit AS (
+  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta FROM pool
+)
+SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_ctrl,
+       floor((sy1 / n1 - sy0 / n0) * 10000) / 10000 AS diff_raw,
+       floor(((sy1 / n1 - theta * (sx1 / n1))
+              - (sy0 / n0 - theta * (sx0 / n0))) * 10000) / 10000
+         AS diff_cuped,
+       floor(theta * 10000) / 10000 AS theta,
+       floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 10000) / 10000
+         AS var_reduction
+FROM fit
+""",
+    doc=(
+        "CUPED variance-reduced experiment readout (the industry-"
+        "standard companion to q_ab_welch): each user's pre-period value "
+        f"sum (days 1..{_CUPED_SPLIT_DAY}) is the covariate, the "
+        "post-period sum is the metric, arms are md5-keyed on user_id "
+        "(deterministic across engines/retries — the assignment "
+        "property rand() splits lose), theta = cov(x,y)/var(x) pooled, "
+        "adjusted metric y - theta*(x - mean(x)). var_reduction = "
+        "corr(x,y)^2 is exactly the variance CUPED removes. Plan shape: "
+        "ONE user-key hash agg over the event stream (the only shuffle "
+        "that touches facts), a 2-row arm rollup, and the closed-form "
+        "readout on one row — at 100 TB this is a single co-partition "
+        "pass however many users exist."
+    ),
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.when(
+        F.dayofmonth("ts") <= _CUPED_SPLIT_DAY, F.col("value")
+    )
+    post = F.when(F.dayofmonth("ts") > _CUPED_SPLIT_DAY, F.col("value"))
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(pre), F.lit(0.0)).alias("x"),
+        F.coalesce(F.sum(post), F.lit(0.0)).alias("y"),
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+        "x",
+        "y",
+    )
+    cell = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    arm1 = lambda c: F.sum(F.when(F.col("arm") == 1, F.col(c)).otherwise(0.0))  # noqa: E731
+    arm0 = lambda c: F.sum(F.when(F.col("arm") == 0, F.col(c)).otherwise(0.0))  # noqa: E731
+    pool = cell.agg(
+        arm1("n").alias("n1"),
+        arm0("n").alias("n0"),
+        arm1("sx").alias("sx1"),
+        arm0("sx").alias("sx0"),
+        arm1("sy").alias("sy1"),
+        arm0("sy").alias("sy0"),
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    fit = pool.withColumn(
+        "theta", (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    )
+    th = F.col("theta")
+    m = lambda s_, n_: F.col(s_) / F.col(n_)  # noqa: E731
+    return fit.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        floor_ratio(m("sy1", "n1") - m("sy0", "n0"), 4).alias("diff_raw"),
+        floor_ratio(
+            (m("sy1", "n1") - th * m("sx1", "n1"))
+            - (m("sy0", "n0") - th * m("sx0", "n0")),
+            4,
+        ).alias("diff_cuped"),
+        floor_ratio(th, 4).alias("theta"),
+        floor_ratio(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("var_reduction"),
+    )

@@ -737,3 +737,88 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("quota"))
         .select("doc_id", "lang", "rk")
     )
+
+
+_ZIPF_K = 1000
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+WITH tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents)
+  GROUP BY term
+),
+top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT {_ZIPF_K}),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, term) AS DOUBLE)) AS lx,
+         ln(CAST(tf AS DOUBLE)) AS ly
+  FROM top
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * lx) AS sxx, sum(lx * ly) AS sxy, sum(ly * ly) AS syy
+  FROM xy
+)
+SELECT n AS n_terms,
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000) / 10000
+         AS zipf_slope,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 10000) / 10000 AS intercept,
+       floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 10000) / 10000
+         AS r2
+FROM s
+""",
+    doc=(
+        "Zipf-law fit over the vocabulary: OLS of ln(tf) on ln(rank) for "
+        f"the top-{_ZIPF_K} tokens — the power-law exponent dataset cards "
+        "report, and a drift alarm for corpus composition (natural text "
+        "sits near slope -1; template/boilerplate floods flatten it). "
+        "Plan shape: the same per-token tf aggregate as q_vocab, top-k "
+        "via TakeOrderedAndProject (per-partition heap, never a corpus "
+        "sort), rank ids over the <=k surviving rows (the capped global "
+        "window, q_vocab precedent), then the regression reduces in "
+        "closed form on ONE 1-row aggregate of (n, Sx, Sy, Sxx, Sxy, "
+        "Syy) — no iterative fitting, no driver round-trip. Tie groups "
+        "share ln(tf), so rank permutations inside a tie cannot move "
+        "the fit; the k-boundary cut is (tf, term)-deterministic."
+    ),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        toks_documents(spark, sf_dir)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    top = tf.orderBy(F.desc("tf"), "term").limit(_ZIPF_K)
+    w = Window.orderBy(F.desc("tf"), "term")
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("tf").cast("double")).alias("ly"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_terms"),
+        floor_ratio(slope, 4).alias("zipf_slope"),
+        floor_ratio((sy - slope * sx) / n, 4).alias("intercept"),
+        floor_ratio(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )

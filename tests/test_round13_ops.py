@@ -201,3 +201,71 @@ def test_seasonal_forecast_matches_pure_python_backtest(spark):
             abs(r.bias - math.floor(sum(biases) / len(biases) * 1e6) / 1e6)
             < 1e-9
         )
+
+
+def test_zipf_fit_matches_pure_python_ols(spark):
+    import re
+
+    from cloud_data_sync_spark.operators.corpus import _ZIPF_K
+    from cloud_data_sync_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    from collections import Counter
+
+    tf = Counter()
+    for r in docs:
+        tf.update(re.split(r"\s+", r.text.strip().lower()))
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_K]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(c) for _, c in top]
+    n = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    (row,) = _run(spark, "q_zipf_fit")
+    assert row.n_terms == n
+    assert abs(row.zipf_slope - math.floor(slope * 1e4) / 1e4) < 1e-3
+    assert abs(row.r2 - math.floor(r2 * 1e4) / 1e4) < 1e-3
+    # direction sanity only: the synthetic fixture's vocabulary is tiny
+    # (31 tokens) and near-uniform, so the exponent is shallow — but a
+    # frequency-ranked fit must still decay, and r2 must be a valid
+    # squared correlation
+    assert row.zipf_slope < 0
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_ab_cuped_reduces_variance_and_matches_replay(spark):
+    from cloud_data_sync_spark.operators.analytics import _CUPED_SPLIT_DAY
+    from cloud_data_sync_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    per = defaultdict(lambda: [0.0, 0.0])
+    for r in ev:
+        per[r.user_id][0 if r.ts.day <= _CUPED_SPLIT_DAY else 1] += r.value
+    arms = {u: _md5_u32(str(u)) % 2 for u in per}
+    n = len(per)
+    sx = sum(v[0] for v in per.values())
+    sy = sum(v[1] for v in per.values())
+    sxx = sum(v[0] ** 2 for v in per.values())
+    sxy = sum(v[0] * v[1] for v in per.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    (row,) = _run(spark, "q_ab_cuped")
+    assert row.n_treat == sum(1 for a in arms.values() if a == 1)
+    assert row.n_ctrl == n - row.n_treat
+    assert abs(row.theta - math.floor(theta * 1e4) / 1e4) < 1e-3
+    # replay both means
+    def mean(arm, idx):
+        vals = [per[u][idx] for u, a in arms.items() if a == arm]
+        return sum(vals) / len(vals)
+
+    raw = mean(1, 1) - mean(0, 1)
+    adj = (mean(1, 1) - theta * mean(1, 0)) - (mean(0, 1) - theta * mean(0, 0))
+    assert abs(row.diff_raw - math.floor(raw * 1e4) / 1e4) < 1e-3
+    assert abs(row.diff_cuped - math.floor(adj * 1e4) / 1e4) < 1e-3
+    # var_reduction is corr^2: bounded [0, 1]
+    assert 0.0 <= row.var_reduction <= 1.0

@@ -121,7 +121,9 @@ BNLJ_ALLOWED = {
 #   lang) aggregate — a config cardinality (sources × languages), not a
 #   data cardinality; the corpus-sized input was already reduced by the
 #   preceding hash agg.
-GLOBAL_WINDOW_ALLOWED = {"q_vocab", "q_token_budget"}
+# q_zipf_fit: rank ids over the TakeOrderedAndProject(1000) vocab head,
+# same bounded-input justification as q_vocab.
+GLOBAL_WINDOW_ALLOWED = {"q_vocab", "q_token_budget", "q_zipf_fit"}
 
 RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # filter + projection must be pushed into the parquet scan
