@@ -1102,3 +1102,128 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat", "fold")
     )
+
+
+@register(
+    "q_graph_degree",
+    oracle="""
+WITH und AS (
+  SELECT DISTINCT least(cn, sn) AS a, greatest(cn, sn) AS b
+  FROM (
+    SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  )
+  WHERE cn <> sn
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node
+),
+sym AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+),
+endp AS (
+  SELECT CAST(du.d AS DOUBLE) AS x, CAST(dv.d AS DOUBLE) AS y
+  FROM sym JOIN deg du ON sym.u = du.node JOIN deg dv ON sym.v = dv.node
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM endp
+),
+ds AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(min(d) AS BIGINT) AS min_degree,
+         CAST(max(d) AS BIGINT) AS max_degree,
+         floor(avg(CAST(d AS DOUBLE)) * 10000) / 10000 AS avg_degree
+  FROM deg
+)
+SELECT ds.n_nodes, CAST(mom.n / 2 AS BIGINT) AS n_edges,
+       ds.min_degree, ds.max_degree, ds.avg_degree,
+       floor((mom.n * mom.sxy - mom.sx * mom.sy)
+             / (mom.n * mom.sxx - mom.sx * mom.sx) * 10000) / 10000
+         AS assortativity
+FROM ds CROSS JOIN mom
+""",
+    doc=(
+        "Degree statistics + degree assortativity of the undirected "
+        "nation trade graph: node count, degree min/max/mean, and the "
+        "Pearson correlation of endpoint degrees over the symmetrized "
+        "edge list (assortativity > 0: hubs trade with hubs; < 0: "
+        "hub-and-spoke). Completes the graph-analytics trio (q_pagerank "
+        "centrality, q_triangle_count clustering, this one mixing "
+        "structure) on the SAME _trade_fact edge derivation, so all "
+        "three stay consistent with their oracles through one "
+        "definition. Plan shape: the fact joins aggregate to a "
+        "nations^2-bounded distinct edge list; degrees, the symmetrized "
+        "endpoint join, and the closed-form correlation all run on that "
+        "aggregate — the corpus is touched once. The two 1-row packs "
+        "(degree summary x moment summary) cross-join at constant size."
+    ),
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = (
+        _trade_fact(spark, sf_dir)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    sym = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    endp = (
+        sym.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.col("du").cast("double").alias("x"),
+            F.col("dv").cast("double").alias("y"),
+        )
+    )
+    mom = endp.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    ds = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+        floor_ratio(F.avg(F.col("d").cast("double")), 4).alias("avg_degree"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    return ds.crossJoin(F.broadcast(mom)).select(
+        "n_nodes",
+        (n / 2).cast("long").alias("n_edges"),
+        "min_degree",
+        "max_degree",
+        "avg_degree",
+        # try_divide: a degree-regular graph (the complete sf>=0.01 trade
+        # graph — every nation trades with every other) has zero degree
+        # variance, so assortativity is undefined → NULL on both engines
+        # (DuckDB double division by zero yields NULL natively)
+        floor_ratio(
+            F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx), 4
+        ).alias("assortativity"),
+    )

@@ -269,3 +269,42 @@ def test_ab_cuped_reduces_variance_and_matches_replay(spark):
     assert abs(row.diff_cuped - math.floor(adj * 1e4) / 1e4) < 1e-3
     # var_reduction is corr^2: bounded [0, 1]
     assert 0.0 <= row.var_reduction <= 1.0
+
+
+def test_graph_degree_matches_pure_python_replay(spark):
+    from cloud_data_sync_spark.operators.ml import _trade_fact
+
+    fact = _trade_fact(spark, SF).collect()
+    und = {
+        (min(r.c_nationkey, r.s_nationkey), max(r.c_nationkey, r.s_nationkey))
+        for r in fact
+        if r.c_nationkey != r.s_nationkey
+    }
+    deg = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    (row,) = _run(spark, "q_graph_degree")
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == len(und)
+    assert row.min_degree == min(deg.values())
+    assert row.max_degree == max(deg.values())
+    avg = sum(deg.values()) / len(deg)
+    assert abs(row.avg_degree - math.floor(avg * 1e4) / 1e4) < 1e-9
+    # assortativity: Pearson corr of endpoint degrees over both
+    # orientations; NULL when the graph is degree-regular
+    xs, ys = [], []
+    for a, b in und:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = n * sxx - sx * sx
+    if den == 0:
+        assert row.assortativity is None
+    else:
+        r = (n * sxy - sx * sy) / den
+        assert abs(row.assortativity - math.floor(r * 1e4) / 1e4) < 1e-9
+        assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9

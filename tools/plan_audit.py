@@ -86,6 +86,8 @@ BNLJ_ALLOWED = {
     # q_bootstrap_ci left this list in r5: the hash-window rework computes
     # its CI entirely on the single aggregate row — no scalar pack remains
     "q_mixture_sample",
+    # 1-row degree-summary pack × 1-row moment pack — constant size
+    "q_graph_degree",
     "q_semdedup_sweep",
     "q_gaussian_nb",
     "q_hll_pair_overlap",
