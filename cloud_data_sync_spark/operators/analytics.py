@@ -1569,3 +1569,170 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("var_reduction"),
     )
+
+
+_RFM_P1, _RFM_P2 = 1.0 / 3.0, 2.0 / 3.0
+_RFM_EPOCH = "1990-01-01"
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         max(date_diff('day', DATE '{_RFM_EPOCH}', CAST(o_orderdate AS DATE)))
+           AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+  FROM orders GROUP BY o_custkey
+),
+cut AS (
+  SELECT quantile_cont(r, [{_RFM_P1!r}, {_RFM_P2!r}]) AS rc,
+         quantile_cont(f, [{_RFM_P1!r}, {_RFM_P2!r}]) AS fc,
+         quantile_cont(m, [{_RFM_P1!r}, {_RFM_P2!r}]) AS mc
+  FROM cust
+),
+scored AS (
+  SELECT (CASE WHEN r <= rc[1] THEN 1 WHEN r <= rc[2] THEN 2 ELSE 3 END) * 100
+       + (CASE WHEN f <= fc[1] THEN 1 WHEN f <= fc[2] THEN 2 ELSE 3 END) * 10
+       + (CASE WHEN m <= mc[1] THEN 1 WHEN m <= mc[2] THEN 2 ELSE 3 END)
+           AS segment,
+         m
+  FROM cust CROSS JOIN cut
+)
+SELECT CAST(segment AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       floor(CAST(sum(m) AS DOUBLE) / count(*)) / 100 AS avg_monetary
+FROM scored GROUP BY segment ORDER BY segment
+""",
+    doc=(
+        "RFM (recency/frequency/monetary) customer segmentation — the "
+        "standard CRM rollup — with the scale-correct scoring plan: "
+        "tertile cutoffs come from ONE exact-percentile aggregate over "
+        "the per-customer table (a 1-row broadcast pack, the same exact-"
+        "interpolation contract q_agg_percentiles pins cross-engine) and "
+        "score assignment is a map-side CASE — NOT a global ntile(), "
+        "which would single-partition-sort the customer table (the "
+        "anti-pattern the plan audit forbids). Recency is integer days "
+        "since a fixed epoch and monetary sums in EXACT integer cents "
+        "(per-row round, then BIGINT sums), so all three metrics, the "
+        "percentile cutoffs, and the segment averages are order-"
+        "independent — a double avg() floored at the cent grid flipped "
+        "between engines at sf0.001. "
+        "Plan: customer hash agg (the only fact shuffle) -> 1-row "
+        "cutoff pack -> map-side scoring -> <=27-group rollup."
+    ),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"), F.lit(_RFM_EPOCH).cast("date")
+                )
+            ).alias("r"),
+            F.count("*").alias("f"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("m"),
+        )
+    )
+    cut = cust.agg(
+        F.expr(f"percentile(r, array({_RFM_P1!r}, {_RFM_P2!r}))").alias("rc"),
+        F.expr(f"percentile(f, array({_RFM_P1!r}, {_RFM_P2!r}))").alias("fc"),
+        F.expr(f"percentile(m, array({_RFM_P1!r}, {_RFM_P2!r}))").alias("mc"),
+    )
+
+    def score(v: str, c: str):
+        return (
+            F.when(F.col(v) <= F.col(c).getItem(0), 1)
+            .when(F.col(v) <= F.col(c).getItem(1), 2)
+            .otherwise(3)
+        )
+
+    scored = cust.crossJoin(F.broadcast(cut)).select(
+        (score("r", "rc") * 100 + score("f", "fc") * 10 + score("m", "mc"))
+        .cast("long")
+        .alias("segment"),
+        "m",
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (
+                F.floor(F.sum("m").cast("double") / F.count("*")) / 100
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q_benford_audit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts)
+SELECT digit, n,
+       floor(n / total * 1000000) / 1000000 AS obs_share,
+       floor(log10(1 + 1.0 / digit) * 1000000) / 1000000 AS benford_share,
+       floor((n - total * log10(1 + 1.0 / digit))
+             * (n - total * log10(1 + 1.0 / digit))
+             / (total * log10(1 + 1.0 / digit)) * 10000) / 10000 AS chi2_term
+FROM counts CROSS JOIN tot
+ORDER BY digit
+""",
+    doc=(
+        "Benford first-digit audit over order totals — the classic "
+        "anomaly screen for fabricated or unit-mangled monetary data "
+        "(natural multiplicative amounts follow P(d) = log10(1+1/d); "
+        "uniform synthetic data, like this fixture, flunks it loudly — "
+        "that IS the demonstration). The first digit comes from the "
+        "BIGINT's decimal string, never floor(log10(x)) arithmetic, "
+        "which misclassifies exact powers of ten when log10 lands one "
+        "ulp under the integer. Plan shape: map-side digit projection, "
+        "one <=9-group hash agg, a 1-row total pack, and the chi-square "
+        "contribution computed per digit row — one corpus scan, "
+        "constant-size everything after."
+    ),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digits = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    exp_share = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            floor_ratio(F.col("n") / F.col("total"), 6).alias("obs_share"),
+            floor_ratio(exp_share, 6).alias("benford_share"),
+            floor_ratio(
+                (F.col("n") - F.col("total") * exp_share)
+                * (F.col("n") - F.col("total") * exp_share)
+                / (F.col("total") * exp_share),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -308,3 +308,77 @@ def test_graph_degree_matches_pure_python_replay(spark):
         r = (n * sxy - sx * sy) / den
         assert abs(row.assortativity - math.floor(r * 1e4) / 1e4) < 1e-9
         assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9
+
+
+def test_rfm_segments_match_pure_python_scoring(spark):
+    from cloud_data_sync_spark.operators.analytics import (
+        _RFM_EPOCH,
+        _RFM_P1,
+        _RFM_P2,
+    )
+    from cloud_data_sync_spark.tables import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    import datetime
+
+    epoch = datetime.date.fromisoformat(_RFM_EPOCH)
+    cust = defaultdict(lambda: [0, 0, 0])  # r, f, m_cents
+    for o in orders:
+        c = cust[o.o_custkey]
+        c[0] = max(c[0], (o.o_orderdate.date() - epoch).days)
+        c[1] += 1
+        c[2] += round(o.o_totalprice * 100)
+
+    def pct(vals, p):
+        vals = sorted(vals)
+        pos = p * (len(vals) - 1)
+        lo, f = int(pos), pos - int(pos)
+        return vals[lo] * (1 - f) + vals[min(lo + 1, len(vals) - 1)] * f
+
+    cuts = {
+        i: (pct([v[i] for v in cust.values()], _RFM_P1),
+            pct([v[i] for v in cust.values()], _RFM_P2))
+        for i in range(3)
+    }
+
+    def score(v, c):
+        return 1 if v <= c[0] else (2 if v <= c[1] else 3)
+
+    seg = defaultdict(lambda: [0, 0])
+    for v in cust.values():
+        s = score(v[0], cuts[0]) * 100 + score(v[1], cuts[1]) * 10 + score(
+            v[2], cuts[2]
+        )
+        seg[s][0] += 1
+        seg[s][1] += v[2]
+    rows = _run(spark, "q_rfm_segments")
+    assert sum(r.n_customers for r in rows) == len(cust)
+    got = {r.segment: (r.n_customers, r.avg_monetary) for r in rows}
+    assert set(got) == set(seg)
+    for s, (n, cents) in seg.items():
+        assert got[s][0] == n
+        assert abs(got[s][1] - math.floor(cents / n) / 100) < 1e-9
+
+
+def test_benford_audit_shares_and_chi2(spark):
+    from cloud_data_sync_spark.tables import load_table
+
+    orders = load_table(spark, SF, "orders").select("o_totalprice").collect()
+    counts = defaultdict(int)
+    for o in orders:
+        if o.o_totalprice >= 1:
+            counts[int(str(int(math.floor(o.o_totalprice)))[0])] += 1
+    rows = _run(spark, "q_benford_audit")
+    total = sum(counts.values())
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert r.n == counts[r.digit]
+        assert abs(r.obs_share - math.floor(r.n / total * 1e6) / 1e6) < 1e-9
+        exp = math.log10(1 + 1 / r.digit)
+        assert abs(r.benford_share - math.floor(exp * 1e6) / 1e6) < 1e-6
+        chi = (r.n - total * exp) ** 2 / (total * exp)
+        assert abs(r.chi2_term - math.floor(chi * 1e4) / 1e4) < 1e-3
+    # Benford's shares themselves sum to 1 across digits 1..9
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1) < 1e-12

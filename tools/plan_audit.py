@@ -88,6 +88,9 @@ BNLJ_ALLOWED = {
     "q_mixture_sample",
     # 1-row degree-summary pack × 1-row moment pack — constant size
     "q_graph_degree",
+    # 1-row percentile-cutoff pack / 1-row digit-total pack
+    "q_rfm_segments",
+    "q_benford_audit",
     "q_semdedup_sweep",
     "q_gaussian_nb",
     "q_hll_pair_overlap",
