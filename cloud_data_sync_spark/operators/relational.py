@@ -1772,3 +1772,82 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_versions").cast("long").alias("n_versions"),
         )
     )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+WITH o AS (
+  SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             coalesce(CAST(o_custkey AS VARCHAR), '') || '|' ||
+             coalesce(o_orderstatus, '') || '|' ||
+             coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), '')
+         ), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
+  FROM orders
+),
+c AS (
+  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST('0x' || substr(md5(
+             CAST(c_custkey AS VARCHAR) || '|' ||
+             coalesce(CAST(c_nationkey AS VARCHAR), '') || '|' ||
+             coalesce(c_name, '')
+         ), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
+  FROM customer
+)
+SELECT * FROM o UNION ALL SELECT * FROM c ORDER BY table_name
+""",
+    doc=(
+        "Order-independent table checksums — the migration-validation "
+        "primitive a sync tool needs to certify that a copied table "
+        "equals its source WITHOUT moving either copy: each row "
+        "canonicalizes to a '|'-joined string (floats in exact integer "
+        "cents — a raw double's text form differs between engines), "
+        "hashes to an md5 32-bit window, and the per-table SUM of those "
+        "hashes is insensitive to row order, partitioning, and engine "
+        "(the reference validates copies by per-object size/etag, "
+        "sync.go:111-128 — this is the same idea lifted to table "
+        "contents). Plan shape: map-only hash projection + ONE "
+        "1-row-per-table aggregate, zero shuffles of data rows; two "
+        "engines (or two clusters) compare (n_rows, checksum) pairs, "
+        "KB of traffic for any table size. A corrupted, duplicated, or "
+        "dropped row moves the sum with probability 1 - 2^-32 per "
+        "difference."
+    ),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def row_hash(parts) -> "F.Column":
+        canon = F.concat_ws("|", *parts)
+        return F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        row_hash(
+            [
+                F.col("o_orderkey").cast("string"),
+                F.coalesce(F.col("o_custkey").cast("string"), F.lit("")),
+                F.coalesce(F.col("o_orderstatus"), F.lit("")),
+                F.coalesce(
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("long")
+                    .cast("string"),
+                    F.lit(""),
+                ),
+            ]
+        ).alias("h")
+    ).agg(
+        F.count("*").alias("n_rows"), F.sum("h").alias("checksum")
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "checksum")
+    cust = load_table(spark, sf_dir, "customer").select(
+        row_hash(
+            [
+                F.col("c_custkey").cast("string"),
+                F.coalesce(F.col("c_nationkey").cast("string"), F.lit("")),
+                F.coalesce(F.col("c_name"), F.lit("")),
+            ]
+        ).alias("h")
+    ).agg(
+        F.count("*").alias("n_rows"), F.sum("h").alias("checksum")
+    ).select(F.lit("customer").alias("table_name"), "n_rows", "checksum")
+    return orders.unionAll(cust).orderBy("table_name")

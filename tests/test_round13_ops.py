@@ -382,3 +382,42 @@ def test_benford_audit_shares_and_chi2(spark):
         assert abs(r.chi2_term - math.floor(chi * 1e4) / 1e4) < 1e-3
     # Benford's shares themselves sum to 1 across digits 1..9
     assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1) < 1e-12
+
+
+def test_table_checksum_detects_any_row_difference(spark):
+    import hashlib as _h
+
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = {r.table_name: r for r in _run(spark, "q_table_checksum")}
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    assert rows["orders"].n_rows == len(orders)
+
+    def h(parts):
+        return int(_h.md5("|".join(parts).encode()).hexdigest()[:8], 16)
+
+    want = sum(
+        h(
+            [
+                str(o.o_orderkey),
+                str(o.o_custkey),
+                o.o_orderstatus,
+                str(round(o.o_totalprice * 100)),
+            ]
+        )
+        for o in orders
+    )
+    assert rows["orders"].checksum == want
+    # the property that makes it a validation primitive: one mutated row
+    # moves the sum
+    o = orders[0]
+    mutated = want - h(
+        [str(o.o_orderkey), str(o.o_custkey), o.o_orderstatus,
+         str(round(o.o_totalprice * 100))]
+    ) + h(
+        [str(o.o_orderkey), str(o.o_custkey), o.o_orderstatus,
+         str(round(o.o_totalprice * 100) + 1)]
+    )
+    assert mutated != want
