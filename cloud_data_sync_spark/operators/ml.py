@@ -226,6 +226,49 @@ def _trade_fact(spark: SparkSession, sf_dir: str):
     )
 
 
+# The (src, dst, cnt) edge AGGREGATE — ≤ nations² rows — is the shared
+# input of all three graph queries (pagerank weights, triangle/degree
+# undirected pairs). Each previously re-ran the 4-table fact join; the
+# substrate materializes it once per (session, input vintage) — ids and
+# a count only, KB-scale. plan= on each consumer keeps the audit pinned
+# to the builder pipeline (the plan that executes at scale).
+_TRADE_EDGE_SUBSTRATE: dict = {}
+
+
+def _trade_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _trade_fact(spark, sf_dir)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.tables import session_substrate
+
+    return session_substrate(
+        spark,
+        _TRADE_EDGE_SUBSTRATE,
+        sf_dir,
+        "ml.trade_edges",
+        ("lineitem", "orders", "customer", "supplier"),
+        lambda: _trade_edges_build(spark, sf_dir),
+    )
+
+
+def _und_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected (a < b) pairs from the directed edge aggregate."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+
 @register(
     "q_pagerank",
     oracle="WITH "
@@ -246,16 +289,21 @@ FROM r{_PR_ITERS} JOIN nodes ON nodes.node = r{_PR_ITERS}.node
         "tiny edge list. The iterative-join shape is the same one "
         "connected-components uses (dedup.py:395) at corpus scale."
     ),
+    plan=lambda spark, sf_dir: _pagerank_pipeline(
+        spark, sf_dir, _trade_edges_build(spark, sf_dir)
+    ),
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pagerank_pipeline(spark, sf_dir, trade_edges(spark, sf_dir))
+
+
+def _pagerank_pipeline(
+    spark: SparkSession, sf_dir: str, edge_counts: DataFrame
+) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
 
-    edges = (
-        _trade_fact(spark, sf_dir)
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count("*").cast("double").alias("w"))
+    edges = edge_counts.select(
+        "src", "dst", F.col("cnt").cast("double").alias("w")
     )
     w_src = Window.partitionBy("src")
     norm = edges.select("src", "dst", (F.col("w") / F.sum("w").over(w_src)).alias("p"))
@@ -321,19 +369,20 @@ LEFT JOIN (
         "equi-join Catalyst can hash. Here the derived nation graph is "
         "tiny, so all three legs broadcast."
     ),
+    plan=lambda spark, sf_dir: _triangle_pipeline(
+        spark, sf_dir, _trade_edges_build(spark, sf_dir)
+    ),
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _triangle_pipeline(spark, sf_dir, trade_edges(spark, sf_dir))
+
+
+def _triangle_pipeline(
+    spark: SparkSession, sf_dir: str, edge_counts: DataFrame
+) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
 
-    edges = (
-        _trade_fact(spark, sf_dir)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .select(
-            F.least("c_nationkey", "s_nationkey").alias("a"),
-            F.greatest("c_nationkey", "s_nationkey").alias("b"),
-        )
-        .distinct()
-    )
+    edges = _und_edges(edge_counts)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -1164,17 +1213,16 @@ FROM ds CROSS JOIN mom
         "aggregate — the corpus is touched once. The two 1-row packs "
         "(degree summary x moment summary) cross-join at constant size."
     ),
+    plan=lambda spark, sf_dir: _graph_degree_pipeline(
+        _trade_edges_build(spark, sf_dir)
+    ),
 )
 def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = (
-        _trade_fact(spark, sf_dir)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .select(
-            F.least("c_nationkey", "s_nationkey").alias("a"),
-            F.greatest("c_nationkey", "s_nationkey").alias("b"),
-        )
-        .distinct()
-    )
+    return _graph_degree_pipeline(trade_edges(spark, sf_dir))
+
+
+def _graph_degree_pipeline(edge_counts: DataFrame) -> DataFrame:
+    und = _und_edges(edge_counts)
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
