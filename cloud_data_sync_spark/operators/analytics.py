@@ -919,18 +919,21 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic bootstrap: R resamples, each row's multiplicity in
 # resample r drawn from a Poisson(1) surrogate keyed on md5 — the hash
 # plays the RNG so both engines (and any two cluster runs) draw the
-# IDENTICAL resamples. One md5 yields 32 hex chars = EIGHT independent
-# 16-bit uniforms, so 32 resamples cost 4 hashes per row (not 32), and
+# IDENTICAL resamples. One md5 yields 32 hex chars = SIXTEEN independent
+# 8-bit uniforms, so 32 resamples cost 2 hashes per row (not 32), and
 # the multiplicities feed 32 (sum(w·x), sum(w)) aggregate pairs computed
 # in ONE pass over the scan — no ×R row explosion ever materializes
 # (the exploded form measured 17 s at sf0.1: 19.2M md5s squeezed into
-# the scan's 3 input partitions). Cumulative Poisson(1) thresholds
-# quantized to the 16-bit lattice: P(0)=1/e, P(<=1)=2/e, etc — the
-# ≤1.5e-5 quantization error is statistically invisible at R=32.
+# the scan's 3 input partitions; the 16-bit-draw form needed 4 hashes +
+# 16 hex parses per row and measured ~2x this one). Cumulative
+# Poisson(1) thresholds quantized to the 8-bit lattice: P(0)=1/e,
+# P(<=1)=2/e, etc — the quantized pmf still has E[w] = 1.0000 exactly
+# (94+94+2*47+3*16+4*5 = 256), and the <=4e-3 per-category error is
+# statistically invisible next to the R=32 resampling noise itself.
 _BOOT_R = 32
 _POIS = (0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
          0.9810118431238462)
-_POIS16 = tuple(int(p * 65536) for p in _POIS)  # integer thresholds
+_POIS8 = tuple(int(p * 256) for p in _POIS)  # integer thresholds
 
 
 def _boot_oracle() -> str:
@@ -938,20 +941,24 @@ def _boot_oracle() -> str:
     per-resample expressions stay literally identical to the Spark
     side's (chunk c = (r-1)//8 picks the md5, window j = (r-1)%8 picks
     the 4-hex-char slice)."""
-    t0, t1, t2, t3 = _POIS16
+    t0, t1, t2, t3 = _POIS8
     ws, sums = [], []
-    # one 32-bit hex parse yields TWO 16-bit draws (high via >>16, low
-    # via %65536) — halves the string→int conversions, the hot cost of
-    # the map stage on both engines
+    # one 32-bit hex parse yields FOUR 8-bit draws (shift + %256) — the
+    # string→int conversion is the hot cost of the map stage on both
+    # engines, so each parse is milked for as many draws as it holds
     us = [
         f"CAST('0x' || substr(h{c}, {1 + 8 * p}, 8) AS BIGINT) AS u{c}_{p}"
-        for c in range(4)
+        for c in range(2)
         for p in range(4)
     ]
     for r in range(1, _BOOT_R + 1):
-        c, q = divmod(r - 1, 8)
-        p, hi = divmod(q, 2)
-        v = f"(u{c}_{p} >> 16)" if hi == 0 else f"(u{c}_{p} % 65536)"
+        c, q = divmod(r - 1, 16)
+        p, b = divmod(q, 4)
+        v = (
+            f"(u{c}_{p} >> 24)"
+            if b == 0
+            else f"((u{c}_{p} >> {24 - 8 * b}) % 256)"
+        )
         ws.append(
             f"CASE WHEN {v} < {t0} THEN 0 WHEN {v} < {t1} THEN 1 "
             f"WHEN {v} < {t2} THEN 2 WHEN {v} < {t3} THEN 3 ELSE 4 END AS w{r}"
@@ -968,7 +975,7 @@ WITH base AS (
   FROM lineitem WHERE l_extendedprice IS NOT NULL
 ),
 hashed AS (
-  SELECT x, {', '.join(f"md5(k || '#{c}') AS h{c}" for c in range(4))}
+  SELECT x, {', '.join(f"md5(k || '#{c}') AS h{c}" for c in range(2))}
   FROM base
 ),
 parsed AS (SELECT x, {', '.join(us)} FROM hashed),
@@ -996,8 +1003,8 @@ FROM bs
         "Bootstrap confidence interval for a corpus mean with a "
         "DETERMINISTIC resampler: each row's multiplicity in each of the "
         "{r} resamples is a Poisson(1) draw read off an md5 of the row "
-        "key — 4 hashes per row yield 32 independent 16-bit uniforms "
-        "(8 hex-windows each), so the resamples are identical across "
+        "key — 2 hashes per row yield 32 independent 8-bit uniforms "
+        "(16 per digest), so the resamples are identical across "
         "engines, runs, and cluster topologies — the reproducibility "
         "property rand()-based bootstrap loses the moment a task "
         "retries. Plan shape: entirely map-side — the {r} multiplicities "
@@ -1014,7 +1021,7 @@ FROM bs
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    t0, t1, t2, t3 = _POIS16
+    t0, t1, t2, t3 = _POIS8
     # spread(): the per-row hash/conv pipeline is CPU-bound and the local
     # parquet arrives in 3 splits — round-robin to cores (no-op at real
     # scale where the scan already yields >= cores splits)
@@ -1034,7 +1041,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         *[
             F.md5(F.concat(F.col("k"), F.lit(f"#{c}"))).alias(f"h{c}")
-            for c in range(4)
+            for c in range(2)
         ],
     )
     # weights land in their own PROJECTION (mirroring the oracle's
@@ -1043,24 +1050,25 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pushed the HashAggregate past the codegen field limit and the
     # whole row-level pipeline fell back to interpreted mode (~10 s at
     # sf0.1 vs ~1 s in this shape).
-    # one 32-bit hex parse per TWO 16-bit draws (high >>16, low %65536) —
-    # halves the conv() calls, the hot cost of the map stage
+    # one 32-bit hex parse per FOUR 8-bit draws (shift + %256) — conv()
+    # string parsing is the hot cost of the map stage, so each parse is
+    # milked for as many draws as it holds (8 parses serve 32 resamples)
     parsed = hashed.select(
         "x",
         *[
             F.conv(F.substring(F.col(f"h{c}"), 1 + 8 * p, 8), 16, 10)
             .cast("long")
             .alias(f"u{c}_{p}")
-            for c in range(4)
+            for c in range(2)
             for p in range(4)
         ],
     )
     wcols = []
     for r in range(1, _BOOT_R + 1):
-        c, q = divmod(r - 1, 8)
-        p, hi = divmod(q, 2)
+        c, q = divmod(r - 1, 16)
+        p, b = divmod(q, 4)
         u = F.col(f"u{c}_{p}")
-        v = F.shiftright(u, 16) if hi == 0 else u % 65536
+        v = F.shiftright(u, 24) if b == 0 else F.shiftright(u, 24 - 8 * b) % 256
         wcols.append(
             F.when(v < t0, 0)
             .when(v < t1, 1)
@@ -1735,4 +1743,329 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
         .orderBy("digit")
+    )
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "q_acf",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS tot, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type, CAST(a.d - p.d AS BIGINT) AS lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.x * p.x) AS BIGINT) AS spp,
+         CAST(sum(a.x) AS BIGINT) AS sa, CAST(sum(p.x) AS BIGINT) AS sp
+  FROM daily a
+  JOIN daily p ON p.event_type = a.event_type
+              AND p.d >= a.d - INTERVAL {_ACF_MAX_LAG} DAY
+              AND p.d < a.d
+  GROUP BY a.event_type, a.d - p.d
+)
+SELECT s.event_type, lag, n_pairs,
+       floor((spp - (CAST(tot AS DOUBLE) / n) * sa
+                  - (CAST(tot AS DOUBLE) / n) * sp
+                  + n_pairs * ((CAST(tot AS DOUBLE) / n)
+                               * (CAST(tot AS DOUBLE) / n)))
+             / (sxx - n * ((CAST(tot AS DOUBLE) / n)
+                           * (CAST(tot AS DOUBLE) / n)))
+             * 1000000) / 1000000 AS acf
+FROM pairs p JOIN stats s ON s.event_type = p.event_type
+ORDER BY event_type, lag
+""",
+    doc=(
+        "Autocorrelation function of the daily event-count series per "
+        "type, lags 1..{k}: the time-series diagnostic that decides "
+        "whether a metric needs seasonal adjustment (q_seasonal_forecast) "
+        "or is white noise. The estimator is the standard lag-k sample "
+        "autocorrelation, computed CROSS-ENGINE-EXACTLY: daily counts are "
+        "integers, so every aggregate the formula consumes (sum xt*xt-k, "
+        "sum x, sum x^2, pair counts) is an exact BIGINT — order-"
+        "independent under any shuffle/merge schedule — and the only "
+        "float arithmetic is one closed-form scalar per (type, lag), "
+        "written token-for-token identically in both engines. Lags come "
+        "from ONE calendar-bounded self-join on the (type, day) AGGREGATE "
+        "(k joins would rescan; lag(k) row windows misalign on missing "
+        "days), so after the single corpus-sized hash agg everything is "
+        "KB-scale: types x days rows, types x {k} out. At 100 TB the only "
+        "change is the daily agg's shuffle volume — O(types x days x "
+        "partitions) partials, never rows."
+    ).format(k=_ACF_MAX_LAG),
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("tot"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    a, p = daily.alias("a"), daily.alias("p")
+    pairs = (
+        a.join(
+            p,
+            (F.col("p.event_type") == F.col("a.event_type"))
+            & (F.col("p.d") >= F.date_sub(F.col("a.d"), _ACF_MAX_LAG))
+            & (F.col("p.d") < F.col("a.d")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.datediff(F.col("a.d"), F.col("p.d")).cast("long").alias("lag"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("a.x") * F.col("p.x")).alias("spp"),
+            F.sum("a.x").alias("sa"),
+            F.sum("p.x").alias("sp"),
+        )
+    )
+    # mu and mu2 are written as the same token sequence as the oracle so
+    # the scalar IEEE ops run in the same order on both engines; every
+    # aggregate input is an exact integer, so this closed form is the ONLY
+    # float arithmetic in the query
+    mu = F.col("tot").cast("double") / F.col("n")
+    mu2 = mu * mu
+    return (
+        pairs.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            floor_ratio(
+                (
+                    F.col("spp")
+                    - mu * F.col("sa")
+                    - mu * F.col("sp")
+                    + F.col("n_pairs") * mu2
+                )
+                / (F.col("sxx") - F.col("n") * mu2),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+walked AS (
+  SELECT event_type, d, x,
+         sum(x) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS idx,
+         CAST(sum(x) OVER (PARTITION BY event_type) AS DOUBLE)
+           / count(*) OVER (PARTITION BY event_type) AS mu,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+),
+scored AS (
+  SELECT event_type, d, n_days, cum - idx * mu AS s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cum - idx * mu) DESC, d) AS rk
+  FROM walked
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days, d AS change_day,
+       floor(abs(s) * 1000000) / 1000000 AS max_dev,
+       CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS direction
+FROM scored WHERE rk = 1 ORDER BY event_type
+""",
+    doc=(
+        "CUSUM change-point detection on the daily event-count series per "
+        "type: the cumulative sum of deviations from the series mean "
+        "peaks AT the change point (Page's classic offline CUSUM), so the "
+        "argmax day, its deviation magnitude, and the drift direction are "
+        "the alarm a metrics warehouse raises when a deploy shifts a "
+        "rate. Cross-engine exact by construction: daily counts and their "
+        "running sums are BIGINTs, the mean is one division, and "
+        "S_t = cum_t - t*mu is a two-op scalar — both engines walk "
+        "identical IEEE doubles, and the argmax tie-breaks on the "
+        "earliest day. Plan shape: ONE corpus hash agg to (type, day) "
+        "cells, then two windows and the argmax rank all ride a single "
+        "types-partitioned exchange of the KB-scale daily table. At "
+        "100 TB only the first agg sees the corpus; a streaming variant "
+        "is the same arithmetic over q_stream_running_totals state."
+    ),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("x"))
+    )
+    by_day = Window.partitionBy("event_type").orderBy("d")
+    whole = Window.partitionBy("event_type")
+    walked = daily.select(
+        "event_type",
+        "d",
+        F.sum("x").over(by_day.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(by_day).alias("idx"),
+        (F.sum("x").over(whole).cast("double") / F.count("*").over(whole)).alias("mu"),
+        F.count("*").over(whole).alias("n_days"),
+    )
+    s = F.col("cum") - F.col("idx") * F.col("mu")
+    scored = walked.select(
+        "event_type",
+        "d",
+        "n_days",
+        s.alias("s"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.abs(s).desc(), "d"))
+        .alias("rk"),
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("d").alias("change_day"),
+            floor_ratio(F.abs(F.col("s")), 6).alias("max_dev"),
+            F.when(F.col("s") > 0, 1)
+            .when(F.col("s") < 0, -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("direction"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Kolmogorov-Smirnov critical coefficient for alpha=0.05 (two-sample)
+_KS_COEF = 1.358
+
+
+@register(
+    "q_ks_drift",
+    oracle=f"""
+WITH marked AS (
+  SELECT event_type, value,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm
+  FROM events
+),
+cells AS (
+  SELECT event_type, value,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM marked GROUP BY event_type, value
+),
+walked AS (
+  SELECT event_type, value,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum1,
+         sum(c0) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum0,
+         sum(c1) OVER (PARTITION BY event_type) AS n1,
+         sum(c0) OVER (PARTITION BY event_type) AS n0
+  FROM cells
+),
+scored AS (
+  SELECT event_type, value, n1, n0,
+         abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum0 AS DOUBLE) / n0) AS diff,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY abs(CAST(cum1 AS DOUBLE) / n1
+                        - CAST(cum0 AS DOUBLE) / n0) DESC, value) AS rk
+  FROM walked
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n_a, CAST(n0 AS BIGINT) AS n_b,
+       floor(diff * 1000000) / 1000000 AS ks_stat,
+       floor(value * 1000000) / 1000000 AS ks_at_value,
+       CAST(diff > {_KS_COEF} * sqrt((n1 + n0) / (CAST(n1 AS DOUBLE) * n0))
+            AS BIGINT) AS drift_flag
+FROM scored WHERE rk = 1 ORDER BY event_type
+""",
+    doc=(
+        "Two-sample Kolmogorov-Smirnov drift test per event type: split "
+        "users into two deterministic md5 arms (the q_ab_cuped keying) "
+        "and report the max CDF gap, where it occurs, and an alpha=0.05 "
+        "flag ({c}*sqrt((n1+n2)/(n1*n2))). KS is the nonparametric "
+        "complement to q_psi_drift: no binning choices, sensitive to any "
+        "distributional change, the standard gate before trusting an A/B "
+        "metric or a retrained-model feature. Exactness: per-(type, "
+        "value) arm counts and their running sums are BIGINTs, so the "
+        "empirical CDFs are exact-int/exact-int divisions and both "
+        "engines compare identical doubles; the argmax tie-breaks on the "
+        "smallest value. Plan shape: ONE corpus hash agg to (type, "
+        "distinct value) cells, then the CDF walk is windows over that "
+        "aggregate on a single types-partitioned exchange. At 100 TB a "
+        "high-cardinality metric quantizes values to a fixed grid first "
+        "(same plan, bounded cells); the per-type window sort spills, "
+        "nothing else changes."
+    ).format(c=_KS_COEF),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    marked = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    cells = marked.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),
+    )
+    by_val = Window.partitionBy("event_type").orderBy("value")
+    whole = Window.partitionBy("event_type")
+    walked = cells.select(
+        "event_type",
+        "value",
+        F.sum("c1").over(by_val.rowsBetween(Window.unboundedPreceding, 0)).alias("cum1"),
+        F.sum("c0").over(by_val.rowsBetween(Window.unboundedPreceding, 0)).alias("cum0"),
+        F.sum("c1").over(whole).alias("n1"),
+        F.sum("c0").over(whole).alias("n0"),
+    )
+    diff = F.abs(
+        F.col("cum1").cast("double") / F.col("n1")
+        - F.col("cum0").cast("double") / F.col("n0")
+    )
+    scored = walked.select(
+        "event_type",
+        "value",
+        "n1",
+        "n0",
+        diff.alias("diff"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(diff.desc(), "value"))
+        .alias("rk"),
+    )
+    crit = F.lit(_KS_COEF) * F.sqrt(
+        (F.col("n1") + F.col("n0"))
+        / (F.col("n1").cast("double") * F.col("n0"))
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n_a"),
+            F.col("n0").cast("long").alias("n_b"),
+            floor_ratio(F.col("diff"), 6).alias("ks_stat"),
+            floor_ratio(F.col("value"), 6).alias("ks_at_value"),
+            (F.col("diff") > crit).cast("long").alias("drift_flag"),
+        )
+        .orderBy("event_type")
     )

@@ -76,17 +76,18 @@ def test_bootstrap_ci_brackets_the_point_estimate(spark):
     assert row.boot_sd > 0
     # CI width is symmetric by construction (normal approximation)
     assert abs((row.ci_hi - row.point_est) - (row.point_est - row.ci_lo)) < 1e-3
-    # the resampler is the documented md5-hex-window Poisson surrogate:
-    # replay resample r=1 (chunk 0, window 0) in pure Python and check
-    # its weighted mean is plausible (within 5 sd of the point estimate)
-    from cloud_data_sync_spark.operators.analytics import _POIS16
+    # the resampler is the documented md5-byte-window Poisson surrogate:
+    # replay resample r=1 (chunk 0, parse window 0, byte 0 — i.e. the
+    # digest's FIRST byte) in pure Python and check its weighted mean is
+    # plausible (within 5 sd of the point estimate)
+    from cloud_data_sync_spark.operators.analytics import _POIS8
 
     tot_w = tot_wx = 0
     for r in li:
         key = f"{r.l_orderkey}-{r.l_linenumber}#0".encode()
-        v = int(hashlib.md5(key).hexdigest()[:4], 16)
+        v = int(hashlib.md5(key).hexdigest()[:2], 16)
         w = next(
-            (i for i, t in enumerate(_POIS16) if v < t), len(_POIS16)
+            (i for i, t in enumerate(_POIS8) if v < t), len(_POIS8)
         )
         tot_w += w
         tot_wx += w * r.l_extendedprice
