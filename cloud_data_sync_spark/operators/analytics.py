@@ -1772,7 +1772,7 @@ pairs AS (
               AND p.d < a.d
   GROUP BY a.event_type, a.d - p.d
 )
-SELECT s.event_type, lag, n_pairs,
+SELECT s.event_type AS event_type, lag, n_pairs,
        floor((spp - (CAST(tot AS DOUBLE) / n) * sa
                   - (CAST(tot AS DOUBLE) / n) * sp
                   + n_pairs * ((CAST(tot AS DOUBLE) / n)

@@ -1,0 +1,122 @@
+"""Semantic tests for the time-series / drift diagnostics trio added in
+round 5: lag-k autocorrelation, CUSUM change-point detection, and the
+two-sample Kolmogorov-Smirnov drift test — each checked against a full
+independent pure-Python recomputation from the raw events table."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    from cloud_data_sync_spark.registry import all_queries
+
+    return all_queries()[name].fn(spark, SF).collect()
+
+
+def _events(spark):
+    from cloud_data_sync_spark.tables import load_table
+
+    return load_table(spark, SF, "events").select(
+        "event_type", "ts", "user_id", "value"
+    ).collect()
+
+
+def _daily_counts(events):
+    daily: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    for e in events:
+        daily[e.event_type][e.ts.date()] += 1
+    return daily
+
+
+def test_acf_matches_pure_python_estimator(spark):
+    rows = {(r.event_type, r.lag): r for r in _run(spark, "q_acf")}
+    daily = _daily_counts(_events(spark))
+    seen = set()
+    for etype, series in daily.items():
+        days = sorted(series)
+        xs = [series[d] for d in days]
+        n = len(xs)
+        mu = sum(xs) / n
+        den = sum(x * x for x in xs) - n * mu * mu
+        for lag in range(1, 8):
+            # calendar lag, same as the query's self-join on d - lag days
+            pairs = [
+                (series[d], series[p])
+                for d in days
+                for p in [d - __import__("datetime").timedelta(days=lag)]
+                if p in series
+            ]
+            if not pairs:
+                assert (etype, lag) not in rows
+                continue
+            num = (
+                sum(a * b for a, b in pairs)
+                - mu * sum(a for a, _ in pairs)
+                - mu * sum(b for _, b in pairs)
+                + len(pairs) * mu * mu
+            )
+            r = rows.pop((etype, lag))
+            seen.add((etype, lag))
+            assert r.n_pairs == len(pairs)
+            assert abs(r.acf - math.floor(num / den * 1e6) / 1e6) < 1e-9
+            assert -1.000001 <= r.acf <= 1.000001
+    assert not rows  # every emitted (type, lag) was independently checked
+
+
+def test_cusum_changepoint_matches_pure_python_walk(spark):
+    rows = {r.event_type: r for r in _run(spark, "q_cusum_changepoint")}
+    daily = _daily_counts(_events(spark))
+    assert sorted(rows) == sorted(daily)
+    for etype, series in daily.items():
+        days = sorted(series)
+        xs = [series[d] for d in days]
+        mu = sum(xs) / len(xs)
+        cum = 0
+        best = None  # (abs_s desc, day asc) argmax
+        for i, (d, x) in enumerate(zip(days, xs), start=1):
+            cum += x
+            s = cum - i * mu
+            if best is None or abs(s) > best[0]:
+                best = (abs(s), d, s)
+        r = rows[etype]
+        assert r.n_days == len(days)
+        assert r.change_day == best[1]
+        assert abs(r.max_dev - math.floor(best[0] * 1e6) / 1e6) < 1e-9
+        assert r.direction == (1 if best[2] > 0 else -1 if best[2] < 0 else 0)
+
+
+def _arm(user_id) -> int:
+    return int(hashlib.md5(str(user_id).encode()).hexdigest()[:8], 16) % 2
+
+
+def test_ks_drift_matches_pure_python_cdf_walk(spark):
+    rows = {r.event_type: r for r in _run(spark, "q_ks_drift")}
+    by_type: dict[str, list] = defaultdict(list)
+    for e in _events(spark):
+        by_type[e.event_type].append((e.value, _arm(e.user_id)))
+    assert sorted(rows) == sorted(by_type)
+    for etype, vals in by_type.items():
+        cells: dict[float, list[int]] = defaultdict(lambda: [0, 0])
+        for v, arm in vals:
+            cells[v][arm] += 1
+        n0 = sum(c[0] for c in cells.values())
+        n1 = sum(c[1] for c in cells.values())
+        cum0 = cum1 = 0
+        best = None  # (diff desc, value asc) argmax
+        for v in sorted(cells):
+            cum0 += cells[v][0]
+            cum1 += cells[v][1]
+            diff = abs(cum1 / n1 - cum0 / n0)
+            if best is None or diff > best[0]:
+                best = (diff, v)
+        r = rows[etype]
+        assert (r.n_a, r.n_b) == (n1, n0)
+        assert abs(r.ks_stat - math.floor(best[0] * 1e6) / 1e6) < 1e-9
+        assert abs(r.ks_at_value - math.floor(best[1] * 1e6) / 1e6) < 1e-9
+        crit = 1.358 * math.sqrt((n1 + n0) / (n1 * n0))
+        assert r.drift_flag == int(best[0] > crit)
