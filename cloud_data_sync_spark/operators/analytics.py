@@ -2069,3 +2069,193 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_expectations",
+    oracle="""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_custkey) AS BIGINT) AS n_cust,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_status,
+         CAST(sum(CASE WHEN o_orderdate >= DATE '1992-01-01'
+                        AND o_orderdate < DATE '1999-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dates
+  FROM orders
+),
+orphans AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orphan
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+),
+checks AS (
+  SELECT 'completeness_custkey' AS check_name,
+         CAST(n_cust AS DOUBLE) / n AS metric,
+         CAST(0.99 AS DOUBLE) AS threshold FROM base
+  UNION ALL
+  SELECT 'uniqueness_orderkey', CAST(n_keys AS DOUBLE) / n,
+         CAST(1.0 AS DOUBLE) FROM base
+  UNION ALL
+  SELECT 'positive_totalprice', CAST(n_pos AS DOUBLE) / n,
+         CAST(1.0 AS DOUBLE) FROM base
+  UNION ALL
+  SELECT 'accepted_status_values', CAST(n_status AS DOUBLE) / n,
+         CAST(1.0 AS DOUBLE)
+  FROM base
+  UNION ALL
+  SELECT 'orderdate_in_range', CAST(n_dates AS DOUBLE) / n,
+         CAST(1.0 AS DOUBLE) FROM base
+  UNION ALL
+  SELECT 'referential_custkey',
+         1.0 - CAST(n_orphan AS DOUBLE) / (SELECT n FROM base),
+         CAST(1.0 AS DOUBLE)
+  FROM orphans
+)
+SELECT check_name, floor(metric * 1000000) / 1000000 AS metric, threshold,
+       CAST(metric >= threshold AS BIGINT) AS passed
+FROM checks ORDER BY check_name
+""",
+    doc=(
+        "Deequ-style data-quality expectations suite over the orders "
+        "table: completeness, key uniqueness, value positivity, an "
+        "accepted-values domain check, a date-range check, and FK "
+        "referential integrity — each emitting (metric, threshold, "
+        "passed), the contract gate a pipeline evaluates before "
+        "publishing a table version. Plan shape: ONE scan computes every "
+        "row-local check as conditional aggregates (map-side combined; "
+        "the exact-uniqueness count is the only expression that shuffles "
+        "values, and it shuffles keys, not rows), plus one broadcast "
+        "anti-join count for the FK check — then the suite is a "
+        "6-row literal melt of the 1-row aggregate. Metrics are "
+        "exact-integer ratios, so both engines compare identical "
+        "doubles against the thresholds. At 100 TB add checks by adding "
+        "aggregate columns — the pass count stays one scan."
+    ),
+)
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum((F.col("o_totalprice") > 0).cast("long")).alias("n_pos"),
+        F.sum(
+            F.col("o_orderstatus").isin("O", "F", "P").cast("long")
+        ).alias("n_status"),
+        F.sum(
+            (
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+            ).cast("long")
+        ).alias("n_dates"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        o.join(
+            F.broadcast(cust),
+            o["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_orphan"))
+    )
+    packed = base.crossJoin(F.broadcast(orphans))
+    checks = packed.selectExpr(
+        """stack(6,
+           'completeness_custkey', CAST(n_cust AS DOUBLE) / n, 0.99D,
+           'uniqueness_orderkey', CAST(n_keys AS DOUBLE) / n, 1.0D,
+           'positive_totalprice', CAST(n_pos AS DOUBLE) / n, 1.0D,
+           'accepted_status_values', CAST(n_status AS DOUBLE) / n, 1.0D,
+           'orderdate_in_range', CAST(n_dates AS DOUBLE) / n, 1.0D,
+           'referential_custkey', 1.0D - CAST(n_orphan AS DOUBLE) / n, 1.0D
+        ) AS (check_name, metric, threshold)"""
+    )
+    return checks.select(
+        "check_name",
+        floor_ratio(F.col("metric"), 6).alias("metric"),
+        "threshold",
+        (F.col("metric") >= F.col("threshold")).cast("long").alias("passed"),
+    ).orderBy("check_name")
+
+
+_LATE_BUCKET_S = (60, 600)
+
+
+@register(
+    "q_late_events",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS tus,
+         max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS frontier
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN frontier > tus THEN 1 ELSE 0 END) AS BIGINT)
+         AS ooo_count,
+       floor(CAST(sum(CASE WHEN frontier > tus THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000) / 1000000 AS ooo_frac,
+       floor(CAST(max(frontier - tus) AS DOUBLE) / 1000000 * 1000000)
+         / 1000000 AS max_lateness_s,
+       CAST(sum(CASE WHEN frontier - tus > {_LATE_BUCKET_S[0]} * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_over_1m,
+       CAST(sum(CASE WHEN frontier - tus > {_LATE_BUCKET_S[1]} * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_over_10m
+FROM seq GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Watermark-lateness audit: treating event_id as the ingestion "
+        "sequence, walk each type's arrival stream, track the event-time "
+        "frontier (running max ts), and measure how far behind it each "
+        "event arrives — out-of-order fraction, worst lateness, and "
+        "counts beyond 1-minute/10-minute thresholds. This is THE "
+        "statistic that tunes `withWatermark` for every streaming query "
+        "in the engine (q_stream_*): a watermark below the observed "
+        "lateness tail silently drops data, one far above it bloats "
+        "state. Exactness: epoch-microsecond timestamps and their "
+        "running max are BIGINTs end-to-end; the only doubles are the "
+        "final ratio and the seconds rescale. Plan shape: ONE "
+        "types-partitioned window walk (the sort spills at scale), then "
+        "a types-bounded hash agg. At 100 TB the arrival proxy becomes "
+        "the ingestion log's offset column — same plan."
+    ),
+)
+def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("frontier"),
+    )
+    late = F.col("frontier") - F.col("tus")
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((late > 0).cast("long")).alias("ooo_count"),
+            floor_ratio(
+                F.sum((late > 0).cast("long")).cast("double") / F.count("*"),
+                6,
+            ).alias("ooo_frac"),
+            floor_ratio(F.max(late).cast("double") / 1000000, 6).alias(
+                "max_lateness_s"
+            ),
+            F.sum(
+                (late > _LATE_BUCKET_S[0] * 1000000).cast("long")
+            ).alias("late_over_1m"),
+            F.sum(
+                (late > _LATE_BUCKET_S[1] * 1000000).cast("long")
+            ).alias("late_over_10m"),
+        )
+        .orderBy("event_type")
+    )

@@ -1003,6 +1003,81 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_MIN_ITEM_SUP = 31
 _PAIR_TOPK = 20
 
+# Shared basket substrates: the per-item basket supports and the
+# frequent-pair co-occurrence aggregate feed both the A-priori report
+# (q_itemset_pairs) and the co-occurrence cosine similarity
+# (q_item_cosine). Each previously re-ran the full basket pipeline; the
+# substrate materializes the aggregates once per (session, input
+# vintage) — ids and counts only, far smaller than the fact table.
+# plan= on each consumer keeps the audit pinned to the builder pipeline.
+_ITEM_SUPPORT_SUBSTRATE: dict = {}
+_BASKET_PAIR_SUBSTRATE: dict = {}
+
+
+def _basket_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    )
+
+
+def _item_support_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _basket_lines(spark, sf_dir)
+        .groupBy("item")
+        .agg(F.countDistinct("okey").alias("sup"))
+    )
+
+
+def item_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.tables import session_substrate
+
+    return session_substrate(
+        spark,
+        _ITEM_SUPPORT_SUBSTRATE,
+        sf_dir,
+        "ml.item_support",
+        "lineitem",
+        lambda: _item_support_build(spark, sf_dir),
+    )
+
+
+def _basket_pairs_build(
+    spark: SparkSession, sf_dir: str, support: DataFrame
+) -> DataFrame:
+    li = _basket_lines(spark, sf_dir)
+    freq = support.filter(F.col("sup") >= _PAIR_MIN_ITEM_SUP).select("item")
+    pruned = li.join(freq, "item", "semi")
+    # collect_set dedups repeat (order, part) lines inside the basket agg
+    # itself — no corpus-wide distinct pass needed before it
+    per_basket = pruned.groupBy("okey").agg(
+        F.sort_array(F.collect_set("item")).alias("items")
+    )
+    pairs = per_basket.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    return pairs.groupBy("item_a", "item_b").agg(
+        F.count("*").alias("pair_support")
+    )
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.tables import session_substrate
+
+    return session_substrate(
+        spark,
+        _BASKET_PAIR_SUBSTRATE,
+        sf_dir,
+        "ml.basket_pairs",
+        "lineitem",
+        lambda: _basket_pairs_build(spark, sf_dir, item_support(spark, sf_dir)),
+    )
+
 
 @register(
     "q_itemset_pairs",
@@ -1049,38 +1124,109 @@ LIMIT {_PAIR_TOPK}
         "per-mapping aggregation loop (sync.go:97-99) would need to "
         "become a co-occurrence report."
     ),
+    plan=lambda spark, sf_dir: _basket_pairs_build(
+        spark, sf_dir, _item_support_build(spark, sf_dir)
+    ).orderBy(F.desc("pair_support"), "item_a", "item_b").limit(_PAIR_TOPK),
 )
 def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    return (
+        basket_pairs(spark, sf_dir)
+        .orderBy(F.desc("pair_support"), "item_a", "item_b")
+        .limit(_PAIR_TOPK)
     )
-    freq = (
-        li.groupBy("item")
-        .agg(F.countDistinct("okey").alias("sup"))
-        .filter(F.col("sup") >= _PAIR_MIN_ITEM_SUP)
-        .select("item")
+
+
+# Minimum co-occurrence count before a cosine is meaningful — a single
+# shared basket between two ~30-support items is noise, not affinity.
+# 2 keeps the report populated at every sf (support spreads thinner as
+# the basket universe grows: >=3 leaves ONE pair at sf0.1).
+_COS_MIN_PAIR = 2
+
+
+@register(
+    "q_item_cosine",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+),
+support AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS sup FROM baskets GROUP BY item
+),
+pruned AS (
+  SELECT b.okey, b.item FROM baskets b
+  JOIN support s ON s.item = b.item AND s.sup >= {_PAIR_MIN_ITEM_SUP}
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS pair_support
+  FROM pruned a JOIN pruned b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT p.item_a, p.item_b, p.pair_support,
+       sa.sup AS sup_a, sb.sup AS sup_b,
+       floor(p.pair_support
+             / sqrt(CAST(sa.sup * sb.sup AS DOUBLE)) * 1000000)
+         / 1000000 AS cosine
+FROM pairs p
+JOIN support sa ON sa.item = p.item_a
+JOIN support sb ON sb.item = p.item_b
+WHERE p.pair_support >= {_COS_MIN_PAIR}
+ORDER BY cosine DESC, item_a, item_b
+LIMIT {_PAIR_TOPK}
+""",
+    doc=(
+        "Item-item cosine similarity from basket co-occurrence (the "
+        "classic co-occurrence recommender: cos = pair_support / "
+        "sqrt(sup_a * sup_b) over binary basket-incidence vectors) — "
+        "top-{k} affinities among A-priori-frequent items with at least "
+        "{m} shared baskets. Rides the SAME two shared substrates as "
+        "q_itemset_pairs (per-item basket supports; the frequent-pair "
+        "co-occurrence aggregate), so the fact table is scanned once per "
+        "session for the whole basket family; the cosine arithmetic is "
+        "two joins of the KB-scale pair aggregate against the "
+        "catalog-sized support table plus one exact-integer division "
+        "(counts are BIGINTs, so both engines divide identical values) "
+        "and a TakeOrderedAndProject top-k. At 100 TB the support join "
+        "broadcasts while the catalog fits and falls back to a hash "
+        "co-partition when it doesn't — never a corpus shuffle."
+    ).format(k=_PAIR_TOPK, m=_COS_MIN_PAIR),
+    plan=lambda spark, sf_dir: _item_cosine_report(
+        _basket_pairs_build(spark, sf_dir, _item_support_build(spark, sf_dir)),
+        _item_support_build(spark, sf_dir),
+    ),
+)
+def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _item_cosine_report(
+        basket_pairs(spark, sf_dir), item_support(spark, sf_dir)
     )
-    pruned = li.join(freq, "item", "semi")
-    # collect_set dedups repeat (order, part) lines inside the basket agg
-    # itself — no corpus-wide distinct pass needed before it
-    per_basket = pruned.groupBy("okey").agg(
-        F.sort_array(F.collect_set("item")).alias("items")
+
+
+def _item_cosine_report(pairs: DataFrame, support: DataFrame) -> DataFrame:
+    sa = support.select(
+        F.col("item").alias("item_a"), F.col("sup").alias("sup_a")
     )
-    pairs = per_basket.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(items, (x, i) -> "
-                "transform(slice(items, i + 2, size(items)), "
-                "y -> struct(x AS item_a, y AS item_b))))"
-            )
-        ).alias("p")
-    ).select("p.item_a", "p.item_b")
-    counted = pairs.groupBy("item_a", "item_b").agg(
-        F.count("*").alias("pair_support")
+    sb = support.select(
+        F.col("item").alias("item_b"), F.col("sup").alias("sup_b")
     )
-    return counted.orderBy(
-        F.desc("pair_support"), "item_a", "item_b"
-    ).limit(_PAIR_TOPK)
+    return (
+        pairs.filter(F.col("pair_support") >= _COS_MIN_PAIR)
+        .join(sa, "item_a")
+        .join(sb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_support",
+            "sup_a",
+            "sup_b",
+            floor_ratio(
+                F.col("pair_support")
+                / F.sqrt((F.col("sup_a") * F.col("sup_b")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "item_a", "item_b")
+        .limit(_PAIR_TOPK)
+    )
 
 
 _TE_FOLDS = 5

@@ -83,6 +83,9 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   constant-size threshold explode.
 BNLJ_ALLOWED = {
     "q_logreg_calibration",
+    # 1-row orders-aggregate pack × 1-row orphan-count pack — both sides
+    # are single-row aggregates, constant at any corpus size
+    "q_expectations",
     # q_bootstrap_ci left this list in r5: the hash-window rework computes
     # its CI entirely on the single aggregate row — no scalar pack remains
     "q_mixture_sample",
