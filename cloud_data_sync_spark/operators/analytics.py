@@ -2259,3 +2259,92 @@ def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# z quantiles for the standard alpha=0.05 (two-sided) / 80%-power design
+_Z_ALPHA = 1.96
+_Z_BETA = 0.8416
+_POWER_TARGET_LIFT = 0.01  # detect a 1% relative lift
+
+
+@register(
+    "q_power_analysis",
+    oracle=f"""
+WITH marked AS (
+  SELECT value,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm
+  FROM events
+),
+s AS (
+  SELECT
+    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_a,
+    CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_b,
+    avg(CASE WHEN arm = 0 THEN value END) AS m_ctrl,
+    var_samp(CASE WHEN arm = 1 THEN value END) AS v_a,
+    var_samp(CASE WHEN arm = 0 THEN value END) AS v_b
+  FROM marked
+)
+SELECT n_a, n_b,
+       round(m_ctrl, 4) AS mean_ctrl,
+       round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(v_a / n_a + v_b / n_b), 4)
+         AS mde_abs,
+       round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(v_a / n_a + v_b / n_b)
+             / m_ctrl, 6) AS mde_rel,
+       round(({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+             * (v_a + v_b)
+             / (({_POWER_TARGET_LIFT} * m_ctrl)
+                * ({_POWER_TARGET_LIFT} * m_ctrl)), 2)
+         AS n_per_arm_for_1pct
+FROM s
+""",
+    doc=(
+        "Experiment power analysis: the minimum detectable effect of the "
+        "CURRENT traffic split (alpha=0.05 two-sided, 80% power) and the "
+        "per-arm sample size a {lift:.0%} relative lift would require — "
+        "the pre-registration readout every experimentation platform "
+        "computes before an A/B launches, completing the q_ab_welch / "
+        "q_ab_cuped experiment stack. Arms are the same deterministic "
+        "md5(user_id) keying as q_ab_cuped. Plan shape: ONE conditional "
+        "aggregation (both arms' count/mean/var ride the same single-"
+        "pass partials — no per-arm scan, no join); the MDE/sample-size "
+        "arithmetic is a projection over the one-row aggregate. Outputs "
+        "are rounded to coarse grids on both engines so variance ulp "
+        "noise (partial-merge order) cannot flip a reported digit; the "
+        "required-n is reported on the same grid rather than ceil()ed, "
+        "because ceil amplifies one ulp into an off-by-one integer."
+    ).format(lift=_POWER_TARGET_LIFT),
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    marked = load_table(spark, sf_dir, "events").select(
+        "value",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    is_t = F.col("arm") == 1
+    s = marked.agg(
+        F.count(F.when(is_t, 1)).alias("n_a"),
+        F.count(F.when(~is_t, 1)).alias("n_b"),
+        F.avg(F.when(~is_t, F.col("value"))).alias("m_ctrl"),
+        F.var_samp(F.when(is_t, F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(~is_t, F.col("value"))).alias("v_b"),
+    )
+    z = _Z_ALPHA + _Z_BETA
+    mde = z * F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+    target = _POWER_TARGET_LIFT * F.col("m_ctrl")
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("m_ctrl", 4).alias("mean_ctrl"),
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(mde / F.col("m_ctrl"), 6).alias("mde_rel"),
+        F.round(
+            z * z * (F.col("v_a") + F.col("v_b")) / (target * target), 2
+        ).alias("n_per_arm_for_1pct"),
+    )

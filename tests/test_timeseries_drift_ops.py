@@ -120,3 +120,37 @@ def test_ks_drift_matches_pure_python_cdf_walk(spark):
         assert abs(r.ks_at_value - math.floor(best[1] * 1e6) / 1e6) < 1e-9
         crit = 1.358 * math.sqrt((n1 + n0) / (n1 * n0))
         assert r.drift_flag == int(best[0] > crit)
+
+
+def test_power_analysis_matches_pure_python_formulas(spark):
+    from cloud_data_sync_spark.operators.analytics import (
+        _POWER_TARGET_LIFT,
+        _Z_ALPHA,
+        _Z_BETA,
+    )
+
+    (r,) = _run(spark, "q_power_analysis")
+    arms: dict[int, list[float]] = {0: [], 1: []}
+    for e in _events(spark):
+        arms[_arm(e.user_id)].append(e.value)
+    n_a, n_b = len(arms[1]), len(arms[0])
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    m_ctrl = sum(arms[0]) / n_b
+
+    def var_samp(xs):
+        mu = sum(xs) / len(xs)
+        return sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+
+    v_a, v_b = var_samp(arms[1]), var_samp(arms[0])
+    z = _Z_ALPHA + _Z_BETA
+    mde = z * math.sqrt(v_a / n_a + v_b / n_b)
+    assert abs(r.mean_ctrl - m_ctrl) < 1e-3
+    assert abs(r.mde_abs - mde) < 1e-3
+    assert abs(r.mde_rel - mde / m_ctrl) < 1e-5
+    n_req = z * z * (v_a + v_b) / (_POWER_TARGET_LIFT * m_ctrl) ** 2
+    assert abs(r.n_per_arm_for_1pct - n_req) / n_req < 1e-6
+    # internal consistency: a 1% lift needs more samples than we have
+    # per arm iff the observed MDE exceeds 1% of the control mean
+    assert (r.n_per_arm_for_1pct > max(n_a, n_b)) == (
+        r.mde_rel > _POWER_TARGET_LIFT
+    )
