@@ -2348,3 +2348,85 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             z * z * (F.col("v_a") + F.col("v_b")) / (target * target), 2
         ).alias("n_per_arm_for_1pct"),
     )
+
+
+@register(
+    "q_metric_corr",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+         CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+         CAST(sum(b.x * b.x) AS BIGINT) AS syy
+  FROM daily a
+  JOIN daily b ON b.d = a.d AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n_days,
+       floor((n_days * sxy - sx * sy)
+             / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                    * (n_days * syy - sy * sy))
+             * 1000000) / 1000000 AS corr
+FROM pairs ORDER BY type_a, type_b
+""",
+    doc=(
+        "Cross-metric correlation matrix: Pearson correlation between "
+        "every pair of event types' daily count series — the cross-"
+        "series sibling of q_acf, and the screen an observability stack "
+        "runs to find which metrics move together (a deploy that shifts "
+        "'error' and 'purchase' together tells a different story than "
+        "one that shifts 'error' alone). Cross-engine exact: daily "
+        "counts are integers, the per-pair co-moments (n, sum xy, sum x, "
+        "sum x^2) are exact BIGINTs, and the correlation is one closed-"
+        "form scalar per pair written identically in both engines. Plan "
+        "shape: ONE corpus hash agg to (type, day) cells, a same-day "
+        "self-join on the KB-scale aggregate (types^2-bounded output), "
+        "one more bounded agg. At 100 TB only the first agg touches the "
+        "corpus."
+    ),
+)
+def q_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("x"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.d") == F.col("a.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+            F.sum("a.x").alias("sx"),
+            F.sum("b.x").alias("sy"),
+            F.sum(F.col("a.x") * F.col("a.x")).alias("sxx"),
+            F.sum(F.col("b.x") * F.col("b.x")).alias("syy"),
+        )
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        floor_ratio(num / den, 6).alias("corr"),
+    ).orderBy("type_a", "type_b")

@@ -822,3 +822,95 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+_NEYMAN_BUDGET = 1000  # documents of labeling budget to allocate
+
+
+@register(
+    "q_neyman_alloc",
+    oracle=f"""
+WITH grp AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source, lang
+),
+sig AS (
+  SELECT source, lang, n_docs,
+         round(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_docs)
+                    / (n_docs - 1)), 6) AS sigma
+  FROM grp WHERE n_docs > 1
+),
+tot AS (SELECT sum(n_docs * sigma) AS z FROM sig)
+SELECT g.source, g.lang, g.n_docs, g.sigma,
+       round(g.n_docs * g.sigma / t.z, 6) AS alloc_share,
+       CAST(least(floor({_NEYMAN_BUDGET} * (g.n_docs * g.sigma / t.z)),
+                  CAST(g.n_docs AS DOUBLE)) AS BIGINT) AS alloc_docs
+FROM sig g CROSS JOIN tot t
+ORDER BY source, lang
+""",
+    doc=(
+        "Neyman-optimal stratified sampling allocation: split a fixed "
+        "labeling/eval budget of {b} documents across (source, lang) "
+        "strata proportionally to N_h * sigma_h — the allocation that "
+        "minimizes the variance of the estimated corpus mean for a "
+        "fixed budget (vs the proportional allocation q_stratified_"
+        "sample uses). This is the op that decides where human-label "
+        "or eval spend goes in a data-curation loop: big, HETEROGENEOUS "
+        "strata get the samples; uniform strata need few no matter "
+        "their size. Exactness: per-stratum doc counts and char-length "
+        "moments are exact BIGINTs; sigma is one closed-form scalar per "
+        "stratum ROUNDED to 6 dp on both engines before entering the "
+        "normalizer sum (the q_perplexity_buckets boundary contract), "
+        "and the final floor()ed doc counts are capped at the stratum "
+        "size. Plan shape: ONE corpus hash agg to strata cells + a "
+        "1-row normalizer pack joined back map-side (whitelisted "
+        "scalar cross join, like q_mixture_temperature). At 100 TB "
+        "sigma_h comes from the same partial moments — no second pass."
+    ).format(b=_NEYMAN_BUDGET),
+)
+def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grp = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("s1"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        )
+    )
+    sig = grp.filter(F.col("n_docs") > 1).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.round(
+            F.sqrt(
+                (
+                    F.col("s2")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n_docs")
+                )
+                / (F.col("n_docs") - 1)
+            ),
+            6,
+        ).alias("sigma"),
+    )
+    tot = sig.agg(F.sum(F.col("n_docs") * F.col("sigma")).alias("z"))
+    share = F.col("n_docs") * F.col("sigma") / F.col("z")
+    return (
+        sig.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "sigma",
+            F.round(share, 6).alias("alloc_share"),
+            F.least(
+                F.floor(_NEYMAN_BUDGET * share),
+                F.col("n_docs").cast("double"),
+            )
+            .cast("long")
+            .alias("alloc_docs"),
+        )
+        .orderBy("source", "lang")
+    )

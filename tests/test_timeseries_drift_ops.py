@@ -154,3 +154,69 @@ def test_power_analysis_matches_pure_python_formulas(spark):
     assert (r.n_per_arm_for_1pct > max(n_a, n_b)) == (
         r.mde_rel > _POWER_TARGET_LIFT
     )
+
+
+def test_metric_corr_matches_pure_python_pearson(spark):
+    rows = {(r.type_a, r.type_b): r for r in _run(spark, "q_metric_corr")}
+    daily = _daily_counts(_events(spark))
+    types = sorted(daily)
+    checked = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            shared = sorted(set(daily[ta]) & set(daily[tb]))
+            xs = [daily[ta][d] for d in shared]
+            ys = [daily[tb][d] for d in shared]
+            n = len(shared)
+            num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+            den = math.sqrt(
+                (n * sum(x * x for x in xs) - sum(xs) ** 2)
+                * (n * sum(y * y for y in ys) - sum(ys) ** 2)
+            )
+            r = rows.pop((ta, tb))
+            checked += 1
+            assert r.n_days == n
+            assert abs(r.corr - math.floor(num / den * 1e6) / 1e6) < 1e-9
+            assert -1.000001 <= r.corr <= 1.000001
+    assert checked and not rows
+
+
+def test_neyman_alloc_favors_large_heterogeneous_strata(spark):
+    from cloud_data_sync_spark.operators.corpus import _NEYMAN_BUDGET
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = _run(spark, "q_neyman_alloc")
+    docs = load_table(spark, SF, "documents").select(
+        "source", "lang", "n_chars"
+    ).collect()
+    strata: dict[tuple, list[int]] = defaultdict(list)
+    for d in docs:
+        strata[(d.source, d.lang)].append(d.n_chars)
+    sigmas = {}
+    for key, xs in strata.items():
+        if len(xs) < 2:
+            continue
+        mu = sum(xs) / len(xs)
+        # the query's closed form: (s2 - s1^2/n) / (n - 1), rounded 6dp
+        s2, s1 = sum(x * x for x in xs), sum(xs)
+        sigmas[key] = round(
+            math.sqrt((s2 - s1 * s1 / len(xs)) / (len(xs) - 1)), 6
+        )
+    assert sorted((r.source, r.lang) for r in rows) == sorted(sigmas)
+    z = sum(len(strata[k]) * sigmas[k] for k in sigmas)
+    for r in rows:
+        k = (r.source, r.lang)
+        assert r.n_docs == len(strata[k])
+        assert abs(r.sigma - sigmas[k]) < 1e-9
+        share = r.n_docs * sigmas[k] / z
+        assert abs(r.alloc_share - round(share, 6)) < 1e-9
+        assert r.alloc_docs == min(
+            math.floor(_NEYMAN_BUDGET * share), r.n_docs
+        )
+    # floor() + the per-stratum cap can only shrink the budget, never
+    # exceed it (at sf0.001 most strata ARE capped at their size, so no
+    # useful lower bound exists — the per-row equality above is the check)
+    assert sum(r.alloc_docs for r in rows) <= _NEYMAN_BUDGET
+    # Neyman ordering: shares rank by N_h * sigma_h
+    ranked = sorted(rows, key=lambda r: r.n_docs * sigmas[(r.source, r.lang)])
+    for lo, hi in zip(ranked, ranked[1:]):
+        assert lo.alloc_share <= hi.alloc_share + 1e-9

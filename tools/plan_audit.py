@@ -86,6 +86,9 @@ BNLJ_ALLOWED = {
     # 1-row orders-aggregate pack × 1-row orphan-count pack — both sides
     # are single-row aggregates, constant at any corpus size
     "q_expectations",
+    # 1-row Neyman normalizer pack (sum of N_h·sigma_h) — same scalar
+    # cross-join shape as q_mixture_temperature
+    "q_neyman_alloc",
     # q_bootstrap_ci left this list in r5: the hash-window rework computes
     # its CI entirely on the single aggregate row — no scalar pack remains
     "q_mixture_sample",
