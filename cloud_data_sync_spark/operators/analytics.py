@@ -1380,6 +1380,38 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared daily-events substrate: the (event_type, day) aggregate with
+# both the row count and the value sum feeds the whole daily-series
+# family (q_seasonal_forecast, q_acf, q_cusum_changepoint,
+# q_metric_corr). Each previously re-ran the corpus hash agg; the
+# substrate materializes it once per (session, input vintage) —
+# types × days rows, KB at any corpus size. plan= on each consumer
+# keeps the audit pinned to the builder pipeline (the plan that
+# executes at scale, where the substrate is a written rollup table).
+_DAILY_EVENTS_SUBSTRATE: dict = {}
+
+
+def _daily_events_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+
+
+def daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.tables import session_substrate
+
+    return session_substrate(
+        spark,
+        _DAILY_EVENTS_SUBSTRATE,
+        sf_dir,
+        "analytics.daily_events",
+        "events",
+        lambda: _daily_events_build(spark, sf_dir),
+    )
+
+
 _SEASON_LAG_DAYS = 7
 
 
@@ -1411,19 +1443,21 @@ FROM scored GROUP BY event_type ORDER BY event_type
         "for a metrics warehouse. The lag is a calendar self-JOIN on "
         "(type, day-{lag}), not lag({lag}) over a row window — row "
         "offsets silently misalign when days are missing. Plan shape: "
-        "ONE corpus hash agg to (type, day) cells, then the self-join "
-        "and the readout agg run on the aggregate-sized daily table "
-        "(types x days rows — KB at any corpus size)."
+        "ONE corpus hash agg to (type, day) cells — the shared "
+        "daily-events substrate — then the self-join and the readout "
+        "agg run on the aggregate-sized daily table (types x days "
+        "rows — KB at any corpus size)."
     ).format(lag=_SEASON_LAG_DAYS),
+    plan=lambda spark, sf_dir: _seasonal_forecast_report(
+        _daily_events_build(spark, sf_dir)
+    ),
 )
 def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            "event_type", F.col("ts").cast("date").alias("d")
-        )
-        .agg(F.sum("value").alias("v"))
-    )
+    return _seasonal_forecast_report(daily_events(spark, sf_dir))
+
+
+def _seasonal_forecast_report(daily_nv: DataFrame) -> DataFrame:
+    daily = daily_nv.select("event_type", "d", "v")
     a = daily.alias("a")
     p = daily.alias("p")
     scored = a.join(
@@ -1796,18 +1830,20 @@ ORDER BY event_type, lag
         "written token-for-token identically in both engines. Lags come "
         "from ONE calendar-bounded self-join on the (type, day) AGGREGATE "
         "(k joins would rescan; lag(k) row windows misalign on missing "
-        "days), so after the single corpus-sized hash agg everything is "
+        "days), so after the single corpus-sized hash agg — the shared "
+        "daily-events substrate — everything is "
         "KB-scale: types x days rows, types x {k} out. At 100 TB the only "
         "change is the daily agg's shuffle volume — O(types x days x "
         "partitions) partials, never rows."
     ).format(k=_ACF_MAX_LAG),
+    plan=lambda spark, sf_dir: _acf_report(_daily_events_build(spark, sf_dir)),
 )
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
-        .agg(F.count("*").alias("x"))
-    )
+    return _acf_report(daily_events(spark, sf_dir))
+
+
+def _acf_report(daily_nv: DataFrame) -> DataFrame:
+    daily = daily_nv.select("event_type", "d", F.col("n").alias("x"))
     stats = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("tot"),
@@ -1904,13 +1940,16 @@ FROM scored WHERE rk = 1 ORDER BY event_type
         "100 TB only the first agg sees the corpus; a streaming variant "
         "is the same arithmetic over q_stream_running_totals state."
     ),
+    plan=lambda spark, sf_dir: _cusum_report(
+        _daily_events_build(spark, sf_dir)
+    ),
 )
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
-        .agg(F.count("*").alias("x"))
-    )
+    return _cusum_report(daily_events(spark, sf_dir))
+
+
+def _cusum_report(daily_nv: DataFrame) -> DataFrame:
+    daily = daily_nv.select("event_type", "d", F.col("n").alias("x"))
     by_day = Window.partitionBy("event_type").orderBy("d")
     whole = Window.partitionBy("event_type")
     walked = daily.select(
@@ -2385,18 +2424,22 @@ FROM pairs ORDER BY type_a, type_b
         "counts are integers, the per-pair co-moments (n, sum xy, sum x, "
         "sum x^2) are exact BIGINTs, and the correlation is one closed-"
         "form scalar per pair written identically in both engines. Plan "
-        "shape: ONE corpus hash agg to (type, day) cells, a same-day "
+        "shape: ONE corpus hash agg to (type, day) cells — the shared "
+        "daily-events substrate — a same-day "
         "self-join on the KB-scale aggregate (types^2-bounded output), "
         "one more bounded agg. At 100 TB only the first agg touches the "
         "corpus."
     ),
+    plan=lambda spark, sf_dir: _metric_corr_report(
+        _daily_events_build(spark, sf_dir)
+    ),
 )
 def q_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
-        .agg(F.count("*").alias("x"))
-    )
+    return _metric_corr_report(daily_events(spark, sf_dir))
+
+
+def _metric_corr_report(daily_nv: DataFrame) -> DataFrame:
+    daily = daily_nv.select("event_type", "d", F.col("n").alias("x"))
     a, b = daily.alias("a"), daily.alias("b")
     pairs = (
         a.join(
