@@ -2473,3 +2473,146 @@ def _metric_corr_report(daily_nv: DataFrame) -> DataFrame:
         "n_days",
         floor_ratio(num / den, 6).alias("corr"),
     ).orderBy("type_a", "type_b")
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY cohort_week
+),
+cells AS (
+  SELECT f.cohort_week,
+         date_diff('day', f.cohort_week,
+                   CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_n,
+         sum(e.value) AS v
+  FROM events e JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, CAST(c.week_n AS BIGINT) AS week_n, s.cohort_users,
+       floor(sum(c.v) OVER (PARTITION BY c.cohort_week ORDER BY c.week_n
+                            ROWS UNBOUNDED PRECEDING)
+             / s.cohort_users * 10000) / 10000 AS ltv_per_user
+FROM cells c JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_n
+""",
+    doc=(
+        "Cohort LTV curves: cumulative value per user by (first-seen "
+        "week, weeks since) — the revenue-side sibling of q_retention's "
+        "activity matrix, and the curve every growth team projects "
+        "forward to price acquisition. Plan shape: first-touch is one "
+        "user_id-keyed aggregate; the join back reuses the same user "
+        "co-partition (broadcast when the user dim fits); the value "
+        "aggregate shuffles (cohort, week) cells, not events; and the "
+        "cumulative window runs over the KB-scale cell table (weeks per "
+        "cohort), partitioned by cohort — no window ever sees the event "
+        "stream. The running sum is a fixed-order fold over identical "
+        "cell values, so both engines walk the same doubles."
+    ),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    cells = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(wk, F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    cum = F.sum("v").over(
+        Window.partitionBy("cohort_week")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_n",
+            "cohort_users",
+            floor_ratio(cum / F.col("cohort_users"), 4).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+_FUNNEL_FROM = "signup"
+_FUNNEL_TO = "purchase"
+
+
+@register(
+    "q_funnel_time",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = '{_FUNNEL_FROM}'
+                  THEN epoch_us(ts) END) AS s,
+         min(CASE WHEN event_type = '{_FUNNEL_TO}'
+                  THEN epoch_us(ts) END) AS p
+  FROM events WHERE event_type IN ('{_FUNNEL_FROM}', '{_FUNNEL_TO}')
+  GROUP BY user_id
+)
+SELECT CAST(count(s) AS BIGINT) AS n_entered,
+       CAST(count(CASE WHEN p > s THEN 1 END) AS BIGINT) AS n_converted,
+       floor(CAST(count(CASE WHEN p > s THEN 1 END) AS DOUBLE)
+             / count(s) * 1000000) / 1000000 AS conv_rate,
+       round(quantile_cont(CASE WHEN p > s THEN p - s END, 0.5)
+             / 3600000000.0, 4) AS p50_hours,
+       round(quantile_cont(CASE WHEN p > s THEN p - s END, 0.9)
+             / 3600000000.0, 4) AS p90_hours,
+       round(avg(CASE WHEN p > s THEN p - s END) / 3600000000.0, 4)
+         AS mean_hours
+FROM per_user
+""",
+    doc=(
+        "Funnel time-to-convert: latency from each user's first "
+        "'{a}' to their first subsequent '{b}' — conversion rate plus "
+        "p50/p90/mean lag in hours, the metric that separates a slow "
+        "funnel from a leaky one (q_funnel counts WHO converts; this "
+        "measures HOW LONG conversion takes). Plan shape: ONE user-"
+        "keyed conditional aggregate collapses the event stream to "
+        "(first-{a}, first-{b}) epoch-microsecond pairs — exact BIGINTs "
+        "— then the readout is a single aggregate over the users-scale "
+        "set; the exact percentile swaps for approx_percentile's "
+        "mergeable sketch at 100 TB with the identical plan (the "
+        "q_agg_approx_quantiles pattern). Percentiles are rounded to "
+        "4 dp AFTER the hours rescale so interpolation ulp noise "
+        "cannot flip a digit."
+    ).format(a=_FUNNEL_FROM, b=_FUNNEL_TO),
+)
+def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_FUNNEL_FROM, _FUNNEL_TO)
+    )
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == _FUNNEL_FROM, tus)).alias("s"),
+        F.min(F.when(F.col("event_type") == _FUNNEL_TO, tus)).alias("p"),
+    )
+    lag = F.when(F.col("p") > F.col("s"), F.col("p") - F.col("s"))
+    hours = 3600000000.0
+    return per_user.agg(
+        F.count("s").alias("n_entered"),
+        F.count(lag).alias("n_converted"),
+        floor_ratio(
+            F.count(lag).cast("double") / F.count("s"), 6
+        ).alias("conv_rate"),
+        F.round(F.percentile(lag, F.lit(0.5)) / hours, 4).alias("p50_hours"),
+        F.round(F.percentile(lag, F.lit(0.9)) / hours, 4).alias("p90_hours"),
+        F.round(F.avg(lag) / hours, 4).alias("mean_hours"),
+    )

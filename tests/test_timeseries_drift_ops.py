@@ -220,3 +220,79 @@ def test_neyman_alloc_favors_large_heterogeneous_strata(spark):
     ranked = sorted(rows, key=lambda r: r.n_docs * sigmas[(r.source, r.lang)])
     for lo, hi in zip(ranked, ranked[1:]):
         assert lo.alloc_share <= hi.alloc_share + 1e-9
+
+
+def _monday_week(d):
+    import datetime
+
+    return d - datetime.timedelta(days=d.weekday())
+
+
+def test_cohort_ltv_matches_pure_python_accumulation(spark):
+    rows = {(r.cohort_week, r.week_n): r for r in _run(spark, "q_cohort_ltv")}
+    events = _events(spark)
+    first = {}
+    for e in sorted(events, key=lambda e: e.ts):
+        first.setdefault(e.user_id, _monday_week(e.ts.date()))
+    sizes = defaultdict(int)
+    for w in first.values():
+        sizes[w] += 1
+    cells = defaultdict(float)
+    for e in events:
+        cw = first[e.user_id]
+        wn = (_monday_week(e.ts.date()) - cw).days // 7
+        cells[(cw, wn)] += e.value
+    assert sorted(rows) == sorted(cells)
+    for cw in sizes:
+        cum = 0.0
+        for wn in sorted(w for c, w in cells if c == cw):
+            cum += cells[(cw, wn)]
+            r = rows[(cw, wn)]
+            assert r.cohort_users == sizes[cw]
+            import math as _m
+
+            assert abs(
+                r.ltv_per_user - _m.floor(cum / sizes[cw] * 1e4) / 1e4
+            ) < 1e-6
+    # LTV curves are non-decreasing in age (value is non-negative here)
+    for (cw, wn), r in rows.items():
+        if (cw, wn + 1) in rows:
+            assert rows[(cw, wn + 1)].ltv_per_user >= r.ltv_per_user - 1e-9
+
+
+def test_funnel_time_matches_pure_python_lags(spark):
+    from cloud_data_sync_spark.operators.analytics import (
+        _FUNNEL_FROM,
+        _FUNNEL_TO,
+    )
+
+    (r,) = _run(spark, "q_funnel_time")
+    per_user: dict[int, list] = defaultdict(lambda: [None, None])
+    for e in _events(spark):
+        if e.event_type == _FUNNEL_FROM:
+            u = per_user[e.user_id]
+            u[0] = e.ts if u[0] is None or e.ts < u[0] else u[0]
+        elif e.event_type == _FUNNEL_TO:
+            u = per_user[e.user_id]
+            u[1] = e.ts if u[1] is None or e.ts < u[1] else u[1]
+    entered = [u for u in per_user.values() if u[0] is not None]
+    lags = sorted(
+        (p - s).total_seconds() / 3600
+        for s, p in entered
+        if p is not None and p > s
+    )
+    assert r.n_entered == len(entered)
+    assert r.n_converted == len(lags)
+    assert abs(
+        r.conv_rate - math.floor(len(lags) / len(entered) * 1e6) / 1e6
+    ) < 1e-9
+
+    def q_cont(xs, q):
+        idx = (len(xs) - 1) * q
+        lo, g = int(math.floor(idx)), idx - math.floor(idx)
+        return xs[lo] if g == 0 else xs[lo] * (1 - g) + xs[lo + 1] * g
+
+    assert abs(r.p50_hours - q_cont(lags, 0.5)) < 1e-3
+    assert abs(r.p90_hours - q_cont(lags, 0.9)) < 1e-3
+    assert abs(r.mean_hours - sum(lags) / len(lags)) < 1e-3
+    assert r.p50_hours <= r.p90_hours
