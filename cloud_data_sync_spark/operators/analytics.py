@@ -385,21 +385,21 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     parts = []
     for name, expr in _PROFILE_COLS:
-        c = F.expr(expr)
-        d = orders.select(c.alias("v")).groupBy("v").agg(F.count("*").alias("cnt"))
+        d = (
+            orders.selectExpr(f"{expr} AS v")
+            .groupBy("v")
+            .agg(F.expr("count(*) AS cnt"))
+        )
         stats = d.agg(
-            F.coalesce(F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0))
-            .cast("bigint")
-            .alias("n_null"),
-            F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_distinct"),
-            F.min("v").cast("string").alias("min_s"),
-            F.max("v").cast("string").alias("max_s"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0)"
+                " AS BIGINT) AS n_null"
+            ),
+            F.expr("count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct"),
+            F.expr("CAST(min(v) AS STRING) AS min_s"),
+            F.expr("CAST(max(v) AS STRING) AS max_s"),
         )
-        parts.append(
-            stats.select(
-                F.lit(name).alias("col_name"), "n_null", "n_distinct", "min_s", "max_s"
-            )
-        )
+        parts.append(stats.selectExpr(f"'{name}' AS col_name", "*"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1019,8 +1019,6 @@ FROM bs
     ).format(r=_BOOT_R),
 )
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
     t0, t1, t2, t3 = _POIS8
     # spread(): the per-row hash/conv pipeline is CPU-bound and the local
     # parquet arrives in 3 splits — round-robin to cores (no-op at real
@@ -1029,20 +1027,19 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem").filter(
             F.col("l_extendedprice").isNotNull()
         )
-    ).select(
-        F.concat_ws(
-            "-",
-            F.col("l_orderkey").cast("string"),
-            F.col("l_linenumber").cast("string"),
-        ).alias("k"),
-        F.col("l_extendedprice").alias("x"),
+    ).selectExpr(
+        "concat_ws('-', CAST(l_orderkey AS STRING),"
+        " CAST(l_linenumber AS STRING)) AS k",
+        "l_extendedprice AS x",
     )
-    hashed = li.select(
-        "x",
-        *[
-            F.md5(F.concat(F.col("k"), F.lit(f"#{c}"))).alias(f"h{c}")
-            for c in range(2)
-        ],
+    # The wide stages are built as generated SQL TEXT (selectExpr /
+    # F.expr), not per-operator Column calls: the Column form issued
+    # ~1000 py4j round trips per invocation (32 CASE chains + 66 aggs +
+    # the CI fold) and cost ~2 s of DRIVER-side plan construction every
+    # time the query ran — as much as executing it. Text parses in a
+    # handful of JVM calls; the resolved plan is identical.
+    hashed = li.selectExpr(
+        "x", *[f"md5(concat(k, '#{c}')) AS h{c}" for c in range(2)]
     )
     # weights land in their own PROJECTION (mirroring the oracle's
     # `weighted` CTE) so the hash/conv/CASE work runs inside whole-stage
@@ -1053,59 +1050,51 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one 32-bit hex parse per FOUR 8-bit draws (shift + %256) — conv()
     # string parsing is the hot cost of the map stage, so each parse is
     # milked for as many draws as it holds (8 parses serve 32 resamples)
-    parsed = hashed.select(
+    parsed = hashed.selectExpr(
         "x",
         *[
-            F.conv(F.substring(F.col(f"h{c}"), 1 + 8 * p, 8), 16, 10)
-            .cast("long")
-            .alias(f"u{c}_{p}")
+            f"CAST(conv(substring(h{c}, {1 + 8 * p}, 8), 16, 10) AS BIGINT)"
+            f" AS u{c}_{p}"
             for c in range(2)
             for p in range(4)
         ],
     )
-    wcols = []
+    wexprs = []
     for r in range(1, _BOOT_R + 1):
         c, q = divmod(r - 1, 16)
         p, b = divmod(q, 4)
-        u = F.col(f"u{c}_{p}")
-        v = F.shiftright(u, 24) if b == 0 else F.shiftright(u, 24 - 8 * b) % 256
-        wcols.append(
-            F.when(v < t0, 0)
-            .when(v < t1, 1)
-            .when(v < t2, 2)
-            .when(v < t3, 3)
-            .otherwise(4)
-            .alias(f"w{r}")
+        v = (
+            f"shiftright(u{c}_{p}, 24)"
+            if b == 0
+            else f"(shiftright(u{c}_{p}, {24 - 8 * b}) % 256)"
         )
-    weighted = parsed.select("x", *wcols)
-    aggs = [F.count("*").alias("n_rows"), F.avg("x").alias("mu")]
+        wexprs.append(
+            f"CASE WHEN {v} < {t0} THEN 0 WHEN {v} < {t1} THEN 1"
+            f" WHEN {v} < {t2} THEN 2 WHEN {v} < {t3} THEN 3 ELSE 4 END"
+            f" AS w{r}"
+        )
+    weighted = parsed.selectExpr("x", *wexprs)
+    aggs = [F.expr("count(*) AS n_rows"), F.expr("avg(x) AS mu")]
     for r in range(1, _BOOT_R + 1):
-        aggs.append(F.sum(F.col(f"w{r}") * F.col("x")).alias(f"s{r}"))
-        aggs.append(F.sum(f"w{r}").cast("double").alias(f"c{r}"))
+        aggs.append(F.expr(f"sum(w{r} * x) AS s{r}"))
+        aggs.append(F.expr(f"CAST(sum(w{r}) AS DOUBLE) AS c{r}"))
     agg = weighted.agg(*aggs)
-    means = [F.col(f"s{r}") / F.col(f"c{r}") for r in range(1, _BOOT_R + 1)]
-    # left-assoc fold mirrors the oracle's " + ".join() literally, so
-    # both engines sum the 32 means in the same order
-    mbar = (reduce(lambda a, b: a + b, means) / float(_BOOT_R)).alias("mbar")
-    stats = agg.withColumn("mbar", mbar)
-    ss = reduce(
-        lambda a, b: a + b,
-        [(m - F.col("mbar")) * (m - F.col("mbar")) for m in means],
+    # left-assoc " + ".join mirrors the oracle literally, so both
+    # engines sum the 32 means in the same order
+    means = [f"(s{r} / c{r})" for r in range(1, _BOOT_R + 1)]
+    mbar = "(" + " + ".join(means) + f") / {float(_BOOT_R)!r}"
+    stats = agg.selectExpr("*", f"({mbar}) AS mbar")
+    ss = " + ".join(f"({m} - mbar) * ({m} - mbar)" for m in means)
+    bs = stats.selectExpr(
+        "*", f"sqrt(({ss}) / {float(_BOOT_R - 1)!r}) AS boot_sd_raw"
     )
-    bs = stats.withColumn(
-        "boot_sd_raw", F.sqrt(ss / float(_BOOT_R - 1))
-    )
-    return bs.select(
+    return bs.selectExpr(
         "n_rows",
-        F.lit(_BOOT_R).cast("long").alias("n_resamples"),
-        floor_ratio(F.col("mu"), 4).alias("point_est"),
-        floor_ratio(F.col("boot_sd_raw"), 4).alias("boot_sd"),
-        floor_ratio(F.col("mu") - 1.96 * F.col("boot_sd_raw"), 4).alias(
-            "ci_lo"
-        ),
-        floor_ratio(F.col("mu") + 1.96 * F.col("boot_sd_raw"), 4).alias(
-            "ci_hi"
-        ),
+        f"CAST({_BOOT_R} AS BIGINT) AS n_resamples",
+        "floor(mu * 10000) / 10000 AS point_est",
+        "floor(boot_sd_raw * 10000) / 10000 AS boot_sd",
+        "floor((mu - 1.96 * boot_sd_raw) * 10000) / 10000 AS ci_lo",
+        "floor((mu + 1.96 * boot_sd_raw) * 10000) / 10000 AS ci_hi",
     )
 
 
@@ -1543,73 +1532,59 @@ FROM fit
     ),
 )
 def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the moment pipeline is generated SQL TEXT (the q_bootstrap_ci
+    # lesson): the Column form issued ~100 py4j calls of driver-side
+    # plan build per invocation; the parsed plan is identical
     ev = load_table(spark, sf_dir, "events")
-    pre = F.when(
-        F.dayofmonth("ts") <= _CUPED_SPLIT_DAY, F.col("value")
-    )
-    post = F.when(F.dayofmonth("ts") > _CUPED_SPLIT_DAY, F.col("value"))
     per_user = ev.groupBy("user_id").agg(
-        F.coalesce(F.sum(pre), F.lit(0.0)).alias("x"),
-        F.coalesce(F.sum(post), F.lit(0.0)).alias("y"),
-    ).select(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % 2
-        ).alias("arm"),
+        F.expr(
+            f"coalesce(sum(CASE WHEN day(ts) <= {_CUPED_SPLIT_DAY}"
+            " THEN value END), 0.0D) AS x"
+        ),
+        F.expr(
+            f"coalesce(sum(CASE WHEN day(ts) > {_CUPED_SPLIT_DAY}"
+            " THEN value END), 0.0D) AS y"
+        ),
+    ).selectExpr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 2 AS arm",
         "x",
         "y",
     )
     cell = per_user.groupBy("arm").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.expr("count(*) AS n"),
+        F.expr("sum(x) AS sx"),
+        F.expr("sum(y) AS sy"),
+        F.expr("sum(x * x) AS sxx"),
+        F.expr("sum(x * y) AS sxy"),
+        F.expr("sum(y * y) AS syy"),
     )
-    arm1 = lambda c: F.sum(F.when(F.col("arm") == 1, F.col(c)).otherwise(0.0))  # noqa: E731
-    arm0 = lambda c: F.sum(F.when(F.col("arm") == 0, F.col(c)).otherwise(0.0))  # noqa: E731
     pool = cell.agg(
-        arm1("n").alias("n1"),
-        arm0("n").alias("n0"),
-        arm1("sx").alias("sx1"),
-        arm0("sx").alias("sx0"),
-        arm1("sy").alias("sy1"),
-        arm0("sy").alias("sy0"),
-        F.sum("n").alias("n"),
-        F.sum("sx").alias("sx"),
-        F.sum("sy").alias("sy"),
-        F.sum("sxx").alias("sxx"),
-        F.sum("sxy").alias("sxy"),
-        F.sum("syy").alias("syy"),
+        *[
+            F.expr(
+                f"sum(CASE WHEN arm = {a} THEN {c} ELSE 0.0D END) AS {c}{a}"
+            )
+            for c in ("n", "sx", "sy")
+            for a in (1, 0)
+        ],
+        *[
+            F.expr(f"sum({c}) AS {c}")
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ],
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    fit = pool.withColumn(
-        "theta", (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = pool.selectExpr(
+        "*", "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta"
     )
-    th = F.col("theta")
-    m = lambda s_, n_: F.col(s_) / F.col(n_)  # noqa: E731
-    return fit.select(
-        F.col("n1").cast("long").alias("n_treat"),
-        F.col("n0").cast("long").alias("n_ctrl"),
-        floor_ratio(m("sy1", "n1") - m("sy0", "n0"), 4).alias("diff_raw"),
-        floor_ratio(
-            (m("sy1", "n1") - th * m("sx1", "n1"))
-            - (m("sy0", "n0") - th * m("sx0", "n0")),
-            4,
-        ).alias("diff_cuped"),
-        floor_ratio(th, 4).alias("theta"),
-        floor_ratio(
-            (n * sxy - sx * sy)
-            * (n * sxy - sx * sy)
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            4,
-        ).alias("var_reduction"),
+    return fit.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_treat",
+        "CAST(n0 AS BIGINT) AS n_ctrl",
+        "floor((sy1 / n1 - sy0 / n0) * 10000) / 10000 AS diff_raw",
+        "floor(((sy1 / n1 - theta * (sx1 / n1))"
+        " - (sy0 / n0 - theta * (sx0 / n0))) * 10000) / 10000 AS diff_cuped",
+        "floor(theta * 10000) / 10000 AS theta",
+        "floor((n * sxy - sx * sy) * (n * sxy - sx * sy)"
+        " / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 10000) / 10000"
+        " AS var_reduction",
     )
 
 

@@ -930,8 +930,16 @@ FROM proj, LATERAL unnest(generate_series(1, {_RP_OUT})) AS t(i)
     ).format(k=_RP_OUT, d=_DIM),
 )
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = F.array(
-        *[F.array(*[F.lit(s) for s in row]) for row in _RP_M]
+    # the sign matrix is ONE parsed text literal: the Column form
+    # (F.array of 16 F.array of 64 F.lit) issued ~1040 py4j calls per
+    # invocation — ~0.8 s of driver-side plan build each run
+    m = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{s!r}D" for s in row) + ")"
+            for row in _RP_M
+        )
+        + ")"
     )
     vecs = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
