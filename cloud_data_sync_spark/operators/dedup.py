@@ -159,30 +159,29 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     30× slower at sf0.1); CollapseProject keeps a non-cheap alias used three
     times un-inlined, so here split runs once per row.
     """
-    toks = F.col("toks")
-    n = F.size(toks)
-    take = F.greatest(n - 2, F.lit(0))
-    pair = F.zip_with(
-        F.slice(toks, 1, take),
-        F.slice(toks, 2, take),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    tri = F.zip_with(
-        pair, F.slice(toks, 3, take), lambda p, c: F.concat(p, F.lit(" "), c)
+    # one parsed text expression (the q_bootstrap_ci py4j lesson): the
+    # Column form issued ~30 driver round trips per consumer build; the
+    # resolved lambda plan is identical. `take` repeats inline exactly as
+    # the Column subtree did — runtime subexpression elimination applies
+    # either way.
+    take = "greatest(size(toks) - 2, 0)"
+    tri = (
+        f"zip_with(zip_with(slice(toks, 1, {take}), slice(toks, 2, {take}),"
+        " (a, b) -> concat(a, ' ', b)),"
+        f" slice(toks, 3, {take}), (p, c) -> concat(p, ' ', c))"
     )
     return docs.withColumn(
         "toks", low_toks()
-    ).withColumn("sh", F.array_distinct(tri))
+    ).withColumn("sh", F.expr(f"array_distinct({tri})"))
 
 
-def _win(h: Column, i: int) -> Column:
-    """The i-th "permutation" ordering: the 16-hex-char window h[i:i+16] of
-    the 32-char md5. A single substring (no concat, no allocation beyond
-    the slice) measured ~2x faster than rotating the full digest, and each
-    window starts at a different digest position, which is all MinHash
-    needs from a pseudo-random ordering family. i ranges 0..15 so every
-    window stays inside the digest."""
-    return F.substring(h, i + 1, 16)
+# MinHash "permutation" family: the i-th ordering is the 16-hex-char
+# window h[i:i+16] of the 32-char md5 (substring(h, i+1, 16) in the sig
+# expression below). A single substring (no concat, no allocation beyond
+# the slice) measured ~2x faster than rotating the full digest, and each
+# window starts at a different digest position, which is all MinHash
+# needs from a pseudo-random ordering family. i ranges 0..15 so every
+# window stays inside the digest.
 
 
 def minhash_signatures(docs: DataFrame, hashed_shingles: bool = False) -> DataFrame:
@@ -205,14 +204,21 @@ def minhash_signatures(docs: DataFrame, hashed_shingles: bool = False) -> DataFr
     hs = _with_shingles(_spread(docs)).withColumn(
         "hs", F.transform("sh", F.md5)
     ).filter(F.size("hs") > 0)
-    def _min_of_window(i: int) -> Column:
-        # NB: the lambda must take exactly one arg — a two-arg lambda would
-        # receive the element INDEX as its second argument from transform().
-        return F.array_min(F.transform(F.col("hs"), lambda h: _win(h, i)))
-
-    sig = F.array(*[_min_of_window(i) for i in range(N_PERM)])
+    # one parsed text expression per signature (the _win(h, i) window at
+    # each of the 16 start offsets); the Column form (16 × array_min ∘
+    # transform) issued ~100 py4j calls per consumer build. NB: each
+    # lambda takes exactly one arg — a two-arg lambda would receive the
+    # element INDEX as its second argument from transform().
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(hs, h -> substring(h, {i + 1}, 16)))"
+            for i in range(N_PERM)
+        )
+        + ")"
+    )
     if hashed_shingles:
-        shh = F.transform("sh", lambda s: F.xxhash64(s))
+        shh = F.expr("transform(sh, s -> xxhash64(s))")
         return hs.select("doc_id", shh.alias("shh"), sig.alias("sig"))
     return hs.select("doc_id", "sh", sig.alias("sig"))
 

@@ -207,14 +207,19 @@ def _bucket_col(v: Column) -> Column:
     exact and summation order can't flip a bit against the oracle's
     aggregate.
     """
+    # one parsed text expression (the q_bootstrap_ci py4j lesson): the
+    # Column form (8 planes x 64 F.lit weights + fold builders) issued
+    # ~560 driver round trips per consumer build; the resolved plan is
+    # identical. NOTE: `v` must therefore be the literal column name "v"
+    # — every caller passes F.col("v") from the shared _vectors table.
     bits = []
     for signs in _plane_signs():
-        w = F.array(*[F.lit(x) for x in signs])
-        dot = F.aggregate(
-            F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        w = "array(" + ", ".join(f"{x!r}D" for x in signs) + ")"
+        bits.append(
+            f"CASE WHEN aggregate(zip_with(v, {w}, (x, y) -> x * y),"
+            " 0.0D, (a, x) -> a + x) > 0 THEN '1' ELSE '0' END"
         )
-        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 _ORACLE_SIG = f"""
