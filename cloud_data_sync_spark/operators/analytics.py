@@ -2591,3 +2591,80 @@ def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(lag, F.lit(0.9)) / hours, 4).alias("p90_hours"),
         F.round(F.avg(lag) / hours, 4).alias("mean_hours"),
     )
+
+
+# chi-square critical value, alpha=0.05, df=1
+_SRM_CRIT = 3.841
+
+
+@register(
+    "q_srm_check",
+    oracle=f"""
+WITH marked AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM marked
+)
+SELECT n_a, n_b,
+       floor(CAST(n_a AS DOUBLE) / (n_a + n_b) * 1000000) / 1000000
+         AS split_frac,
+       floor(((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)
+             + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)) * 1000000) / 1000000 AS chi2,
+       CAST(((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)
+             + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)) > {_SRM_CRIT} AS BIGINT) AS srm_flag
+FROM s
+""",
+    doc=(
+        "Sample-ratio-mismatch (SRM) guardrail: chi-square test of the "
+        "md5 arm split against the designed 50/50 over distinct users — "
+        "the FIRST check every experimentation platform runs, because a "
+        "skewed split invalidates q_ab_welch/q_ab_cuped/q_power_analysis "
+        "no matter how significant their readouts look. Counting "
+        "DISTINCT users (not events) is the point: per-event counts "
+        "inherit activity skew and false-alarm. Plan shape: one "
+        "user-distinct aggregate (keys-only shuffle) -> 1-row chi-square "
+        "projection; exact integer counts make both engines' doubles "
+        "identical. At 100 TB the distinct pre-aggregates map-side."
+    ),
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    marked = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .selectExpr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 2 AS arm"
+        )
+    )
+    s = marked.agg(
+        F.expr("CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a"),
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b"),
+    )
+    # 2.0D, not 2.0: Spark SQL parses a bare decimal literal as
+    # DECIMAL(2,1) and the whole chi-square would propagate as decimal
+    # (DuckDB's 2.0 is a double) — the D suffix keeps both engines in
+    # IEEE doubles end to end
+    chi2 = (
+        "((n_a - (n_a + n_b) / 2.0D) * (n_a - (n_a + n_b) / 2.0D)"
+        " / ((n_a + n_b) / 2.0D)"
+        " + (n_b - (n_a + n_b) / 2.0D) * (n_b - (n_a + n_b) / 2.0D)"
+        " / ((n_a + n_b) / 2.0D))"
+    )
+    return s.selectExpr(
+        "n_a",
+        "n_b",
+        "floor(CAST(n_a AS DOUBLE) / (n_a + n_b) * 1000000) / 1000000"
+        " AS split_frac",
+        f"floor({chi2} * 1000000) / 1000000 AS chi2",
+        f"CAST({chi2} > {_SRM_CRIT} AS BIGINT) AS srm_flag",
+    )

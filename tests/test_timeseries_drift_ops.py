@@ -222,6 +222,23 @@ def test_neyman_alloc_favors_large_heterogeneous_strata(spark):
         assert lo.alloc_share <= hi.alloc_share + 1e-9
 
 
+def test_srm_check_matches_pure_python_chi_square(spark):
+    from cloud_data_sync_spark.operators.analytics import _SRM_CRIT
+
+    (r,) = _run(spark, "q_srm_check")
+    users = {e.user_id for e in _events(spark)}
+    n_a = sum(_arm(u) for u in users)
+    n_b = len(users) - n_a
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    assert abs(r.split_frac - math.floor(n_a / len(users) * 1e6) / 1e6) < 1e-9
+    e = len(users) / 2.0
+    chi2 = (n_a - e) ** 2 / e + (n_b - e) ** 2 / e
+    assert abs(r.chi2 - math.floor(chi2 * 1e6) / 1e6) < 1e-9
+    assert r.srm_flag == int(chi2 > _SRM_CRIT)
+    # the md5 split is honest 50/50: no mismatch on the fixture
+    assert r.srm_flag == 0
+
+
 def _monday_week(d):
     import datetime
 
