@@ -2668,3 +2668,111 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"floor({chi2} * 1000000) / 1000000 AS chi2",
         f"CAST({chi2} > {_SRM_CRIT} AS BIGINT) AS srm_flag",
     )
+
+
+_MK_ITERS = 3
+
+
+def _mk_iter_sql(i: int) -> str:
+    prev = f"pi{i - 1}"
+    return f"""
+pi{i} AS (
+  SELECT norm.next_type AS state, sum({prev}.pr * norm.p) AS pr
+  FROM norm JOIN {prev} ON {prev}.state = norm.prev_type
+  GROUP BY norm.next_type
+)"""
+
+
+@register(
+    "q_markov_stationary",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+norm AS (
+  SELECT prev_type, next_type,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+  FROM trans
+),
+states AS (
+  SELECT prev_type AS state FROM norm
+  UNION
+  SELECT next_type FROM norm
+),
+pi0 AS (
+  SELECT state, 1.0 / (SELECT count(*) FROM states) AS pr FROM states
+)"""
+    + "".join("," + _mk_iter_sql(i) for i in range(1, _MK_ITERS + 1))
+    + f"""
+SELECT s.state, round(coalesce(pi{_MK_ITERS}.pr, 0.0), 6) AS stationary
+FROM states s LEFT JOIN pi{_MK_ITERS} ON pi{_MK_ITERS}.state = s.state
+ORDER BY s.state
+""",
+    doc=(
+        "Stationary distribution of the event-type Markov chain ({k} "
+        "power-iteration steps from uniform over the q_event_transitions "
+        "matrix): the long-run share of time a user journey spends in "
+        "each state — the summary that turns the transition matrix into "
+        "a ranking of where sessions actually settle. Plan shape: the "
+        "corpus pays ONE user-sequencing shuffle to build the "
+        "states²-bounded transition aggregate (the q_event_transitions "
+        "plan); every iteration is then a broadcast join + hash agg over "
+        "≤ states² rows — the q_pagerank iterative-join shape at "
+        "constant size. Like q_pagerank, per-state sums of ≤ states "
+        "doubles round to 6 dp only at the output boundary."
+    ).format(k=_MK_ITERS),
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    norm = trans.select(
+        "prev_type",
+        "next_type",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev_type"))
+        ).alias("p"),
+    )
+    states = (
+        norm.select(F.col("prev_type").alias("state"))
+        .union(norm.select("next_type"))
+        .distinct()
+    )
+    s_cnt = states.agg(F.count("*").alias("s"))
+    pi = states.crossJoin(F.broadcast(s_cnt)).select(
+        "state", (F.lit(1.0) / F.col("s")).alias("pr")
+    )
+    for _ in range(_MK_ITERS):
+        pi = (
+            norm.join(
+                F.broadcast(pi), pi["state"] == norm["prev_type"]
+            )
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("pr"))
+        )
+    return (
+        states.join(F.broadcast(pi.withColumnRenamed("pr", "pr_f")), "state", "left")
+        .select(
+            "state",
+            F.round(F.coalesce("pr_f", F.lit(0.0)), 6).alias("stationary"),
+        )
+        .orderBy("state")
+    )

@@ -22,7 +22,7 @@ def _events(spark):
     from cloud_data_sync_spark.tables import load_table
 
     return load_table(spark, SF, "events").select(
-        "event_type", "ts", "user_id", "value"
+        "event_id", "event_type", "ts", "user_id", "value"
     ).collect()
 
 
@@ -220,6 +220,33 @@ def test_neyman_alloc_favors_large_heterogeneous_strata(spark):
     ranked = sorted(rows, key=lambda r: r.n_docs * sigmas[(r.source, r.lang)])
     for lo, hi in zip(ranked, ranked[1:]):
         assert lo.alloc_share <= hi.alloc_share + 1e-9
+
+
+def test_markov_stationary_matches_pure_python_power_iteration(spark):
+    rows = {r.state: r.stationary for r in _run(spark, "q_markov_stationary")}
+    # rebuild the transition matrix from per-user (ts, event_id) sequences
+    seqs: dict[int, list] = defaultdict(list)
+    for e in _events(spark):
+        seqs[e.user_id].append((e.ts, e.event_id, e.event_type))
+    trans: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for s in seqs.values():
+        s.sort(key=lambda t: (t[0], t[1]))
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            trans[a][b] += 1
+    states = sorted(set(trans) | {b for d in trans.values() for b in d})
+    assert sorted(rows) == states
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(3):
+        nxt = {s: 0.0 for s in states}
+        for a, d in trans.items():
+            tot = sum(d.values())
+            for b, n in d.items():
+                nxt[b] += pi[a] * (n / tot)
+        pi = nxt
+    for s in states:
+        assert abs(rows[s] - pi[s]) < 1e-5
+    # a probability vector: sums to 1 (every state here has outgoing mass)
+    assert abs(sum(rows.values()) - 1.0) < 1e-4
 
 
 def test_srm_check_matches_pure_python_chi_square(spark):

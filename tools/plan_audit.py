@@ -89,6 +89,9 @@ BNLJ_ALLOWED = {
     # 1-row Neyman normalizer pack (sum of N_h·sigma_h) — same scalar
     # cross-join shape as q_mixture_temperature
     "q_neyman_alloc",
+    # 1-row state-count pack seeding the uniform pi0 (the pagerank
+    # (1-d)/N shape); every iteration joins a states-bounded aggregate
+    "q_markov_stationary",
     # q_bootstrap_ci left this list in r5: the hash-window rework computes
     # its CI entirely on the single aggregate row — no scalar pack remains
     "q_mixture_sample",
