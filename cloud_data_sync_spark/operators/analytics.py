@@ -2776,3 +2776,113 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@register(
+    "q_spend_gini",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM cust
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+  FROM cust
+),
+agg AS (
+  SELECT sum(CAST(i AS HUGEINT) * x) AS six,
+         sum(CASE WHEN i > (SELECT n - n // 10 FROM tot)
+                  THEN x ELSE 0 END) AS topx
+  FROM ranked
+)
+SELECT t.n AS n_customers, t.sx AS total_cents,
+       floor((2.0D * CAST(a.six AS DOUBLE)
+              - (CAST(t.n AS DOUBLE) + 1) * CAST(t.sx AS DOUBLE))
+             / (CAST(t.n AS DOUBLE) * CAST(t.sx AS DOUBLE))
+             * 1000000) / 1000000 AS gini,
+       floor(CAST(a.topx AS DOUBLE) / t.sx * 1000000) / 1000000
+         AS top_decile_share
+FROM tot t CROSS JOIN agg a
+""".replace("2.0D", "2.0"),
+    doc=(
+        "Gini coefficient of customer spend concentration plus the "
+        "top-decile spend share — the inequality statistics a dataset "
+        "card reports for source/contributor concentration (a corpus "
+        "where 10% of sources carry 90% of mass needs different "
+        "sampling than a flat one). Cross-engine EXACT: spend is "
+        "integer cents, the rank-weighted sum runs in DECIMAL(38,0)/"
+        "HUGEINT (order-independent under any merge schedule), and "
+        "gini = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) is one "
+        "closed-form scalar on identical integers. The ranking is the "
+        "SCALE-CORRECT distributed form, not a global window: "
+        "repartitionByRange on (spend, custkey) gives ascending "
+        "partitions, local ranks come from per-partition windows, and "
+        "global rank = local rank + the prefix offset of earlier "
+        "partitions — the offset table is one row per shuffle "
+        "partition (cluster config, not data, cardinality), so its "
+        "running-sum window and the 1-row totals pack are both "
+        "bounded. Partition boundaries affect only locality: the "
+        "(spend, custkey) order is strict-total, so ranks — and the "
+        "statistic — are identical however the sampler splits ranges."
+    ),
+)
+def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+        )
+    )
+    # phase 1: ascending range partitions; pid is captured in the
+    # range-partitioned stage, before the per-pid window's hash exchange
+    ranged = cust.repartitionByRange(F.col("x"), F.col("o_custkey")).select(
+        "o_custkey", "x", F.spark_partition_id().alias("pid")
+    )
+    loc = ranged.withColumn(
+        "r_loc",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("x", "o_custkey")
+        ),
+    )
+    # phase 2: prefix offsets — one row per shuffle partition (config-
+    # bounded), so the global running-sum window is safe here
+    sizes = loc.groupBy("pid").agg(F.count("*").alias("cnt"))
+    offs = sizes.select(
+        "pid",
+        (
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            - F.col("cnt")
+        ).alias("off"),
+    )
+    tot = cust.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx")
+    )
+    ranked = (
+        loc.join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("x", "off + r_loc AS i", "n", "sx")
+    )
+    agg = ranked.agg(
+        F.expr("max(n) AS n"),
+        F.expr("max(sx) AS sx"),
+        F.expr("sum(CAST(i AS DECIMAL(38, 0)) * x) AS six"),
+        F.expr("sum(CASE WHEN i > n - n div 10 THEN x ELSE 0 END) AS topx"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_customers",
+        "CAST(sx AS BIGINT) AS total_cents",
+        "floor((2.0D * CAST(six AS DOUBLE)"
+        " - (CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * 1000000) / 1000000 AS gini",
+        "floor(CAST(topx AS DOUBLE) / sx * 1000000) / 1000000"
+        " AS top_decile_share",
+    )

@@ -222,6 +222,34 @@ def test_neyman_alloc_favors_large_heterogeneous_strata(spark):
         assert lo.alloc_share <= hi.alloc_share + 1e-9
 
 
+def test_spend_gini_matches_pure_python_rank_formula(spark):
+    from cloud_data_sync_spark.tables import load_table
+
+    (r,) = _run(spark, "q_spend_gini")
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    spend: dict[int, int] = defaultdict(int)
+    for o in orders:
+        # Python round() is banker's; Spark/DuckDB round() is half-up on
+        # positives — floor(x + 0.5) matches them for positive prices
+        spend[o.o_custkey] += int(math.floor(o.o_totalprice * 100 + 0.5))
+    xs = [x for _, x in sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, sx = len(xs), sum(xs)
+    assert (r.n_customers, r.total_cents) == (n, sx)
+    six = sum(i * x for i, x in enumerate(xs, start=1))
+    gini = (2.0 * six - (n + 1.0) * sx) / (float(n) * sx)
+    assert abs(r.gini - math.floor(gini * 1e6) / 1e6) < 1e-9
+    k = n // 10
+    topx = sum(xs[n - k:])
+    assert abs(
+        r.top_decile_share - math.floor(topx / sx * 1e6) / 1e6
+    ) < 1e-9
+    # sanity: Gini in [0, 1); the top decile holds at least its share
+    assert 0.0 <= r.gini < 1.0
+    assert r.top_decile_share >= 0.1 - 1e-6
+
+
 def test_markov_stationary_matches_pure_python_power_iteration(spark):
     rows = {r.state: r.stationary for r in _run(spark, "q_markov_stationary")}
     # rebuild the transition matrix from per-user (ts, event_id) sequences

@@ -92,6 +92,8 @@ BNLJ_ALLOWED = {
     # 1-row state-count pack seeding the uniform pi0 (the pagerank
     # (1-d)/N shape); every iteration joins a states-bounded aggregate
     "q_markov_stationary",
+    # 1-row (n, sum) totals pack feeding the Gini closed form
+    "q_spend_gini",
     # q_bootstrap_ci left this list in r5: the hash-window rework computes
     # its CI entirely on the single aggregate row — no scalar pack remains
     "q_mixture_sample",
@@ -137,7 +139,13 @@ BNLJ_ALLOWED = {
 #   preceding hash agg.
 # q_zipf_fit: rank ids over the TakeOrderedAndProject(1000) vocab head,
 # same bounded-input justification as q_vocab.
-GLOBAL_WINDOW_ALLOWED = {"q_vocab", "q_token_budget", "q_zipf_fit"}
+# q_spend_gini: the running-sum window ranges over the per-shuffle-
+# partition offset table — one row per partition (cluster CONFIG
+# cardinality, same justification as q_token_budget); the data-sized
+# ranking itself is per-partition windows after repartitionByRange.
+GLOBAL_WINDOW_ALLOWED = {
+    "q_vocab", "q_token_budget", "q_zipf_fit", "q_spend_gini",
+}
 
 RULES: dict[str, dict[str, tuple[str, ...]]] = {
     # filter + projection must be pushed into the parquet scan
