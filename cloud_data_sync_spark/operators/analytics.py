@@ -2778,6 +2778,69 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared ranked-spend substrate: per-customer exact-cent spend with its
+# GLOBAL rank, computed in the distributed two-phase form (see the
+# q_spend_gini doc), consumed by the Gini coefficient and the Lorenz
+# curve. plan= on each consumer pins the audit to this builder.
+_RANKED_SPEND_SUBSTRATE: dict = {}
+
+
+def _ranked_spend_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+        )
+    )
+    # phase 1: ascending range partitions; pid is captured in the
+    # range-partitioned stage, before the per-pid window's hash exchange
+    ranged = cust.repartitionByRange(F.col("x"), F.col("o_custkey")).select(
+        "o_custkey", "x", F.spark_partition_id().alias("pid")
+    )
+    loc = ranged.withColumn(
+        "r_loc",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("x", "o_custkey")
+        ),
+    )
+    # phase 2: prefix offsets — one row per shuffle partition (config-
+    # bounded), so the global running-sum window is safe here
+    sizes = loc.groupBy("pid").agg(F.count("*").alias("cnt"))
+    offs = sizes.select(
+        "pid",
+        (
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            - F.col("cnt")
+        ).alias("off"),
+    )
+    tot = cust.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx")
+    )
+    return (
+        loc.join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("x", "off + r_loc AS i", "n", "sx")
+    )
+
+
+def ranked_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.tables import session_substrate
+
+    return session_substrate(
+        spark,
+        _RANKED_SPEND_SUBSTRATE,
+        sf_dir,
+        "analytics.ranked_spend",
+        "orders",
+        lambda: _ranked_spend_build(spark, sf_dir),
+    )
+
+
 @register(
     "q_spend_gini",
     oracle="""
@@ -2826,50 +2889,19 @@ FROM tot t CROSS JOIN agg a
         "running-sum window and the 1-row totals pack are both "
         "bounded. Partition boundaries affect only locality: the "
         "(spend, custkey) order is strict-total, so ranks — and the "
-        "statistic — are identical however the sampler splits ranges."
+        "statistic — are identical however the sampler splits ranges. "
+        "The ranked table is a shared substrate; the Lorenz curve "
+        "(q_lorenz_curve) rides the same ranking."
+    ),
+    plan=lambda spark, sf_dir: _spend_gini_report(
+        _ranked_spend_build(spark, sf_dir)
     ),
 )
 def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
-        )
-    )
-    # phase 1: ascending range partitions; pid is captured in the
-    # range-partitioned stage, before the per-pid window's hash exchange
-    ranged = cust.repartitionByRange(F.col("x"), F.col("o_custkey")).select(
-        "o_custkey", "x", F.spark_partition_id().alias("pid")
-    )
-    loc = ranged.withColumn(
-        "r_loc",
-        F.row_number().over(
-            Window.partitionBy("pid").orderBy("x", "o_custkey")
-        ),
-    )
-    # phase 2: prefix offsets — one row per shuffle partition (config-
-    # bounded), so the global running-sum window is safe here
-    sizes = loc.groupBy("pid").agg(F.count("*").alias("cnt"))
-    offs = sizes.select(
-        "pid",
-        (
-            F.sum("cnt").over(
-                Window.orderBy("pid").rowsBetween(
-                    Window.unboundedPreceding, 0
-                )
-            )
-            - F.col("cnt")
-        ).alias("off"),
-    )
-    tot = cust.agg(
-        F.count("*").alias("n"), F.sum("x").alias("sx")
-    )
-    ranked = (
-        loc.join(F.broadcast(offs), "pid")
-        .crossJoin(F.broadcast(tot))
-        .selectExpr("x", "off + r_loc AS i", "n", "sx")
-    )
+    return _spend_gini_report(ranked_spend(spark, sf_dir))
+
+
+def _spend_gini_report(ranked: DataFrame) -> DataFrame:
     agg = ranked.agg(
         F.expr("max(n) AS n"),
         F.expr("max(sx) AS sx"),
@@ -2885,4 +2917,80 @@ def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * 1000000) / 1000000 AS gini",
         "floor(CAST(topx AS DOUBLE) / sx * 1000000) / 1000000"
         " AS top_decile_share",
+    )
+
+
+@register(
+    "q_lorenz_curve",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i,
+         count(*) OVER () AS n, sum(x) OVER () AS sx
+  FROM cust
+),
+cells AS (
+  SELECT CAST((i * 10 - 1) // n + 1 AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(x) AS BIGINT) AS spend_cents
+  FROM ranked GROUP BY (i * 10 - 1) // n + 1
+)
+SELECT decile, n_customers, spend_cents,
+       floor(CAST(sum(spend_cents) OVER (ORDER BY decile
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE)
+             / (SELECT CAST(max(sx) AS DOUBLE) FROM ranked)
+             * 1000000) / 1000000 AS cum_spend_share
+FROM cells ORDER BY decile
+""",
+    doc=(
+        "Lorenz curve of customer spend: cumulative spend share held by "
+        "the bottom d/10 of customers for each decile d — the curve "
+        "behind q_spend_gini's scalar (Gini = 1 - 2 x area under this "
+        "curve), and the picture a dataset card shows next to the "
+        "concentration number. Rides the SAME shared ranked-spend "
+        "substrate (distributed two-phase ranking, exact integer "
+        "cents), so the curve costs two bounded aggregates on top of "
+        "the ranking: decile assignment is pure integer arithmetic "
+        "((i*10 - 1) div n + 1 — never a percent_rank float boundary), "
+        "the decile rollup is a <=10-group hash agg, and the cumulative "
+        "window runs over <=10 rows. Every input to the final division "
+        "is an exact BIGINT, so both engines floor identical doubles."
+    ),
+    plan=lambda spark, sf_dir: _lorenz_report(
+        _ranked_spend_build(spark, sf_dir)
+    ),
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lorenz_report(ranked_spend(spark, sf_dir))
+
+
+def _lorenz_report(ranked: DataFrame) -> DataFrame:
+    cells = (
+        ranked.selectExpr(
+            "CAST((i * 10 - 1) div n + 1 AS BIGINT) AS decile", "x", "sx"
+        )
+        .groupBy("decile")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_customers"),
+            F.expr("CAST(sum(x) AS BIGINT) AS spend_cents"),
+            F.expr("max(sx) AS sx"),
+        )
+    )
+    cum = F.sum("spend_cents").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.select(
+            "decile",
+            "n_customers",
+            "spend_cents",
+            floor_ratio(cum.cast("double") / F.col("sx"), 6).alias(
+                "cum_spend_share"
+            ),
+        )
+        .orderBy("decile")
     )

@@ -250,6 +250,43 @@ def test_spend_gini_matches_pure_python_rank_formula(spark):
     assert r.top_decile_share >= 0.1 - 1e-6
 
 
+def test_lorenz_curve_matches_pure_python_and_implies_gini(spark):
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = sorted(_run(spark, "q_lorenz_curve"), key=lambda r: r.decile)
+    (g,) = _run(spark, "q_spend_gini")
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    spend: dict[int, int] = defaultdict(int)
+    for o in orders:
+        spend[o.o_custkey] += int(math.floor(o.o_totalprice * 100 + 0.5))
+    xs = [x for _, x in sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, sx = len(xs), sum(xs)
+    # recompute the decile cells from global ranks
+    cells: dict[int, list[int]] = defaultdict(list)
+    for i, x in enumerate(xs, start=1):
+        cells[(i * 10 - 1) // n + 1].append(x)
+    assert [r.decile for r in rows] == sorted(cells)
+    cum = 0
+    for r in rows:
+        assert r.n_customers == len(cells[r.decile])
+        assert r.spend_cents == sum(cells[r.decile])
+        cum += r.spend_cents
+        assert abs(
+            r.cum_spend_share - math.floor(cum / sx * 1e6) / 1e6
+        ) < 1e-9
+    # curve invariants: monotone, convex-ish (increasing increments),
+    # ends at 1, and is consistent with the reported top-decile share
+    shares = [r.cum_spend_share for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    if len(shares) >= 2:
+        assert abs(
+            (1.0 - shares[-2]) - g.top_decile_share
+        ) < 1e-3  # same mass, different floor boundaries
+
+
 def test_markov_stationary_matches_pure_python_power_iteration(spark):
     rows = {r.state: r.stationary for r in _run(spark, "q_markov_stationary")}
     # rebuild the transition matrix from per-user (ts, event_id) sequences

@@ -94,6 +94,8 @@ BNLJ_ALLOWED = {
     "q_markov_stationary",
     # 1-row (n, sum) totals pack feeding the Gini closed form
     "q_spend_gini",
+    # same substrate/pack as q_spend_gini (shared ranked-spend builder)
+    "q_lorenz_curve",
     # q_bootstrap_ci left this list in r5: the hash-window rework computes
     # its CI entirely on the single aggregate row — no scalar pack remains
     "q_mixture_sample",
@@ -143,8 +145,12 @@ BNLJ_ALLOWED = {
 # partition offset table — one row per partition (cluster CONFIG
 # cardinality, same justification as q_token_budget); the data-sized
 # ranking itself is per-partition windows after repartitionByRange.
+# q_lorenz_curve: the cumulative window runs over the <=10-row decile
+# rollup (constant cardinality) plus the same offset table as
+# q_spend_gini.
 GLOBAL_WINDOW_ALLOWED = {
     "q_vocab", "q_token_budget", "q_zipf_fit", "q_spend_gini",
+    "q_lorenz_curve",
 }
 
 RULES: dict[str, dict[str, tuple[str, ...]]] = {
