@@ -2994,3 +2994,67 @@ def _lorenz_report(ranked: DataFrame) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# decay anchor: the day after the fixture's last event; in production
+# this is the job's run date. Ages are whole weeks back from it.
+_DECAY_ANCHOR = "2024-02-01"
+_DECAY_MAX_WEEKS = 4
+_DECAY_TOPK = 10
+
+
+@register(
+    "q_decay_leaderboard",
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item_k,
+         CAST(round(value * 1000000) AS BIGINT)
+           * (1 << ({_DECAY_MAX_WEEKS} - least(CAST(date_diff('day',
+                  CAST(ts AS DATE), DATE '{_DECAY_ANCHOR}') AS BIGINT) // 7,
+                {_DECAY_MAX_WEEKS}))) AS w_micro
+  FROM events WHERE props IS NOT NULL
+)
+SELECT item_k, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(w_micro) AS BIGINT) AS decayed_micro
+FROM scored GROUP BY item_k
+ORDER BY decayed_micro DESC, item_k
+LIMIT {_DECAY_TOPK}
+""",
+    doc=(
+        "Time-decayed trending leaderboard: top-{k} items by "
+        "exponentially-decayed value (half-life one week, {w}-week "
+        "horizon) — the 'what's hot NOW' ranking every feed/monitoring "
+        "surface computes, where last week's burst counts half of "
+        "today's. Cross-engine EXACT by construction: values quantize "
+        "to integer micro-units and the decay multiplies by 2^(horizon "
+        "- age) — a POSITIVE power-of-two INTEGER weight (1..16), so "
+        "the score is an exact BIGINT sum, order-independent under any "
+        "merge schedule (the float form 2^-age would make the total "
+        "sum-order-dependent). Plan shape: map-only JSON extract + "
+        "weight projection, ONE items-bounded hash agg (map-side "
+        "combined), TakeOrderedAndProject top-k — no sort of the "
+        "aggregate, no shuffle beyond the agg. At 100 TB the anchor "
+        "comes from the run date and nothing changes."
+    ).format(k=_DECAY_TOPK, w=_DECAY_MAX_WEEKS),
+)
+def q_decay_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("props").isNotNull())
+        .selectExpr(
+            "CAST(get_json_object(props, '$.k') AS BIGINT) AS item_k",
+            "CAST(round(value * 1000000) AS BIGINT)"
+            f" * shiftleft(1, {_DECAY_MAX_WEEKS} - least("
+            f"CAST(datediff(DATE '{_DECAY_ANCHOR}', CAST(ts AS DATE))"
+            f" AS BIGINT) div 7, {_DECAY_MAX_WEEKS})) AS w_micro",
+        )
+    )
+    return (
+        scored.groupBy("item_k")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_events"),
+            F.expr("CAST(sum(w_micro) AS BIGINT) AS decayed_micro"),
+        )
+        .orderBy(F.desc("decayed_micro"), "item_k")
+        .limit(_DECAY_TOPK)
+    )

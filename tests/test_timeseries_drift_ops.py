@@ -314,6 +314,45 @@ def test_markov_stationary_matches_pure_python_power_iteration(spark):
     assert abs(sum(rows.values()) - 1.0) < 1e-4
 
 
+def test_decay_leaderboard_matches_pure_python_scoring(spark):
+    import datetime
+    import json as _json
+
+    from cloud_data_sync_spark.operators.analytics import (
+        _DECAY_ANCHOR,
+        _DECAY_MAX_WEEKS,
+        _DECAY_TOPK,
+    )
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = _run(spark, "q_decay_leaderboard")
+    events = load_table(spark, SF, "events").select(
+        "ts", "value", "props"
+    ).collect()
+    anchor = datetime.date.fromisoformat(_DECAY_ANCHOR)
+    scores: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for e in events:
+        if e.props is None:
+            continue
+        k = int(_json.loads(e.props)["k"])
+        age = min((anchor - e.ts.date()).days // 7, _DECAY_MAX_WEEKS)
+        w = int(math.floor(e.value * 1e6 + 0.5)) * (
+            1 << (_DECAY_MAX_WEEKS - age)
+        )
+        scores[k][0] += 1
+        scores[k][1] += w
+    top = sorted(
+        scores.items(), key=lambda kv: (-kv[1][1], kv[0])
+    )[:_DECAY_TOPK]
+    assert len(rows) == len(top)
+    for r, (k, (n, s)) in zip(rows, top):
+        assert (r.item_k, r.n_events, r.decayed_micro) == (k, n, s)
+    # ranking sanity: the emitted order is by decayed score desc
+    assert all(
+        a.decayed_micro >= b.decayed_micro for a, b in zip(rows, rows[1:])
+    )
+
+
 def test_srm_check_matches_pure_python_chi_square(spark):
     from cloud_data_sync_spark.operators.analytics import _SRM_CRIT
 
