@@ -3058,3 +3058,78 @@ def q_decay_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_micro"), "item_k")
         .limit(_DECAY_TOPK)
     )
+
+
+@register(
+    "q_seasonality_strength",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+dow AS (
+  SELECT event_type, d, x, dayofweek(d) AS w FROM daily
+),
+prof AS (
+  SELECT event_type, w, CAST(count(*) AS BIGINT) AS nw,
+         CAST(sum(x) AS BIGINT) AS sw, CAST(sum(x * x) AS BIGINT) AS sww
+  FROM dow GROUP BY event_type, w
+),
+stats AS (
+  SELECT event_type,
+         CAST(sum(nw) AS BIGINT) AS n, CAST(sum(sw) AS BIGINT) AS s,
+         CAST(sum(sww) AS BIGINT) AS ss,
+         sum(CAST(sw AS DOUBLE) * sw / nw) AS s_within
+  FROM prof GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       floor((s_within - CAST(s AS DOUBLE) * s / n)
+             / (ss - CAST(s AS DOUBLE) * s / n) * 1000000) / 1000000
+         AS seasonal_r2
+FROM stats ORDER BY event_type
+""",
+    doc=(
+        "Weekly-seasonality strength per event type: the fraction of "
+        "the daily-count variance explained by the day-of-week profile "
+        "(the one-way-ANOVA R² = between-group SS / total SS over "
+        "weekday groups) — the statistic that decides whether "
+        "q_seasonal_forecast's day-7 lag is the right baseline for a "
+        "series or a flat mean would do. Exactness: daily counts, "
+        "their squares, and the per-weekday sums are exact BIGINTs "
+        "(integer moments ride the shared daily-events substrate); "
+        "sum(sw²/nw) adds ≤7 engine-identical doubles in the same "
+        "grouped-sum shape both engines share, and the R² is one "
+        "closed-form scalar per type. Plan: substrate → ≤types×7 hash "
+        "agg → types-bounded stats — after the one corpus agg, "
+        "everything is KB-scale."
+    ),
+    plan=lambda spark, sf_dir: _seasonality_report(
+        _daily_events_build(spark, sf_dir)
+    ),
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _seasonality_report(daily_events(spark, sf_dir))
+
+
+def _seasonality_report(daily_nv: DataFrame) -> DataFrame:
+    dow = daily_nv.selectExpr(
+        "event_type", "n AS x", "dayofweek(d) AS w"
+    )
+    prof = dow.groupBy("event_type", "w").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS nw"),
+        F.expr("CAST(sum(x) AS BIGINT) AS sw"),
+        F.expr("CAST(sum(x * x) AS BIGINT) AS sww"),
+    )
+    stats = prof.groupBy("event_type").agg(
+        F.expr("CAST(sum(nw) AS BIGINT) AS n"),
+        F.expr("CAST(sum(sw) AS BIGINT) AS s"),
+        F.expr("CAST(sum(sww) AS BIGINT) AS ss"),
+        F.expr("sum(CAST(sw AS DOUBLE) * sw / nw) AS s_within"),
+    )
+    return stats.selectExpr(
+        "event_type",
+        "n AS n_days",
+        "floor((s_within - CAST(s AS DOUBLE) * s / n)"
+        " / (ss - CAST(s AS DOUBLE) * s / n) * 1000000) / 1000000"
+        " AS seasonal_r2",
+    ).orderBy("event_type")

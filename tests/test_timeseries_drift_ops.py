@@ -314,6 +314,27 @@ def test_markov_stationary_matches_pure_python_power_iteration(spark):
     assert abs(sum(rows.values()) - 1.0) < 1e-4
 
 
+def test_seasonality_strength_matches_pure_python_anova(spark):
+    rows = {r.event_type: r for r in _run(spark, "q_seasonality_strength")}
+    daily = _daily_counts(_events(spark))
+    assert sorted(rows) == sorted(daily)
+    for etype, series in daily.items():
+        xs = list(series.values())
+        n, s = len(xs), sum(xs)
+        groups: dict[int, list[int]] = defaultdict(list)
+        for d, x in series.items():
+            groups[d.weekday()].append(x)
+        ss_total = sum(x * x for x in xs) - s * s / n
+        ss_within_groups = sum(
+            sum(g) ** 2 / len(g) for g in groups.values()
+        ) - s * s / n
+        r = rows[etype]
+        assert r.n_days == n
+        r2 = ss_within_groups / ss_total
+        assert abs(r.seasonal_r2 - math.floor(r2 * 1e6) / 1e6) < 1e-9
+        assert -1e-9 <= r.seasonal_r2 <= 1.0 + 1e-9
+
+
 def test_decay_leaderboard_matches_pure_python_scoring(spark):
     import datetime
     import json as _json
