@@ -1767,13 +1767,14 @@ WITH daily AS (
 ),
 stats AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(x) AS BIGINT) AS tot, CAST(sum(x * x) AS BIGINT) AS sxx
+         CAST(sum(x) AS BIGINT) AS tot,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
   FROM daily GROUP BY event_type
 ),
 pairs AS (
   SELECT a.event_type, CAST(a.d - p.d AS BIGINT) AS lag,
          CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(sum(a.x * p.x) AS BIGINT) AS spp,
+         sum(CAST(a.x AS DECIMAL(19,0)) * CAST(p.x AS DECIMAL(19,0))) AS spp,
          CAST(sum(a.x) AS BIGINT) AS sa, CAST(sum(p.x) AS BIGINT) AS sp
   FROM daily a
   JOIN daily p ON p.event_type = a.event_type
@@ -1782,11 +1783,11 @@ pairs AS (
   GROUP BY a.event_type, a.d - p.d
 )
 SELECT s.event_type AS event_type, lag, n_pairs,
-       floor((spp - (CAST(tot AS DOUBLE) / n) * sa
+       floor((CAST(spp AS DOUBLE) - (CAST(tot AS DOUBLE) / n) * sa
                   - (CAST(tot AS DOUBLE) / n) * sp
                   + n_pairs * ((CAST(tot AS DOUBLE) / n)
                                * (CAST(tot AS DOUBLE) / n)))
-             / (sxx - n * ((CAST(tot AS DOUBLE) / n)
+             / (CAST(sxx AS DOUBLE) - n * ((CAST(tot AS DOUBLE) / n)
                            * (CAST(tot AS DOUBLE) / n)))
              * 1000000) / 1000000 AS acf
 FROM pairs p JOIN stats s ON s.event_type = p.event_type
@@ -1799,10 +1800,14 @@ ORDER BY event_type, lag
         "or is white noise. The estimator is the standard lag-k sample "
         "autocorrelation, computed CROSS-ENGINE-EXACTLY: daily counts are "
         "integers, so every aggregate the formula consumes (sum xt*xt-k, "
-        "sum x, sum x^2, pair counts) is an exact BIGINT — order-"
-        "independent under any shuffle/merge schedule — and the only "
-        "float arithmetic is one closed-form scalar per (type, lag), "
-        "written token-for-token identically in both engines. Lags come "
+        "sum x, sum x^2, pair counts) is an exact integer — the squared/"
+        "product moments accumulate in DECIMAL(38,0) so they stay exact "
+        "even where sum(x*x) would overflow int64 (daily counts beyond "
+        "~3e9 at 100 TB; Spark non-ANSI would wrap silently while DuckDB "
+        "promotes, breaking parity asymmetrically) — order-independent "
+        "under any shuffle/merge schedule, and the only float arithmetic "
+        "is one closed-form scalar per (type, lag), written "
+        "token-for-token identically in both engines. Lags come "
         "from ONE calendar-bounded self-join on the (type, day) AGGREGATE "
         "(k joins would rescan; lag(k) row windows misalign on missing "
         "days), so after the single corpus-sized hash agg — the shared "
@@ -1822,7 +1827,9 @@ def _acf_report(daily_nv: DataFrame) -> DataFrame:
     stats = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("tot"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("sxx"),
     )
     a, p = daily.alias("a"), daily.alias("p")
     pairs = (
@@ -1838,7 +1845,10 @@ def _acf_report(daily_nv: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_pairs"),
-            F.sum(F.col("a.x") * F.col("p.x")).alias("spp"),
+            F.sum(
+                F.col("a.x").cast("decimal(19,0)")
+                * F.col("p.x").cast("decimal(19,0)")
+            ).alias("spp"),
             F.sum("a.x").alias("sa"),
             F.sum("p.x").alias("sp"),
         )
@@ -1857,12 +1867,12 @@ def _acf_report(daily_nv: DataFrame) -> DataFrame:
             "n_pairs",
             floor_ratio(
                 (
-                    F.col("spp")
+                    F.col("spp").cast("double")
                     - mu * F.col("sa")
                     - mu * F.col("sp")
                     + F.col("n_pairs") * mu2
                 )
-                / (F.col("sxx") - F.col("n") * mu2),
+                / (F.col("sxx").cast("double") - F.col("n") * mu2),
                 6,
             ).alias("acf"),
         )
@@ -2374,18 +2384,18 @@ WITH daily AS (
 pairs AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b,
          CAST(count(*) AS BIGINT) AS n_days,
-         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+         sum(CAST(a.x AS DECIMAL(19,0)) * CAST(b.x AS DECIMAL(19,0))) AS sxy,
          CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
-         CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
-         CAST(sum(b.x * b.x) AS BIGINT) AS syy
+         sum(CAST(a.x AS DECIMAL(19,0)) * CAST(a.x AS DECIMAL(19,0))) AS sxx,
+         sum(CAST(b.x AS DECIMAL(19,0)) * CAST(b.x AS DECIMAL(19,0))) AS syy
   FROM daily a
   JOIN daily b ON b.d = a.d AND a.event_type < b.event_type
   GROUP BY a.event_type, b.event_type
 )
 SELECT type_a, type_b, n_days,
-       floor((n_days * sxy - sx * sy)
-             / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
-                    * (n_days * syy - sy * sy))
+       floor((n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / sqrt((n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
              * 1000000) / 1000000 AS corr
 FROM pairs ORDER BY type_a, type_b
 """,
@@ -2428,19 +2438,34 @@ def _metric_corr_report(daily_nv: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_days"),
-            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+            F.sum(
+                F.col("a.x").cast("decimal(19,0)")
+                * F.col("b.x").cast("decimal(19,0)")
+            ).alias("sxy"),
             F.sum("a.x").alias("sx"),
             F.sum("b.x").alias("sy"),
-            F.sum(F.col("a.x") * F.col("a.x")).alias("sxx"),
-            F.sum(F.col("b.x") * F.col("b.x")).alias("syy"),
+            F.sum(
+                F.col("a.x").cast("decimal(19,0)")
+                * F.col("a.x").cast("decimal(19,0)")
+            ).alias("sxx"),
+            F.sum(
+                F.col("b.x").cast("decimal(19,0)")
+                * F.col("b.x").cast("decimal(19,0)")
+            ).alias("syy"),
         )
     )
-    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num = F.col("n_days") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
     den = F.sqrt(
-        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-            "double"
+        (
+            F.col("n_days") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
         )
-        * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy"))
+        * (
+            F.col("n_days") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
     )
     return pairs.select(
         "type_a",
@@ -3009,8 +3034,9 @@ _DECAY_TOPK = 10
 WITH scored AS (
   SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item_k,
          CAST(round(value * 1000000) AS BIGINT)
-           * (1 << ({_DECAY_MAX_WEEKS} - least(CAST(date_diff('day',
-                  CAST(ts AS DATE), DATE '{_DECAY_ANCHOR}') AS BIGINT) // 7,
+           * (1 << ({_DECAY_MAX_WEEKS} - least(greatest(
+                  CAST(date_diff('day', CAST(ts AS DATE),
+                       DATE '{_DECAY_ANCHOR}') AS BIGINT) // 7, 0),
                 {_DECAY_MAX_WEEKS}))) AS w_micro
   FROM events WHERE props IS NOT NULL
 )
@@ -3033,8 +3059,13 @@ LIMIT {_DECAY_TOPK}
         "sum-order-dependent). Plan shape: map-only JSON extract + "
         "weight projection, ONE items-bounded hash agg (map-side "
         "combined), TakeOrderedAndProject top-k — no sort of the "
-        "aggregate, no shuffle beyond the agg. At 100 TB the anchor "
-        "comes from the run date and nothing changes."
+        "aggregate, no shuffle beyond the agg. Ages clamp to [0, "
+        "horizon] on BOTH engines — events dated after the anchor "
+        "(late or clock-skewed arrivals once the anchor is a run "
+        "date) get full weight instead of tripping the engines' "
+        "different negative-division conventions (Spark div "
+        "truncates toward zero, DuckDB // floors). At 100 TB the "
+        "anchor comes from the run date and nothing else changes."
     ).format(k=_DECAY_TOPK, w=_DECAY_MAX_WEEKS),
 )
 def q_decay_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3044,9 +3075,9 @@ def q_decay_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "CAST(get_json_object(props, '$.k') AS BIGINT) AS item_k",
             "CAST(round(value * 1000000) AS BIGINT)"
-            f" * shiftleft(1, {_DECAY_MAX_WEEKS} - least("
+            f" * shiftleft(1, {_DECAY_MAX_WEEKS} - least(greatest("
             f"CAST(datediff(DATE '{_DECAY_ANCHOR}', CAST(ts AS DATE))"
-            f" AS BIGINT) div 7, {_DECAY_MAX_WEEKS})) AS w_micro",
+            f" AS BIGINT) div 7, 0), {_DECAY_MAX_WEEKS})) AS w_micro",
         )
     )
     return (
@@ -3072,20 +3103,21 @@ dow AS (
 ),
 prof AS (
   SELECT event_type, w, CAST(count(*) AS BIGINT) AS nw,
-         CAST(sum(x) AS BIGINT) AS sw, CAST(sum(x * x) AS BIGINT) AS sww
+         CAST(sum(x) AS BIGINT) AS sw,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sww
   FROM dow GROUP BY event_type, w
 ),
 stats AS (
   SELECT event_type,
          CAST(sum(nw) AS BIGINT) AS n, CAST(sum(sw) AS BIGINT) AS s,
-         CAST(sum(sww) AS BIGINT) AS ss,
+         CAST(sum(sww) AS DECIMAL(38,0)) AS ss,
          sum(CAST(sw AS DOUBLE) * sw / nw) AS s_within
   FROM prof GROUP BY event_type
 )
 SELECT event_type, n AS n_days,
        floor((s_within - CAST(s AS DOUBLE) * s / n)
-             / (ss - CAST(s AS DOUBLE) * s / n) * 1000000) / 1000000
-         AS seasonal_r2
+             / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+             * 1000000) / 1000000 AS seasonal_r2
 FROM stats ORDER BY event_type
 """,
     doc=(
@@ -3094,9 +3126,11 @@ FROM stats ORDER BY event_type
         "(the one-way-ANOVA R² = between-group SS / total SS over "
         "weekday groups) — the statistic that decides whether "
         "q_seasonal_forecast's day-7 lag is the right baseline for a "
-        "series or a flat mean would do. Exactness: daily counts, "
-        "their squares, and the per-weekday sums are exact BIGINTs "
-        "(integer moments ride the shared daily-events substrate); "
+        "series or a flat mean would do. Exactness: daily counts and "
+        "the per-weekday sums are exact BIGINTs and the squared moments "
+        "exact DECIMAL(38,0)s — immune to int64 overflow at extreme "
+        "daily counts (integer moments ride the shared daily-events "
+        "substrate); "
         "sum(sw²/nw) adds ≤7 engine-identical doubles in the same "
         "grouped-sum shape both engines share, and the R² is one "
         "closed-form scalar per type. Plan: substrate → ≤types×7 hash "
@@ -3118,18 +3152,20 @@ def _seasonality_report(daily_nv: DataFrame) -> DataFrame:
     prof = dow.groupBy("event_type", "w").agg(
         F.expr("CAST(count(*) AS BIGINT) AS nw"),
         F.expr("CAST(sum(x) AS BIGINT) AS sw"),
-        F.expr("CAST(sum(x * x) AS BIGINT) AS sww"),
+        F.expr(
+            "sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sww"
+        ),
     )
     stats = prof.groupBy("event_type").agg(
         F.expr("CAST(sum(nw) AS BIGINT) AS n"),
         F.expr("CAST(sum(sw) AS BIGINT) AS s"),
-        F.expr("CAST(sum(sww) AS BIGINT) AS ss"),
+        F.expr("CAST(sum(sww) AS DECIMAL(38,0)) AS ss"),
         F.expr("sum(CAST(sw AS DOUBLE) * sw / nw) AS s_within"),
     )
     return stats.selectExpr(
         "event_type",
         "n AS n_days",
         "floor((s_within - CAST(s AS DOUBLE) * s / n)"
-        " / (ss - CAST(s AS DOUBLE) * s / n) * 1000000) / 1000000"
-        " AS seasonal_r2",
+        " / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " * 1000000) / 1000000 AS seasonal_r2",
     ).orderBy("event_type")

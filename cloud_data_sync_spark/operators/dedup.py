@@ -1110,7 +1110,7 @@ def _embedding_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     )
     bands = (
-        emb.withColumn("bucket", _bucket_col(F.col("v")))
+        emb.withColumn("bucket", _bucket_col())
         .select(
             "vec_id",
             "label",

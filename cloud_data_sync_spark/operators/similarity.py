@@ -195,8 +195,9 @@ def _plane_signs() -> list[list[float]]:
     ]
 
 
-def _bucket_col(v: Column) -> Column:
-    """8-bit '01' bucket string: bit_j = [Σ_d w_jd·x_d > 0].
+def _bucket_col() -> Column:
+    """8-bit '01' bucket string over the shared ``_vectors`` column ``v``:
+    bit_j = [Σ_d w_jd·x_d > 0].
 
     The weights are compile-time constants baked in as array literals, so
     the signature is one map-side projection — no weight table, no
@@ -210,8 +211,10 @@ def _bucket_col(v: Column) -> Column:
     # one parsed text expression (the q_bootstrap_ci py4j lesson): the
     # Column form (8 planes x 64 F.lit weights + fold builders) issued
     # ~560 driver round trips per consumer build; the resolved plan is
-    # identical. NOTE: `v` must therefore be the literal column name "v"
-    # — every caller passes F.col("v") from the shared _vectors table.
+    # identical. The SQL text hardcodes the column name "v", so the
+    # helper is deliberately zero-arg: it can only be applied to a frame
+    # that exposes the shared _vectors column ``v`` (misuse fails at
+    # analysis time with an unresolved-column error naming "v").
     bits = []
     for signs in _plane_signs():
         w = "array(" + ", ".join(f"{x!r}D" for x in signs) + ")"
@@ -274,7 +277,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
 )
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
-    with_sig = vecs.withColumn("bucket", _bucket_col(F.col("v")))
+    with_sig = vecs.withColumn("bucket", _bucket_col())
     q = with_sig.filter(
         (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
     ).select(

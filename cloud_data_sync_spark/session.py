@@ -45,7 +45,7 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     # The generated-class cache defaults to 100 entries; a session that
-    # serves the whole 198-query registry compiles several codegen units
+    # serves the whole query registry (~200 keys) compiles several codegen units
     # per query and thrashes it, so every re-execution pays Janino
     # compilation again (measured: the same query runs 10-30% slower
     # inside a full registry sweep than isolated). Static conf — applied
