@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from cloud_data_sync_spark.registry import floor_ratio, register
-from cloud_data_sync_spark.tables import load_table
+from cloud_data_sync_spark.tables import load_table, materialize
 
 # BPE-ish tokenization: word pieces + standalone punctuation — the
 # pre-tokenizer split most BPE vocabularies assume. re.ASCII: the DuckDB
@@ -593,7 +593,7 @@ def q_hll_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound is calibrated against the string-hash HLL estimates, and a
     # cheaper xxhash64 pre-hash measurably shifts the estimator outside
     # the bound on small sources at sf0.01.)
-    per_src = shl.distinct().localCheckpoint(eager=False)
+    per_src = materialize(shl.distinct(), eager=False)
     sk = per_src.groupBy("source").agg(F.hll_sketch_agg("sh").alias("sk"))
     a = sk.select(F.col("source").alias("src_a"), F.col("sk").alias("sk_a"))
     b = sk.select(F.col("source").alias("src_b"), F.col("sk").alias("sk_b"))

@@ -31,6 +31,7 @@ from cloud_data_sync_spark.operators.tokens import low_toks, toks_documents
 from cloud_data_sync_spark.registry import floor_ratio, register
 from cloud_data_sync_spark.tables import (
     load_table,
+    materialize,
     session_substrate,
     spread as _spread,
 )
@@ -543,9 +544,11 @@ def connected_components(
     scale are billions of edges), iterative min-label propagation runs:
     each round is two distributed joins (pull the min label from
     neighbors, fold it into the current label); ONLY the convergence flag
-    (a count) comes to the driver. ``localCheckpoint`` truncates the
-    lineage each round — without it the plan doubles per iteration and
-    the job dies on analysis time long before data size matters. Rounds
+    (a count) comes to the driver. ``materialize`` (localCheckpoint, or a
+    reliable checkpoint when ``spark.cloud_data_sync.checkpoint_dir`` is
+    set — the cluster deployment flag, tables.py) truncates the lineage
+    each round — without it the plan doubles per iteration and the job
+    dies on analysis time long before data size matters. Rounds
     needed = graph diameter, which for near-dup clusters is tiny;
     ``max_iter`` caps pathological chains.
     """
@@ -555,16 +558,16 @@ def connected_components(
     # directed list; union-find treats an edge as symmetric already, so
     # only the propagation path pays for the symmetrized union (lazily,
     # over the checkpointed rows).
-    ed = edges.selectExpr("a", "b").localCheckpoint(eager=True)
+    ed = materialize(edges.selectExpr("a", "b"), eager=True)
 
     if ed.count() <= local_max_edges:
         return _cc_local(ed)
     sym = ed.union(ed.selectExpr("b AS a", "a AS b"))
-    labels = (
+    labels = materialize(
         sym.select(F.col("a").alias("v"))
         .distinct()
-        .withColumn("label", F.col("v"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("v")),
+        eager=True,
     )
 
     def _propagate(lbl: DataFrame) -> DataFrame:
@@ -591,7 +594,8 @@ def connected_components(
             _propagate(_propagate(labels))
             .withColumnRenamed("label", "new_label")
             .join(labels.withColumnRenamed("label", "old_label"), "v")
-        ).localCheckpoint(eager=False)
+        )
+        stepped = materialize(stepped, eager=False)
         changed = stepped.filter(F.col("new_label") != F.col("old_label")).count()
         labels = stepped.select("v", F.col("new_label").alias("label"))
         if changed == 0:
@@ -1519,14 +1523,18 @@ def exact_jaccard_pairs(
     # Three consumers read this aggregate (the prefix branch + both
     # verification sides) and their downstream projections differ, so
     # Spark's ReuseExchange never fires — without materialization the
-    # whole shingle window+groupBy pipeline runs 3x. localCheckpoint
-    # (lazy) pins the computed partitions on executors; measured
+    # whole shingle window+groupBy pipeline runs 3x. materialize (lazy
+    # localCheckpoint, or reliable checkpoint under the cluster flag)
+    # pins the computed partitions; measured
     # 4.6s -> 3.8s at sf0.1, and at scale it trades one recompute of the
     # heaviest stage for executor-local storage of (doc_id, shingle-hash
     # array) rows — set-size data, not text.
-    sets = with_df.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("shs_df")
-    ).localCheckpoint(eager=False)
+    sets = materialize(
+        with_df.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("shs_df")
+        ),
+        eager=False,
+    )
     plen = F.size("shs_df") - F.ceil(F.lit(t) * F.size("shs_df")).cast("int") + 1
     pref = (
         sets.select(

@@ -17,7 +17,11 @@ from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.operators.tokens import toks_documents
 from cloud_data_sync_spark.registry import floor_ratio, register
-from cloud_data_sync_spark.tables import load_table, session_substrate
+from cloud_data_sync_spark.tables import (
+    load_table,
+    materialize,
+    session_substrate,
+)
 
 # Tiny embedded stopword lexicons for the n-gram/stopword language-ID
 # heuristic. Deterministic and identical in the oracle SQL.
@@ -1359,9 +1363,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stats pack and the hit scan consume them, and without this the
     # corpus tokenizes twice (the rows are a few longs each, so the
     # checkpoint stores integers, never text)
-    base = docs.select(
-        "doc_id", F.size(t).cast("long").alias("dl"), *tf_cols
-    ).localCheckpoint(eager=False)
+    base = materialize(
+        docs.select("doc_id", F.size(t).cast("long").alias("dl"), *tf_cols),
+        eager=False,
+    )
     # ONE pack pass: N, avgdl AND per-term df in a single aggregation
     # (df over all docs equals df over hits — tf_i > 0 implies a hit)
     stats = base.agg(

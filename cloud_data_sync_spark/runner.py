@@ -44,6 +44,7 @@ from cloud_data_sync_spark.sources.listing import (
     list_objects_binaryfile,
     provider_conf,
 )
+from cloud_data_sync_spark.tables import materialize
 from cloud_data_sync_spark.sync import (
     ACTION_COPY,
     ACTION_DELETE,
@@ -216,11 +217,11 @@ def sync_buckets(
     # recompute the diff against the NEW state (read-overwrite hazard).
     full_state = state_mod.load_state(spark, state_path)
     st = state_mod.state_for_mapping(full_state, mid)
-    plan = sync_diff(src, tgt, st).localCheckpoint()
+    plan = materialize(sync_diff(src, tgt, st), eager=True)
 
     # 3. execute (copies + deletes), one status row per object —
     # checkpoint materializes the side effects exactly once
-    results = execute_plan(plan, src_root, tgt_root).localCheckpoint()
+    results = materialize(execute_plan(plan, src_root, tgt_root), eager=True)
 
     # 4. state maintenance: upsert copy results, remove deleted keys
     copy_rows = results.filter(F.col("action") == ACTION_COPY).select(
@@ -246,7 +247,8 @@ def sync_buckets(
     # checkpoint the merged state BEFORE overwriting the path it reads from
     new_slice = state_mod.delete_keys(
         state_mod.upsert(st, copy_rows), deleted_keys
-    ).localCheckpoint()
+    )
+    new_slice = materialize(new_slice, eager=True)
 
     # 5. report (the counters the reference logs, sync.go:166-170, 231-233)
     counts = count_actions(results)

@@ -79,6 +79,49 @@ def _purge_dead_sessions() -> None:
     purge_dead_sessions(_PLAN_CACHE)
 
 
+# spark conf key: when set to a path, every lineage-truncation site in the
+# package (iterative label propagation, session substrates, the sync runner's
+# per-tick plans) uses a RELIABLE checkpoint rooted there instead of
+# localCheckpoint. localCheckpoint pins blocks on executors — fine on
+# local[*] and fastest there, but on a real cluster a lost executor silently
+# kills every lineage-truncated frame it hosted (SCALE.md §"What we would
+# change first"). The flag is the single switch a cluster deployment flips.
+CHECKPOINT_DIR_CONF = "spark.cloud_data_sync.checkpoint_dir"
+
+# sessions (by applicationId) whose JVM checkpoint dir we already pointed at
+# a given path — setCheckpointDir is cheap but touches the filesystem, so
+# re-pin only when the configured path changes mid-session.
+_CKDIR_SET: dict[str, str] = {}
+
+
+def materialize(df: DataFrame, *, eager: bool) -> DataFrame:
+    """Truncate ``df``'s lineage: localCheckpoint by default, a reliable
+    ``df.checkpoint()`` when ``spark.cloud_data_sync.checkpoint_dir`` is set.
+
+    Every package call site that previously called ``localCheckpoint``
+    routes through here, so cluster portability is one conf flag rather
+    than a code edit per site. Semantics are identical either way — both
+    materialize the rows (eagerly or on first action) and cut the plan —
+    only the durability/storage of the materialized blocks differs:
+    executor block manager (fast, lost with the executor) vs the
+    checkpoint filesystem (HDFS/S3 on a cluster; survives executor loss,
+    required for long iterative chains where recomputing a lost block
+    would replay the whole lineage that was just truncated away).
+    """
+    spark = df.sparkSession
+    try:
+        ckdir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    except Exception:  # noqa: BLE001 - conf unreadable on stopped sessions
+        ckdir = None
+    if not ckdir:
+        return df.localCheckpoint(eager=eager)
+    app = _session_key(spark)
+    if _CKDIR_SET.get(app) != ckdir:
+        spark.sparkContext.setCheckpointDir(ckdir)
+        _CKDIR_SET[app] = ckdir
+    return df.checkpoint(eager=eager)
+
+
 def session_substrate(
     spark: SparkSession,
     cache: dict,
@@ -93,7 +136,7 @@ def session_substrate(
     dedup family's per-doc shingle-hash + MinHash signature table; the
     embedding family's blocked candidate-cosine pair set). Those
     intermediates are pure functions of immutable parquet inputs, so
-    sharing ONE lazily-localCheckpointed copy per (session, input vintage)
+    sharing ONE lazily-materialized copy per (session, input vintage)
     is a materialized common subexpression — the session-scoped analogue of
     the signature/pair table a production pipeline at 100 TB writes once
     and scans from many consumers — not a semantics change.
@@ -110,9 +153,11 @@ def session_substrate(
     builder keyed on a subset would serve checkpointed rows that are
     stale with respect to the unlisted inputs (r4 advice).
 
-    ``localCheckpoint(eager=False)`` materializes on first consumer action
-    and pins computed partitions on executors; later consumers scan the
-    checkpoint instead of re-running tokenize/hash/sign pipelines.
+    ``materialize(eager=False)`` (localCheckpoint, or a reliable
+    checkpoint under ``spark.cloud_data_sync.checkpoint_dir``) computes
+    on first consumer action and pins the partitions; later consumers
+    scan the checkpoint instead of re-running tokenize/hash/sign
+    pipelines.
     """
     if isinstance(table_names, str):
         table_names = (table_names,)
@@ -126,7 +171,7 @@ def session_substrate(
     purge_dead_sessions(cache)
     for stale in [k for k in cache if k[:3] == base]:
         cache.pop(stale, None)
-    df = build().localCheckpoint(eager=False)
+    df = materialize(build(), eager=False)
     cache[key] = df
     return df
 

@@ -234,3 +234,64 @@ def test_output_substrate_queries_expose_builder_plans(spark):
         assert any(op in plan for op in ("Join", "Aggregate", "Exchange")), (
             f"{name}: builder plan exposes no relational operators"
         )
+
+
+def test_materialize_reliable_checkpoint_mode(spark, tmp_path):
+    """spark.cloud_data_sync.checkpoint_dir flips every lineage-truncation
+    site from localCheckpoint to a reliable checkpoint (SCALE.md's first
+    real-cluster change) with identical results in both modes."""
+    import os
+
+    from cloud_data_sync_spark.operators.dedup import connected_components
+    from cloud_data_sync_spark.tables import CHECKPOINT_DIR_CONF, materialize
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "a long, b long"
+    )
+    # local mode (default): no conf set
+    base = sorted(
+        tuple(r) for r in connected_components(edges, local_max_edges=0).collect()
+    )
+    ckdir = str(tmp_path / "ck")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        m = materialize(edges, eager=True)
+        assert sorted(tuple(r) for r in m.collect()) == sorted(
+            tuple(r) for r in edges.collect()
+        )
+        wrote = any(fs for _, _, fs in os.walk(ckdir))
+        assert wrote, "reliable mode must write checkpoint files"
+        # the distributed label-propagation branch under reliable mode
+        reliable = sorted(
+            tuple(r)
+            for r in connected_components(edges, local_max_edges=0).collect()
+        )
+        assert reliable == base
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
+def test_session_substrate_honors_checkpoint_conf(spark, tmp_path):
+    import os
+
+    from cloud_data_sync_spark.tables import (
+        CHECKPOINT_DIR_CONF,
+        session_substrate,
+    )
+
+    cache: dict = {}
+    ckdir = str(tmp_path / "ck2")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        df = session_substrate(
+            spark,
+            cache,
+            SF_DIR,
+            "ck-test-substrate",
+            "region",
+            lambda: spark.range(100).selectExpr("id", "id * 2 AS y"),
+        )
+        assert df.count() == 100  # lazy checkpoint materializes here
+        assert any(fs for _, _, fs in os.walk(ckdir))
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
