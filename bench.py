@@ -95,6 +95,13 @@ def sweep_timings(
     previously kept run 1's time and reported green while stderr said
     otherwise. NaN would serialize as bare `NaN` — invalid JSON — hence
     the -1 sentinel. Importable so tests exercise the real sweep loop.
+
+    Also returns the raw PER-SWEEP totals (over queries that completed
+    every sweep) so the committed artifact carries both decorrelated
+    samples, not just the min: cross-round comparisons can then separate
+    a real regression (both sweeps up) from box contention (one sweep
+    poisoned) without re-running anything (r5 advice — bench totals
+    swing ±20-40% with shared-host load).
     """
     samples: dict[str, list[float]] = {}
     failed: set[str] = set()
@@ -118,7 +125,11 @@ def sweep_timings(
             best = min(samples[name])
             timings[name] = round(best, 3)
             total += best
-    return timings, total
+    complete = [n for n in names if len(samples.get(n, [])) == passes]
+    sweep_totals = [
+        round(sum(samples[n][i] for n in complete), 3) for i in range(passes)
+    ]
+    return timings, total, sweep_totals
 
 
 def main() -> None:
@@ -167,7 +178,7 @@ def main() -> None:
         ).save()
         return time.perf_counter() - t0
 
-    timings, total = sweep_timings(sorted(all_queries()), _run_one)
+    timings, total, sweep_totals = sweep_timings(sorted(all_queries()), _run_one)
 
     # Full per-query map goes to BENCH_FULL.json (the one-line stdout
     # contract is read from a bounded tail buffer — observed 2000 chars in
@@ -183,6 +194,10 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf,
+                    # raw totals of each decorrelated sweep (queries that
+                    # completed every sweep): value is the min-of-sweeps
+                    # total; these expose how much box noise the min hid
+                    "sweep_totals": sweep_totals,
                 },
                 f,
                 indent=1,

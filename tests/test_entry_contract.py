@@ -96,13 +96,16 @@ def test_sweep_timings_min_across_separated_sweeps():
     from bench import sweep_timings
 
     walls = {"q_a": iter([3.0, 1.0]), "q_b": iter([0.5, 0.7])}
-    timings, total = sweep_timings(
+    timings, total, sweep_totals = sweep_timings(
         ["q_a", "q_b"], lambda n: next(walls[n]), on_error=lambda n, e: None
     )
     # min is taken per query ACROSS sweeps (q_a's spike-poisoned first
     # sample is discarded by its clean second-sweep sample)
     assert timings == {"q_a": 1.0, "q_b": 0.5}
     assert abs(total - 1.5) < 1e-9
+    # both raw sweep totals are surfaced so the artifact shows the noise
+    # the min hid (3.0+0.5, then 1.0+0.7)
+    assert sweep_totals == [3.5, 1.7]
 
 
 def test_sweep_timings_failure_pins_sentinel_and_skips_remaining_sweeps():
@@ -116,9 +119,11 @@ def test_sweep_timings_failure_pins_sentinel_and_skips_remaining_sweeps():
             raise RuntimeError("boom")
         return 0.1
 
-    timings, total = sweep_timings(
+    timings, total, sweep_totals = sweep_timings(
         ["q_bad", "q_ok"], run_one, on_error=lambda n, e: None
     )
+    # failed queries are excluded from BOTH sweep totals, not just the min
+    assert sweep_totals == [0.1, 0.1]
     # a failure on ANY run is a -1.0 sentinel excluded from the total,
     # and the query is not retried on later sweeps
     assert timings["q_bad"] == -1.0
@@ -139,7 +144,7 @@ def test_sweep_timings_succeed_then_throw_is_failed():
             raise RuntimeError("flake on sweep 2")
         return 2.5
 
-    timings, total = sweep_timings(["q_x"], run_one, on_error=lambda n, e: None)
+    timings, total, _ = sweep_timings(["q_x"], run_one, on_error=lambda n, e: None)
     # sweep-1 success must NOT survive a sweep-2 throw
     assert timings == {"q_x": -1.0}
     assert total == 0.0
