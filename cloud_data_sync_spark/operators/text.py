@@ -839,6 +839,294 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BPE merge TRAINING (q_bpe_train): the step q_token_bpe (pre-tokenize) and
+# q_vocab (word counting) stop short of — learning the merge table itself.
+
+_BPE_TRAIN_ROUNDS = 8
+# clean lowercase words only: merged symbols are plain concatenations, so the
+# alphabet must be unambiguous (no whitespace/regex metacharacters inside a
+# symbol); plain character classes compile identically under Java regex
+# (Spark) and RE2 (DuckDB)
+_BPE_WORD_RE = "^[a-z]{2,12}$"
+
+# greedy left-to-right merge of ONE pair (a, b) -> a||b over a symbol array,
+# as a single map-side fold (SQL aggregate() lambda): the accumulator carries
+# (emitted symbols, one pending symbol); a pending `a` followed by `b` flushes
+# the merged token and clears the carry, so the merged token can never be the
+# left side of another merge in the same round — exactly the reference BPE
+# (Sennrich) left-to-right non-overlapping semantics ("l l l" merges once).
+# {a}/{b} are filled with SQL string literals of the round's learned pair —
+# model parameters, like k-means centroid constants — so the chain of round
+# folds is a LINEAR map-only plan (a column/broadcast reference to the best
+# pair would make each round's plan reference the previous round twice:
+# fold input + argmax input, re-expanding the dict agg 2^rounds times).
+_BPE_FOLD_SQL = (
+    "aggregate(syms, "
+    "named_struct('out', CAST(array() AS ARRAY<STRING>), "
+    "'carry', CAST(NULL AS STRING)), "
+    "(acc, s) -> IF(acc.carry = {a} AND s = {b}, "
+    "named_struct('out', concat(acc.out, array(concat({a}, {b}))), "
+    "'carry', CAST(NULL AS STRING)), "
+    "named_struct('out', IF(acc.carry IS NULL, acc.out, "
+    "concat(acc.out, array(acc.carry))), 'carry', s)), "
+    "acc -> IF(acc.carry IS NULL, acc.out, concat(acc.out, array(acc.carry)))"
+    ") AS syms"
+)
+
+
+def _sql_str_lit(v: str) -> str:
+    """Single-quoted SQL literal; symbols are [a-z<>/w] by construction
+    (word filter + '</w>'), but escape quotes anyway so a future alphabet
+    change cannot inject."""
+    return "'" + v.replace("'", "''") + "'"
+
+# adjacent symbol pairs of one sequence, counted with the word's frequency —
+# overlapping pairs all count ("lll" contributes (l,l) twice), matching the
+# reference get_stats
+_BPE_PAIRS_SQL = (
+    "explode(transform(sequence(1, size(syms) - 1), "
+    "i -> named_struct('a', element_at(syms, i), "
+    "'b', element_at(syms, i + 1)))) AS p"
+)
+
+
+def _bpe_seqs0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cnt, syms): the aggregated word-frequency dict, each word split
+    into characters plus the '</w>' end marker — BPE trains on THIS
+    vocab-bounded table, never the corpus (the production shape: at
+    100 TB the word dict is a few million rows regardless of corpus
+    size, and every training round below touches only it)."""
+    words = (
+        toks_documents(spark, sf_dir)
+        .select(F.explode("toks").alias("w"))
+        .filter(F.col("w").rlike(_BPE_WORD_RE))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return words.selectExpr(
+        "cnt",
+        "concat(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), array('</w>')) AS syms",
+    )
+
+
+def _bpe_round_pairs(seqs: DataFrame) -> DataFrame:
+    """One round's pair-count aggregate: the ONLY shuffle per round, and
+    its key space is bounded by the live symbol alphabet squared — not by
+    vocab, not by corpus."""
+    return (
+        seqs.selectExpr("cnt", _BPE_PAIRS_SQL)
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+def _bpe_train_sql(rounds: int) -> str:
+    """DuckDB oracle: the SAME bounded merge sequence as chained CTEs.
+
+    Each round re-derives pair counts, picks argmax((count desc, a, b)),
+    and applies the greedy merge via unnest + lead() + run-parity
+    selection; every per-round CTE is MATERIALIZED — DuckDB inlines CTEs
+    by default, and an 8-deep chain with 2 consumers per level would
+    re-expand seqs0 into ~2^8 parquet scans (observed: fd exhaustion) (within a run of consecutive matches, the 1st/3rd/5th...
+    merge — identical to the fold's left-to-right semantics; verified
+    against a reference Python BPE on adversarial overlap cases).
+    """
+    round_tpl = """
+ex{r} AS MATERIALIZED (
+  SELECT w, cnt, unnest(syms) AS sym,
+         unnest(range(1, len(syms) + 1)) AS pos
+  FROM seqs{p}
+),
+agg{r} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT e.sym AS a,
+           lead(e.sym) OVER (PARTITION BY e.w ORDER BY e.pos) AS b, e.cnt
+    FROM ex{r} e)
+  WHERE b IS NOT NULL GROUP BY a, b
+),
+best{r} AS MATERIALIZED (
+  SELECT a, b, c FROM agg{r} ORDER BY c DESC, a, b LIMIT 1
+),
+m{r} AS MATERIALIZED (
+  SELECT e.w, e.cnt, e.pos, e.sym,
+         lead(e.sym) OVER (PARTITION BY e.w ORDER BY e.pos) AS nxt,
+         (e.sym = b.a AND
+          lead(e.sym) OVER (PARTITION BY e.w ORDER BY e.pos) = b.b) AS hit
+  FROM ex{r} e CROSS JOIN best{r} b
+),
+sel{r} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT w, pos,
+           row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rk
+    FROM (SELECT w, pos,
+                 pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+          FROM m{r} WHERE hit))
+  WHERE rk % 2 = 1
+),
+seqs{r} AS MATERIALIZED (
+  SELECT m.w, any_value(m.cnt) AS cnt,
+         list(CASE WHEN s.pos IS NOT NULL THEN m.sym || m.nxt
+                   ELSE m.sym END ORDER BY m.pos) AS syms
+  FROM m{r} m
+  LEFT JOIN sel{r} s ON s.w = m.w AND s.pos = m.pos
+  LEFT JOIN sel{r} s2 ON s2.w = m.w AND s2.pos = m.pos - 1
+  WHERE s2.pos IS NULL
+  GROUP BY m.w
+)"""
+    rounds_sql = ",".join(
+        round_tpl.format(r=i, p=i - 1) for i in range(1, rounds + 1)
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS left_sym, b AS right_sym,"
+        f" c AS pair_count FROM best{i}"
+        for i in range(1, rounds + 1)
+    )
+    return f"""
+WITH wd AS (
+  SELECT term AS w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents)
+  WHERE regexp_matches(term, '{_BPE_WORD_RE}')
+  GROUP BY term
+),
+seqs0 AS MATERIALIZED (
+  SELECT w, cnt,
+         list_transform(range(1, length(w) + 1), i -> substring(w, i, 1))
+           || ['</w>'] AS syms
+  FROM wd
+),{rounds_sql}
+{union}
+ORDER BY step
+"""
+
+
+@register(
+    "q_bpe_train",
+    oracle=_bpe_train_sql(_BPE_TRAIN_ROUNDS),
+    doc=(
+        "BPE merge-table TRAINING, {n} rounds — the learning step the "
+        "tokenizer stack (q_token_bpe pre-tokenize, q_vocab counting) "
+        "feeds: per round, count adjacent symbol pairs over the word-"
+        "frequency dict weighted by word count, pick argmax with the "
+        "deterministic (count desc, left, right) tie-break, and apply the "
+        "greedy left-to-right merge to every sequence (reference BPE "
+        "semantics, Sennrich get_stats/merge — overlapping pairs both "
+        "count, a merged token never chains in-round). Iterative "
+        "static-DAG pattern (k-means/PageRank, ml.py): each round is ONE "
+        "pair hash agg (map-side combined; key space = live alphabet "
+        "squared, independent of corpus AND vocab size) + TakeOrdered(1), "
+        "with exactly the 1-row learned pair coming to the driver as a "
+        "model parameter (k-means-convergence-scalar class; data rows "
+        "never collect) and re-entering as fold literals — the round "
+        "chain is then a LINEAR map-only aggregate()-fold plan over the "
+        "once-materialized dict (reliable-checkpoint-portable), no "
+        "explode-rebuild shuffle, no per-round re-materialization. "
+        "Scale-adaptive like connected components (dedup.py): a dict "
+        "under 20k words trains driver-side from ONE collect instead of "
+        "paying rounds x job-floor, property-tested equal to the "
+        "distributed path. "
+        "Trains on the AGGREGATED word dict, the production shape: at "
+        "100 TB the dict is vocab-bounded (millions of rows) so rounds "
+        "cost the same at any corpus size; only the one dict-building "
+        "agg sees the corpus. "
+        "Oracle: the identical bounded merge sequence as {n} chained "
+        "DuckDB CTE rounds (unnest + lead + run-parity greedy selection), "
+        "cross-checked against a reference Python BPE on overlap-"
+        "adversarial fixtures (tests)."
+    ).format(n=_BPE_TRAIN_ROUNDS),
+    plan=lambda spark, sf_dir: _bpe_round_pairs(_bpe_seqs0(spark, sf_dir)),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train_loop(_bpe_seqs0(spark, sf_dir), _BPE_TRAIN_ROUNDS)
+
+
+# scale-adaptive bound, the connected-components _LOCAL_CC_MAX_EDGES idiom
+# (dedup.py): BPE's training input is the AGGREGATED word dict, known-small
+# after one count — below this many distinct words the merge rounds run as a
+# driver-side fold over the collected dict (one collect, zero per-round
+# jobs; a tiny dict trained distributively costs rounds x ~0.25 s of pure
+# job-scheduling floor — measured 2.9 s for 8 rounds over 30 words), above
+# it the distributed per-round agg loop runs (each round touches only the
+# vocab-bounded dict, never the corpus).
+_LOCAL_BPE_MAX_WORDS = 20_000
+
+
+def _bpe_local(rows: list, rounds: int) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge training over collected (cnt, syms) rows — the
+    exact same (count desc, left, right) argmax and greedy left-to-right
+    merge semantics as the distributed loop (property-tested equal)."""
+    from collections import Counter
+
+    seqs = [[int(r["cnt"]), list(r["syms"])] for r in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for cnt, syms in seqs:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, int(c)))
+        for row in seqs:
+            syms = row[1]
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            row[1] = ns
+    return merges
+
+
+def bpe_train_loop(
+    seqs: DataFrame, rounds: int, local_max_words: int = _LOCAL_BPE_MAX_WORDS
+) -> DataFrame:
+    """The training loop over any (cnt, syms) dict — separated so tests
+    can drive it with overlap-adversarial synthetic fixtures.
+
+    Job structure: the dict materializes ONCE (the only corpus-touching
+    work). Small dicts (<= local_max_words) then train driver-side from
+    one collect — the CC union-find idiom. Large dicts run the
+    distributed loop: each round is one tiny job — the distributed
+    pair-count agg + TakeOrdered(1) — bringing exactly ONE row to the
+    driver: the learned merge pair, a model parameter (the same
+    control-plane class as k-means' convergence scalar or CC's
+    changed-count; data rows never collect). The pair embeds as literals
+    in the next round's fold, so the round chain is a LINEAR map-only
+    plan over the materialized dict — no per-round re-materialization,
+    and at 100 TB each round costs one vocab-bounded agg whatever the
+    corpus size.
+    """
+    spark = seqs.sparkSession
+    out_schema = "step long, left_sym string, right_sym string, pair_count long"
+    cur = materialize(seqs, eager=False)
+    if cur.count() <= local_max_words:
+        merges = _bpe_local(cur.select("cnt", "syms").collect(), rounds)
+        return spark.createDataFrame(merges, out_schema).orderBy("step")
+    merges = []
+    for step in range(1, rounds + 1):
+        top = (
+            _bpe_round_pairs(cur)
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # every word fully merged to one symbol
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((step, a, b, c))
+        cur = cur.selectExpr(
+            "cnt", _BPE_FOLD_SQL.format(a=_sql_str_lit(a), b=_sql_str_lit(b))
+        )
+    return spark.createDataFrame(merges, out_schema).orderBy("step")
+
+
 @register(
     "q_shard_layout",
     oracle="""

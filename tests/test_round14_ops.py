@@ -1,0 +1,97 @@
+"""Round-6-of-driver (14th build wave) operators: BPE merge training."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ref_bpe(word_counts: list[tuple[str, int]], rounds: int):
+    """Reference BPE (Sennrich get_stats/merge semantics): overlapping
+    pairs all count; merges apply greedily left-to-right, and a merged
+    token never chains within the same round."""
+    seqs = {w: [*w, "</w>"] for w, _ in word_counts}
+    cnt = dict(word_counts)
+    out = []
+    for step in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt[w]
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, a, b, c))
+        for w, syms in seqs.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            seqs[w] = ns
+    return out
+
+
+def _loop_on(spark, word_counts, rounds, local_max_words=None):
+    from cloud_data_sync_spark.operators.text import bpe_train_loop
+
+    wd = spark.createDataFrame(word_counts, "w string, cnt long")
+    seqs = wd.selectExpr(
+        "cnt",
+        "concat(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), array('</w>')) AS syms",
+    )
+    kwargs = {}
+    if local_max_words is not None:
+        kwargs["local_max_words"] = local_max_words
+    return [tuple(r) for r in bpe_train_loop(seqs, rounds, **kwargs).collect()]
+
+
+def test_bpe_train_matches_reference_on_overlap_adversarial_dict(spark):
+    # 'lull'/'hello'/'hell' exercise run-parity greedy merging ("l l l"
+    # merges once); 'abab' exercises the shared-boundary case a naive
+    # string replace gets wrong; ties exercise the (count, a, b) break
+    wd = [("hello", 5), ("hell", 3), ("lull", 2), ("abab", 4), ("banana", 3)]
+    rounds = 6
+    ref = _ref_bpe(wd, rounds)
+    # scale-adaptive: the driver-side path (default for small dicts) and
+    # the distributed per-round-agg path must both equal the reference
+    assert _loop_on(spark, wd, rounds) == ref
+    assert _loop_on(spark, wd, rounds, local_max_words=0) == ref
+
+
+def test_bpe_train_run_parity_on_long_runs(spark):
+    # aaaaaa: (a,a) appears 5x per word occurrence; greedy merges
+    # positions 1-2, 3-4, 5-6 only — then (aa,aa) next round, etc.
+    wd = [("aaaaaa", 7), ("aaa", 2)]
+    rounds = 4
+    ref = _ref_bpe(wd, rounds)
+    assert _loop_on(spark, wd, rounds) == ref
+    assert _loop_on(spark, wd, rounds, local_max_words=0) == ref
+
+
+def test_bpe_train_registered_output_shape(spark):
+    from cloud_data_sync_spark.operators.text import _BPE_TRAIN_ROUNDS
+    from cloud_data_sync_spark.registry import all_queries
+
+    df = all_queries()["q_bpe_train"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert [f.name for f in df.schema.fields] == [
+        "step",
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    ]
+    assert [r.step for r in rows] == list(range(1, _BPE_TRAIN_ROUNDS + 1))
+    # merged symbols concatenate previously seen symbols: each round's
+    # left/right must be buildable from single chars, '</w>', and prior
+    # merges — the defining invariant of a valid merge table
+    known = set("abcdefghijklmnopqrstuvwxyz") | {"</w>"}
+    for r in rows:
+        assert r.left_sym in known and r.right_sym in known, r
+        known.add(r.left_sym + r.right_sym)
+        assert r.pair_count > 0
