@@ -1845,6 +1845,134 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG_BLOCK, _SEG_MIN_TOKS = 10, 5
+
+
+@register(
+    "q_dedup_sentence",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+),
+sent AS (
+  SELECT doc_id, tok, pos,
+         sum(term) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) - term AS sent_id
+  FROM (SELECT doc_id, tok, pos,
+               CASE WHEN regexp_matches(tok, '[.!?]$') THEN 1 ELSE 0 END
+                 AS term
+        FROM tk)
+),
+blocks AS (
+  SELECT doc_id, sent_id, tok, pos,
+         (row_number() OVER (PARTITION BY doc_id, sent_id ORDER BY pos) - 1)
+           // {_SEG_BLOCK} AS block_id
+  FROM sent
+),
+segs AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+  FROM blocks GROUP BY doc_id, sent_id, block_id
+  HAVING count(*) >= {_SEG_MIN_TOKS}
+),
+shared AS (
+  SELECT h FROM segs GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_shared,
+       floor(CAST(sum(CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*) * 1000000) / 1000000 AS shared_frac
+FROM segs s LEFT JOIN shared sh ON sh.h = s.h
+GROUP BY s.doc_id
+""",
+    doc=(
+        "Sentence-aligned exact-substring dedup — the boundary-aware "
+        "sibling of q_dedup_substring's fixed 200-char windows, and the "
+        "form production boilerplate removal ships (CCNet/Gopher strip "
+        "repeated PARAGRAPHS/SENTENCES, not arbitrary char spans, so a "
+        "one-char offset cannot hide a repeat): tokens segment at "
+        "sentence terminators ([.!?]-suffixed tokens close a sentence), "
+        "pathological/unpunctuated sentences re-segment every "
+        "{b} tokens (the standard cap — this synthetic corpus has no "
+        "terminators, so there it degrades to exact {b}-token blocks; "
+        "the terminator path is fixture-tested), fragments under "
+        "{m} tokens are dropped, and each segment content-hash seen in "
+        ">=2 distinct documents marks a repeated span, rolled up per "
+        "document like q_dedup_substring. Plan: posexplode -> per-doc "
+        "running-sum window (ONE doc_id exchange; the sort spills at "
+        "scale) -> segment agg that REUSES the window's doc_id "
+        "partitioning (group keys extend the partition key, so no "
+        "second exchange) -> segment-hash agg + per-doc rollup; "
+        "segment hashes shuffle as 32-char strings, never text."
+    ).format(b=_SEG_BLOCK, m=_SEG_MIN_TOKS),
+)
+def q_dedup_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = toks_documents(spark, sf_dir).select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    )
+    term = F.col("tok").rlike("[.!?]$").cast("int")
+    by_pos = Window.partitionBy("doc_id").orderBy("pos0")
+    sent = toks.select(
+        "doc_id",
+        "tok",
+        "pos0",
+        (
+            F.sum(term).over(by_pos.rowsBetween(Window.unboundedPreceding, 0))
+            - term
+        ).alias("sent_id"),
+    )
+    in_sent = Window.partitionBy("doc_id", "sent_id").orderBy("pos0")
+    blocks = sent.select(
+        "doc_id",
+        "sent_id",
+        "tok",
+        "pos0",
+        ((F.row_number().over(in_sent) - 1) / _SEG_BLOCK)
+        .cast("long")
+        .alias("block_id"),
+    )
+    segs = (
+        blocks.groupBy("doc_id", "sent_id", "block_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos0", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("h"),
+            F.count("*").alias("n_toks"),
+        )
+        .filter(F.col("n_toks") >= _SEG_MIN_TOKS)
+        .select("doc_id", "h")
+    )
+    shared = (
+        segs.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_shared"))
+    )
+    hit = F.coalesce("is_shared", F.lit(0))
+    return (
+        segs.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(hit).cast("long").alias("n_shared"),
+            floor_ratio(F.sum(hit).cast("double") / F.count("*"), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
 # -- incremental dedup (crawl batch vs historical index) ---------------------
 
 

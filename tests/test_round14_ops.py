@@ -95,3 +95,57 @@ def test_bpe_train_registered_output_shape(spark):
         assert r.left_sym in known and r.right_sym in known, r
         known.add(r.left_sym + r.right_sym)
         assert r.pair_count > 0
+
+
+def test_dedup_sentence_terminator_segmentation(spark, tmp_path):
+    """The terminator path (dead on the punctuation-less synthetic corpus)
+    segments at [.!?]-suffixed tokens: two docs sharing one boilerplate
+    sentence are flagged exactly on that segment."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    boiler = "this license text is shared verbatim across both docs ok."
+    a = boiler + " unique alpha words here padding out one sentence fine."
+    b = boiler + " totally different beta tail sentence with other words."
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text"))
+    sf = str(tmp_path / "sfx")
+    os.makedirs(sf)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+
+    from cloud_data_sync_spark.registry import all_queries
+
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["q_dedup_sentence"].fn(spark, sf).collect()
+    }
+    # each doc = 2 sentences of 10 tokens (>= min 5): the boilerplate one
+    # is shared, the tail one is not
+    for d in (1, 2):
+        assert out[d]["n_segments"] == 2
+        assert out[d]["n_shared"] == 1
+        assert abs(out[d]["shared_frac"] - 0.5) < 1e-9
+
+
+def test_dedup_sentence_block_resegmentation(spark, tmp_path):
+    """A terminator-less 25-token doc re-segments into 10/10/5 blocks."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    text = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text"))
+    sf = str(tmp_path / "sfy")
+    os.makedirs(sf)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+
+    from cloud_data_sync_spark.registry import all_queries
+
+    rows = all_queries()["q_dedup_sentence"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_segments"] == 3  # 10 + 10 + 5, all >= min 5
+    assert rows[0]["n_shared"] == 0
