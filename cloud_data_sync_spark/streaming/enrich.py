@@ -120,12 +120,21 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_first(batch, *latest).write.mode("append").parquet(log_dir)
 
     stream = read_events_stream(spark, sf_dir)
-    q = (
-        stream.writeStream.foreachBatch(upsert_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from cloud_data_sync_spark.streaming.runner import _drain_ckpt_root
+
+    # explicit tmpfs-rooted checkpoint (and cleanup): without one Spark
+    # mints a disk-backed temp checkpoint per drain and best-effort leaks it
+    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_", dir=_drain_ckpt_root())
+    try:
+        q = (
+            stream.writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     if not os.path.isdir(log_dir):
         # zero micro-batches executed (no file matched the source glob):
         # name the real problem instead of a PATH_NOT_FOUND on the temp log

@@ -135,18 +135,48 @@ def stream_windowed_counts(
     )
 
 
+def _drain_ckpt_root() -> str | None:
+    """Checkpoint root for availableNow DRAINS: RAM-backed tmpfs when the
+    host has one. The drain checkpoint is write-only ceremony — created
+    fresh per call, removed in the finally — but its commit protocol
+    still fsyncs a dozen tiny files per micro-batch; on /dev/shm those
+    are memory writes (~0.2 s/query at sf0.1). A long-running production
+    stream needs a DURABLE checkpoint to restart from — that path keeps
+    using real storage via SPARK_GRAFT_STREAM_CKPT_DIR or the writeStream
+    caller's own checkpointLocation; this helper only serves the
+    bounded-drain queries, whose checkpoint dies with the call anyway."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if env:
+        return env
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 def run_available_now(
     result: DataFrame,
     query_name: str,
     output_mode: str = "complete",
     drain_partitions: int | None = None,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Drain the stream with the availableNow trigger into a memory sink;
     returns the materialized result as a batch DataFrame.
 
     ``complete`` for tumbling aggregations (full deterministic result —
     comparable to the batch twin); ``append`` for session windows (the only
-    mode Spark supports there — emits sessions finalized by the watermark)."""
+    mode Spark supports there — emits sessions finalized by the watermark).
+
+    ``no_data_batch=False`` skips the terminal empty micro-batch (one
+    full state-store round, ~0.3-0.7 s of the drain's floor). The terminal
+    batch exists to advance the watermark ONE more step and flush what
+    that finalizes, so it is load-bearing — and must stay True — wherever
+    output is emitted BY watermark passage: outer-join null emission
+    (q_stream_left_join) and append-mode session finalization
+    (q_stream_session_native). It contributes nothing where every row is
+    emitted during data batches: inner joins, update-mode
+    applyInPandasWithState with NoTimeout (emission per input batch;
+    nothing timer-driven), and append-mode dropDuplicates — those callers
+    opt out. Each opt-out is oracle-verified row-identical.
+    """
     spark = result.sparkSession
     # a previous run under the same name leaves its memory-sink view (and
     # its full result) registered for the session's lifetime — drop it so
@@ -176,7 +206,14 @@ def run_available_now(
     # <root>/<queryName> and a SECOND drain of the same query name would
     # restore it, commit zero batches under availableNow, and silently
     # return an empty memory-sink table
-    ckpt = tempfile.mkdtemp(prefix=f"stream_ckpt_{query_name}_")
+    ckpt = tempfile.mkdtemp(
+        prefix=f"stream_ckpt_{query_name}_", dir=_drain_ckpt_root()
+    )
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    if not no_data_batch:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             result.writeStream.format("memory")
@@ -189,6 +226,9 @@ def run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(query_name)
 

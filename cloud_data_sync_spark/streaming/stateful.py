@@ -94,6 +94,9 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # throughput is Arrow-batch Python work, and 16 beats the default 8
         # by ~12% at sf0.1 (state volume is tiny either way)
         drain_partitions=16,
+        # update mode + NoTimeout: all emission happens per input batch;
+        # the terminal no-data batch is a pure state-store round
+        no_data_batch=False,
     )
     return keep_first(out, ["user_id"], ["event_id"]).select(
         "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
@@ -118,7 +121,14 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
     deduped = ev.dropDuplicates(["user_id", "event_type"])
-    return run_available_now(deduped, "t_stream_dedup_keys", output_mode="append")
+    return run_available_now(
+        deduped,
+        "t_stream_dedup_keys",
+        output_mode="append",
+        # no watermark: dropDuplicates emits first-arrivals in data
+        # batches; nothing is watermark-finalized
+        no_data_batch=False,
+    )
 
 
 TOTALS_OUT_SCHEMA = "user_id long, n_events long, total_value double"
@@ -194,6 +204,8 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # throughput is Arrow-batch Python work, and 16 beats the default 8
         # by ~12% at sf0.1 (state volume is tiny either way)
         drain_partitions=16,
+        # update mode + NoTimeout: nothing is emitted by watermark passage
+        no_data_batch=False,
     )
     return keep_first(out, ["user_id"], [F.desc("n_events")]).select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")

@@ -115,7 +115,14 @@ def q_stream_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    drained = run_available_now(out, "t_stream_map_state", output_mode="update")
+    drained = run_available_now(
+        out,
+        "t_stream_map_state",
+        output_mode="update",
+        # MapState updates emit per input batch; timeMode="None" means no
+        # timer-driven emission for the terminal no-data batch to fire
+        no_data_batch=False,
+    )
     return keep_first(
         drained, ["user_id", "event_type"], [F.desc("n_events")]
     ).select(
