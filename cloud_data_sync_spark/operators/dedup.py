@@ -210,10 +210,23 @@ def minhash_signatures(docs: DataFrame, hashed_shingles: bool = False) -> DataFr
     # transform) issued ~100 py4j calls per consumer build. NB: each
     # lambda takes exactly one arg — a two-arg lambda would receive the
     # element INDEX as its second argument from transform().
+    #
+    # Lane representation: each lane is the min hex WINDOW reinterpreted
+    # as a signed 64-bit long (conv base16 -> signed) — 8 bytes/lane on
+    # the wire instead of a 16-char string (~24 B incl. length), so the
+    # signature array shuffles ~3x smaller. The min is taken over the
+    # STRINGS first (fixed-width lowercase hex min == unsigned numeric
+    # min; the signed reinterpret after the min is bijective, so lane
+    # EQUALITY — all any consumer tests — is untouched). The oracle keeps
+    # the string form: no lane value ever reaches query output, so
+    # cross-engine identity is only needed for the equality pattern,
+    # which the bijection preserves (md5 itself stays the one
+    # cross-engine-shared hash family; see SCALE.md §Dedup).
     sig = F.expr(
         "array("
         + ", ".join(
-            f"array_min(transform(hs, h -> substring(h, {i + 1}, 16)))"
+            "cast(conv(array_min(transform(hs, h -> "
+            f"substring(h, {i + 1}, 16))), 16, -10) as bigint)"
             for i in range(N_PERM)
         )
         + ")"
@@ -270,18 +283,25 @@ def lsh_candidate_pairs(
     minhash_signatures(hashed_shingles=True)).
     """
     payload = ["doc_id", "sig"] + ([shingle_col] if carry_shingles else [])
+    # bucket key: xxhash64 over (band, the band's 4 long lanes) — an
+    # 8-byte shuffle key (the md5-of-concat form shuffled a 32-char
+    # string). The key is ENGINE-INTERNAL: band semantics is lane-tuple
+    # equality, which the oracle mirrors directly (md5-bucket equality ==
+    # tuple equality there too), so no cross-engine hash identity is
+    # needed here. A 64-bit key collision would only ADD a candidate
+    # pair (P ~ n_tuples^2 / 2^65 per band, ~1e-10 at sf0.1), and every
+    # registered consumer filters candidates by signature agreement or
+    # exact overlap downstream.
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("sig")[b * ROWS_PER_BAND + r]
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col("sig")[b * ROWS_PER_BAND + r]
+                        for r in range(ROWS_PER_BAND)
+                    ],
                 ).alias("bh"),
             )
             for b in range(N_BANDS)
