@@ -905,6 +905,7 @@ def _bpe_seqs0(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     return words.selectExpr(
+        "w",
         "cnt",
         "concat(transform(sequence(1, length(w)), "
         "i -> substring(w, i, 1)), array('</w>')) AS syms",
@@ -922,18 +923,7 @@ def _bpe_round_pairs(seqs: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_train_sql(rounds: int) -> str:
-    """DuckDB oracle: the SAME bounded merge sequence as chained CTEs.
-
-    Each round re-derives pair counts, picks argmax((count desc, a, b)),
-    and applies the greedy merge via unnest + lead() + run-parity
-    selection; every per-round CTE is MATERIALIZED — DuckDB inlines CTEs
-    by default, and an 8-deep chain with 2 consumers per level would
-    re-expand seqs0 into ~2^8 parquet scans (observed: fd exhaustion) (within a run of consecutive matches, the 1st/3rd/5th...
-    merge — identical to the fold's left-to-right semantics; verified
-    against a reference Python BPE on adversarial overlap cases).
-    """
-    round_tpl = """
+_BPE_ROUND_TPL = """
 ex{r} AS MATERIALIZED (
   SELECT w, cnt, unnest(syms) AS sym,
          unnest(range(1, len(syms) + 1)) AS pos
@@ -975,6 +965,21 @@ seqs{r} AS MATERIALIZED (
   WHERE s2.pos IS NULL
   GROUP BY m.w
 )"""
+
+
+def _bpe_train_sql(rounds: int) -> str:
+    """DuckDB oracle: the SAME bounded merge sequence as chained CTEs.
+
+    Each round re-derives pair counts, picks argmax((count desc, a, b)),
+    and applies the greedy merge via unnest + lead() + run-parity
+    selection (within a run of consecutive matches, the 1st/3rd/5th...
+    merge — identical to the fold's left-to-right semantics; verified
+    against a reference Python BPE on adversarial overlap cases). Every
+    per-round CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    an 8-deep chain with 2 consumers per level would re-expand seqs0
+    into ~2^8 parquet scans (observed: fd exhaustion).
+    """
+    round_tpl = _BPE_ROUND_TPL
     rounds_sql = ",".join(
         round_tpl.format(r=i, p=i - 1) for i in range(1, rounds + 1)
     )
@@ -984,7 +989,21 @@ seqs{r} AS MATERIALIZED (
         for i in range(1, rounds + 1)
     )
     return f"""
-WITH wd AS (
+WITH {_bpe_ctes(rounds)}
+{union}
+ORDER BY step
+"""
+
+
+def _bpe_ctes(rounds: int) -> str:
+    """The shared training CTE chain (word dict -> seqs0 -> rounds 1..N):
+    q_bpe_train selects the per-round argmax rows from it; q_bpe_encode
+    reads the FINAL seqs{N} as the learned word->tokenization table."""
+    round_tpl = _BPE_ROUND_TPL
+    rounds_sql = ",".join(
+        round_tpl.format(r=i, p=i - 1) for i in range(1, rounds + 1)
+    )
+    return f"""wd AS (
   SELECT term AS w, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
         FROM documents)
@@ -996,10 +1015,7 @@ seqs0 AS MATERIALIZED (
          list_transform(range(1, length(w) + 1), i -> substring(w, i, 1))
            || ['</w>'] AS syms
   FROM wd
-),{rounds_sql}
-{union}
-ORDER BY step
-"""
+),{rounds_sql}"""
 
 
 @register(
@@ -1040,6 +1056,126 @@ ORDER BY step
 )
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_loop(_bpe_seqs0(spark, sf_dir), _BPE_TRAIN_ROUNDS)
+
+
+# learned merge pairs, cached per (session, sf_dir, documents vintage):
+# q_bpe_train emits them as a result; q_bpe_encode re-derives them as a
+# MODEL to apply. The list is `rounds` tuples of short strings — a model
+# parameter pack, same class as a broadcast centroid table.
+_BPE_MERGE_CACHE: dict[tuple, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    from cloud_data_sync_spark.tables import (
+        _file_vintage,
+        _session_key,
+        table_path,
+    )
+
+    key = (
+        _session_key(spark),
+        sf_dir,
+        _file_vintage(table_path(sf_dir, "documents")),
+    )
+    got = _BPE_MERGE_CACHE.get(key)
+    if got is None:
+        rows = bpe_train_loop(
+            _bpe_seqs0(spark, sf_dir), _BPE_TRAIN_ROUNDS
+        ).collect()
+        got = [(r["left_sym"], r["right_sym"]) for r in rows]
+        for stale in [k for k in _BPE_MERGE_CACHE if k[:2] == key[:2]]:
+            _BPE_MERGE_CACHE.pop(stale, None)
+        _BPE_MERGE_CACHE[key] = got
+    return got
+
+
+@register(
+    "q_bpe_encode",
+    oracle=f"""
+WITH {{ctes}},
+final AS (
+  SELECT w, CAST(len(syms) AS BIGINT) AS n_tok,
+         CAST(length(w) AS BIGINT) AS n_chr
+  FROM seqs{{n}}
+),
+words AS (
+  SELECT d.doc_id, d.source,
+         unnest(string_split_regex(trim(lower(d.text)), '\\s+')) AS w
+  FROM documents d
+),
+enc AS (
+  SELECT wo.doc_id, wo.source, f.n_tok, f.n_chr
+  FROM words wo JOIN final f ON f.w = wo.w
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       floor(CAST(sum(n_tok) AS DOUBLE) / count(*) * 1000000) / 1000000
+         AS tokens_per_word,
+       floor(CAST(sum(n_chr) AS DOUBLE) / sum(n_tok) * 1000000) / 1000000
+         AS chars_per_token
+FROM enc GROUP BY source ORDER BY source
+""".format(ctes=_bpe_ctes(_BPE_TRAIN_ROUNDS), n=_BPE_TRAIN_ROUNDS),
+    doc=(
+        "BPE ENCODING pass — apply the merge table q_bpe_train learns "
+        "back to the corpus and report per-source compression: token "
+        "count per word under the learned merges (the '</w>' marker "
+        "counts as a symbol, possibly fused — standard word-end "
+        "convention), tokens/word, and chars/token, the numbers a "
+        "tokenizer-budget decision actually consumes. Spark plan: the "
+        "learned pairs are a model-parameter pack (rounds x 2 short "
+        "strings, cached per session/vintage) applied as literal "
+        "aggregate() folds to the vocab-bounded word dict — encoding a "
+        "word costs O(rounds x len), runs ONCE PER DISTINCT WORD, never "
+        "per occurrence — then the (word -> n_tok) table broadcast-joins "
+        "the exploded corpus (at 100 TB: a few-million-row broadcast, or "
+        "a shuffle join on w; either way the corpus is touched once) "
+        "into one source-bounded agg. Exactness: token/char counts are "
+        "BIGINTs; the two ratios are single identically-written "
+        "divisions. Oracle: reads the final seqs{n} of the SAME shared "
+        "training CTE chain as q_bpe_train, joined to the re-exploded "
+        "corpus — training and encoding verified end-to-end in one "
+        "statement.".format(n=_BPE_TRAIN_ROUNDS)
+    ),
+    plan=lambda spark, sf_dir: _bpe_encode_report(spark, sf_dir),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_encode_report(spark, sf_dir)
+
+
+def _bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = _bpe_seqs0(spark, sf_dir)
+    for a, b in _bpe_merges(spark, sf_dir):
+        seqs = seqs.selectExpr(
+            "w", "cnt", _BPE_FOLD_SQL.format(a=_sql_str_lit(a), b=_sql_str_lit(b))
+        )
+    word_tok = seqs.select(
+        "w",
+        F.size("syms").cast("long").alias("n_tok"),
+        F.length("w").cast("long").alias("n_chr"),
+    )
+    words = (
+        toks_documents(spark, sf_dir)
+        .select("doc_id", "source", F.explode("toks").alias("w"))
+        .filter(F.col("w").rlike(_BPE_WORD_RE))
+    )
+    enc = words.join(F.broadcast(word_tok), "w")
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            floor_ratio(
+                F.sum("n_tok").cast("double") / F.count("*"), 6
+            ).alias("tokens_per_word"),
+            floor_ratio(
+                F.sum("n_chr").cast("double") / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
 
 
 # scale-adaptive bound, the connected-components _LOCAL_CC_MAX_EDGES idiom

@@ -149,3 +149,57 @@ def test_dedup_sentence_block_resegmentation(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n_segments"] == 3  # 10 + 10 + 5, all >= min 5
     assert rows[0]["n_shared"] == 0
+
+
+def test_bpe_encode_counts_match_manual_application(spark):
+    """Applying the learned merges by hand to the word dict must give the
+    same per-word token counts q_bpe_encode aggregates."""
+    from cloud_data_sync_spark.operators.text import (
+        _BPE_TRAIN_ROUNDS,
+        _BPE_WORD_RE,
+        _bpe_merges,
+    )
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.registry import all_queries
+    from cloud_data_sync_spark.tables import load_table
+
+    merges = _bpe_merges(spark, SF_DIR)
+    assert len(merges) == _BPE_TRAIN_ROUNDS
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rows = docs.collect()
+    pat = re.compile(_BPE_WORD_RE)
+    agg: dict = {}
+    for r in rows:
+        for w in r["text"].strip().lower().split():
+            if not pat.match(w):
+                continue
+            syms = [*w, "</w>"]
+            for a, b in merges:
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                syms = ns
+            d = agg.setdefault(r["source"], [0, 0, set()])
+            d[0] += 1
+            d[1] += len(syms)
+            d[2].add(r["doc_id"])
+    out = {
+        r["source"]: r
+        for r in all_queries()["q_bpe_encode"].fn(spark, SF_DIR).collect()
+    }
+    assert set(out) == set(agg)
+    for src, (n_words, n_tokens, doc_ids) in agg.items():
+        assert out[src]["n_words"] == n_words, src
+        assert out[src]["n_tokens"] == n_tokens, src
+        assert out[src]["n_docs"] == len(doc_ids), src
