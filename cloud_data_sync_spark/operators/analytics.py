@@ -3169,3 +3169,133 @@ def _seasonality_report(daily_nv: DataFrame) -> DataFrame:
         " / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
         " * 1000000) / 1000000 AS seasonal_r2",
     ).orderBy("event_type")
+
+
+@register(
+    "q_ols_regression",
+    oracle="""
+WITH feat AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS x1,
+         CAST(isodow(ts) AS BIGINT) AS x2,
+         CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+         CAST(sum(vm) AS HUGEINT) AS sy,
+         CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+         CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+         CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+         CAST(sum(x1 * vm) AS HUGEINT) AS s1y,
+         CAST(sum(x2 * vm) AS HUGEINT) AS s2y,
+         CAST(sum(CAST(vm AS HUGEINT) * vm) AS HUGEINT) AS syy
+  FROM feat GROUP BY event_type
+),
+cen AS (
+  SELECT event_type, n, s1, s2, sy,
+         n * s11 - s1 * s1 AS c11,
+         n * s22 - s2 * s2 AS c22,
+         n * s12 - s1 * s2 AS c12,
+         n * s1y - s1 * sy AS c1y,
+         n * s2y - s2 * sy AS c2y,
+         n * syy - sy * sy AS cyy
+  FROM mom
+),
+beta AS (
+  SELECT event_type, n, s1, s2, sy, c1y, c2y, cyy,
+         CAST(c1y * c22 - c2y * c12 AS DOUBLE)
+           / CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS b1m,
+         CAST(c2y * c11 - c1y * c12 AS DOUBLE)
+           / CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS b2m
+  FROM cen
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       floor((CAST(sy AS DOUBLE) - b1m * s1 - b2m * s2)
+             / n / 1000000 * 1000000) / 1000000 AS intercept,
+       floor(b1m / 1000000 * 1000000000) / 1000000000 AS beta_hour,
+       floor(b2m / 1000000 * 1000000000) / 1000000000 AS beta_isodow,
+       floor((b1m * c1y + b2m * c2y) / CAST(cyy AS DOUBLE)
+             * 1000000) / 1000000 AS r2
+FROM beta ORDER BY event_type
+""",
+    doc=(
+        "Two-regressor OLS via closed-form normal equations: per event "
+        "type, regress value on hour-of-day and ISO weekday (Mon=1..7 on "
+        "BOTH engines: Spark weekday()+1 == DuckDB isodow(); plain "
+        "dayofweek() disagrees on the Sunday origin and would silently "
+        "shift the regressor) — the 'does this metric follow a "
+        "time-of-day/weekday trend' screen that complements "
+        "q_seasonality_strength's ANOVA with directional coefficients. "
+        "CROSS-ENGINE EXACT inputs: values quantize to integer "
+        "micro-units, so every moment (n, sums, co-moments, sum vm²) is "
+        "an exact integer accumulated in DECIMAL(38,0) (Spark) / HUGEINT "
+        "(DuckDB) — order-independent under any merge schedule, immune "
+        "to the int64 products that overflow at 100 TB (n x s1y alone "
+        "passes 2^63 at ~1e5 rows x 1e14) — and the centered Cramer "
+        "solve is token-identical closed-form scalar math from those "
+        "exact integers (identical doubles out, floored at 1e-6/1e-9). "
+        "Plan: ONE map-side-combined hash agg over the corpus to "
+        "types x 10 moments, then per-type scalar algebra — the exact "
+        "shape any 100 TB regression fit takes (moments, never rows)."
+    ),
+)
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(hour(ts) AS BIGINT) AS x1",
+        "CAST(weekday(ts) + 1 AS BIGINT) AS x2",
+        "CAST(round(value * 1000000) AS BIGINT) AS vm",
+    )
+    d = "CAST({v} AS DECIMAL(38,0))"
+    mom = feat.groupBy("event_type").agg(
+        F.expr(d.format(v="count(*)") + " AS n"),
+        F.expr(d.format(v="sum(x1)") + " AS s1"),
+        F.expr(d.format(v="sum(x2)") + " AS s2"),
+        F.expr(d.format(v="sum(vm)") + " AS sy"),
+        F.expr(d.format(v="sum(x1 * x1)") + " AS s11"),
+        F.expr(d.format(v="sum(x2 * x2)") + " AS s22"),
+        F.expr(d.format(v="sum(x1 * x2)") + " AS s12"),
+        F.expr(d.format(v="sum(x1 * vm)") + " AS s1y"),
+        F.expr(d.format(v="sum(x2 * vm)") + " AS s2y"),
+        F.expr("sum(CAST(vm AS DECIMAL(19,0)) * vm) AS syy"),
+    )
+    cen = mom.selectExpr(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        "n * s11 - s1 * s1 AS c11",
+        "n * s22 - s2 * s2 AS c22",
+        "n * s12 - s1 * s2 AS c12",
+        "n * s1y - s1 * sy AS c1y",
+        "n * s2y - s2 * sy AS c2y",
+        "n * syy - sy * sy AS cyy",
+    )
+    beta = cen.selectExpr(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        "c1y",
+        "c2y",
+        "cyy",
+        "CAST(c1y * c22 - c2y * c12 AS DOUBLE)"
+        " / CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS b1m",
+        "CAST(c2y * c11 - c1y * c12 AS DOUBLE)"
+        " / CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS b2m",
+    )
+    return beta.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_events",
+        "floor((CAST(sy AS DOUBLE) - b1m * s1 - b2m * s2)"
+        " / n / 1000000 * 1000000) / 1000000 AS intercept",
+        "floor(b1m / 1000000 * 1000000000) / 1000000000 AS beta_hour",
+        "floor(b2m / 1000000 * 1000000000) / 1000000000 AS beta_isodow",
+        "floor((b1m * c1y + b2m * c2y) / CAST(cyy AS DOUBLE)"
+        " * 1000000) / 1000000 AS r2",
+    ).orderBy("event_type")

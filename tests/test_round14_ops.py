@@ -203,3 +203,39 @@ def test_bpe_encode_counts_match_manual_application(spark):
         assert out[src]["n_words"] == n_words, src
         assert out[src]["n_tokens"] == n_tokens, src
         assert out[src]["n_docs"] == len(doc_ids), src
+
+
+def test_ols_regression_recovers_planted_coefficients(spark, tmp_path):
+    """OLS on synthetic events with a known linear model recovers the
+    planted coefficients (exactly: the data is noise-free)."""
+    import os
+    from datetime import datetime, timedelta
+
+    rows = []
+    base = datetime(2024, 1, 1)  # a Monday: isodow 1
+    eid = 0
+    for day in range(14):
+        for h in range(0, 24, 3):
+            ts = base + timedelta(days=day, hours=h)
+            iso = ts.isoweekday()
+            # value = 2.0 + 0.25*hour - 0.5*isodow
+            rows.append((eid, ts, 1, "t", 2.0 + 0.25 * h - 0.5 * iso, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sfo")
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+
+    from cloud_data_sync_spark.registry import all_queries
+
+    out = all_queries()["q_ols_regression"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r["beta_hour"] - 0.25) < 1e-6
+    assert abs(r["beta_isodow"] - (-0.5)) < 1e-6
+    assert abs(r["intercept"] - 2.0) < 1e-5
+    assert r["r2"] > 0.999999
