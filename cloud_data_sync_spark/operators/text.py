@@ -891,24 +891,35 @@ _BPE_PAIRS_SQL = (
 )
 
 
+_BPE_SEQS_SUBSTRATE: dict[tuple, DataFrame] = {}
+
+
 def _bpe_seqs0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cnt, syms): the aggregated word-frequency dict, each word split
+    """(w, cnt, syms): the aggregated word-frequency dict, each word split
     into characters plus the '</w>' end marker — BPE trains on THIS
     vocab-bounded table, never the corpus (the production shape: at
     100 TB the word dict is a few million rows regardless of corpus
-    size, and every training round below touches only it)."""
-    words = (
-        toks_documents(spark, sf_dir)
-        .select(F.explode("toks").alias("w"))
-        .filter(F.col("w").rlike(_BPE_WORD_RE))
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    return words.selectExpr(
-        "w",
-        "cnt",
-        "concat(transform(sequence(1, length(w)), "
-        "i -> substring(w, i, 1)), array('</w>')) AS syms",
+    size, and every training round below touches only it). The dict is a
+    session substrate: q_bpe_train and q_bpe_encode both start from it,
+    and it is the only corpus-touching stage either query has."""
+
+    def _build() -> DataFrame:
+        words = (
+            toks_documents(spark, sf_dir)
+            .select(F.explode("toks").alias("w"))
+            .filter(F.col("w").rlike(_BPE_WORD_RE))
+            .groupBy("w")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        return words.selectExpr(
+            "w",
+            "cnt",
+            "concat(transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)), array('</w>')) AS syms",
+        )
+
+    return session_substrate(
+        spark, _BPE_SEQS_SUBSTRATE, sf_dir, "bpe-seqs0", "documents", _build
     )
 
 
