@@ -2054,3 +2054,78 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@register(
+    "q_dedup_minhash_incremental",
+    oracle=f"""
+WITH {_AUG_SQL},
+{_ORACLE_SIG_CTES},
+cross_cand AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  WHERE c.doc_a < 1000000 AND c.doc_b >= 1000000
+),
+est AS (
+  SELECT c.doc_b AS doc_id, c.doc_a AS cand_id,
+         ({_MINHASH_MATCHES}) / 16.0 AS e
+  FROM cross_cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+),
+best AS (
+  SELECT doc_id, cand_id, e FROM (
+    SELECT doc_id, cand_id, e,
+           row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, cand_id)
+             AS rk
+    FROM est)
+  WHERE rk = 1
+),
+batch AS (SELECT doc_id FROM sig WHERE doc_id >= 1000000)
+SELECT b.doc_id,
+       CASE WHEN bst.e >= 0.5 THEN 'near_dup' ELSE 'novel' END AS status,
+       CAST(coalesce(CASE WHEN bst.e >= 0.5 THEN bst.cand_id END, -1)
+            AS BIGINT) AS matched,
+       round(coalesce(bst.e, 0.0), 4) AS best_est
+FROM batch b LEFT JOIN best bst ON bst.doc_id = b.doc_id
+""",
+    doc=(
+        "Incremental NEAR-dup detection — the MinHash sibling of "
+        "q_dedup_incremental's exact-hash batch-vs-index pass, and the "
+        "shape a daily crawl actually runs: the new batch's signatures "
+        "are LSH-probed against the historical index's (bands must "
+        "collide, never all-pairs), each batch document reports its best "
+        "index match (max estimated Jaccard, min-doc tie-break) and a "
+        "near_dup/novel verdict at the 0.5 threshold — novel documents "
+        "still surface their best sub-threshold estimate for triage. "
+        "Plan: BOTH sides ride the shared signature substrate and the "
+        "single band-bucket shuffle (the index side of a production run "
+        "is a pre-banded table scan); per-batch argmax is a window over "
+        "the candidate pairs, bounded by candidate count, not corpus. "
+        "Estimates are exact multiples of 1/16 — identical doubles on "
+        "both engines."
+    ),
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = corpus_signatures(spark, sf_dir).select("doc_id", "sig")
+    pairs = lsh_candidate_pairs(sigs).filter(
+        (F.col("doc_a") < 1_000_000) & (F.col("doc_b") >= 1_000_000)
+    )
+    est = pairs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("cand_id"),
+        _est_jaccard().alias("e"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("e"), "cand_id")
+    )
+    best = est.withColumn("rk", rk).filter(F.col("rk") == 1).drop("rk")
+    batch = sigs.filter(F.col("doc_id") >= 1_000_000).select("doc_id")
+    hit = F.col("e") >= 0.5
+    return batch.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.when(hit, F.lit("near_dup")).otherwise(F.lit("novel")).alias("status"),
+        F.coalesce(F.when(hit, F.col("cand_id")), F.lit(-1))
+        .cast("long")
+        .alias("matched"),
+        F.round(F.coalesce("e", F.lit(0.0)), 4).alias("best_est"),
+    )
