@@ -27,17 +27,40 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
 """,
-    doc="Tumbling 1-hour event-time windows per event_type.",
+    doc=(
+        "Tumbling 1-hour event-time windows per event_type over the REAL "
+        "file-source stream (readStream, availableNow drain, complete "
+        "mode — deterministic full window table, matching the batch "
+        "oracle byte-for-byte)."
+    ),
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
+    # REAL readStream drain (complete mode): the full deterministic window
+    # table, byte-identical to the batch twin the oracle computes. Complete
+    # mode needs no watermark for a bounded drain (state holds all windows);
+    # an unbounded production stream runs append + withWatermark instead —
+    # that finalization path is what q_stream_session_native exercises.
+    from cloud_data_sync_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
+    agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(
+        agg, "t_stream_tumbling", output_mode="complete", no_data_batch=False
     )
 
 
@@ -56,17 +79,30 @@ SELECT CAST(window_start AS TIMESTAMP) AS window_start,
        round(sum(value), 2) AS total_value
 FROM expanded GROUP BY 1
 """,
-    doc="Sliding windows (1h long, 30m slide): each event lands in 2 windows.",
+    doc=(
+        "Sliding windows (1h long, 30m slide; each event lands in 2 "
+        "windows) over the REAL file-source stream, complete-mode "
+        "availableNow drain."
+    ),
 )
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
+    # REAL readStream drain, complete mode (see q_stream_tumbling)
+    from cloud_data_sync_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
+    agg = (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    return run_available_now(
+        agg, "t_stream_sliding", output_mode="complete", no_data_batch=False
     )
 
 
@@ -285,6 +321,83 @@ FROM sessions GROUP BY user_id, sid
         "streaming side uses under a watermark."
     ),
 )
+@register(
+    "q_stream_session_native",
+    oracle="""
+WITH wm AS (
+  SELECT max(ts) - INTERVAL 10 MINUTE AS frontier FROM events
+),
+seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+),
+agg AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM agg, wm WHERE session_end < frontier
+""",
+    doc=(
+        "Native session windows on the REAL stream: readStream + "
+        "10-minute watermark + session_window(30 min), append mode — "
+        "sessions emit ONLY when the event-time watermark passes their "
+        "end, the production finalization path (complete mode cannot "
+        "express session windows at all). The oracle encodes the "
+        "emission frontier exactly: the availableNow terminal no-data "
+        "batch advances the watermark to (max ts - 10 min), and a "
+        "session emits iff session_end < frontier STRICTLY (verified on "
+        "a boundary fixture where end == frontier stays pending — '<=' "
+        "would claim a row Spark holds back). Session semantics mirror "
+        "q_session_window_batch: gaps strictly under 30 minutes merge, "
+        "reported end = last event + gap. The held-back tail is the "
+        "honest cost of append mode on a bounded drain — the same "
+        "pending-row accounting q_stream_left_join's oracle does for "
+        "outer-join nulls."
+    ),
+)
+def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    # append mode: the terminal no-data batch IS the finalization flush
+    return run_available_now(
+        agg, "t_stream_session_native", output_mode="append"
+    )
+
+
 def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sw = F.session_window("ts", "30 minutes")
