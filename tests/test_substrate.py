@@ -209,6 +209,8 @@ OUTPUT_SUBSTRATE_QUERIES = (
     "q_sim_ivf",
     "q_dedup_minhash",
     "q_dedup_clusters",
+    "q_dedup_prefix_filter",
+    "q_dedup_lsh_recall",
 )
 
 
