@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud_data_sync_spark.registry import floor_ratio, register
-from cloud_data_sync_spark.tables import load_table, spread
+from cloud_data_sync_spark.tables import load_table, materialize, spread
 
 
 @register(
@@ -2768,13 +2768,21 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
-    norm = trans.select(
-        "prev_type",
-        "next_type",
-        (
-            F.col("n").cast("double")
-            / F.sum("n").over(Window.partitionBy("prev_type"))
-        ).alias("p"),
+    # the normalized transition matrix is types x types rows (~25), but its
+    # lineage is the corpus-scale per-user lag window: every power-iteration
+    # round below references it, and lazily each reference re-runs the
+    # window (different downstream projections defeat ReuseExchange) —
+    # materialize the tiny matrix once and iterate over the checkpoint
+    norm = materialize(
+        trans.select(
+            "prev_type",
+            "next_type",
+            (
+                F.col("n").cast("double")
+                / F.sum("n").over(Window.partitionBy("prev_type"))
+            ).alias("p"),
+        ),
+        eager=False,
     )
     states = (
         norm.select(F.col("prev_type").alias("state"))
