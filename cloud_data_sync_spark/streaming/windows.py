@@ -286,42 +286,6 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_session_window_batch",
-    oracle="""
-WITH seq AS (
-  SELECT user_id, ts, event_id, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sessions AS (
-  SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sid
-  FROM seq
-)
-SELECT user_id,
-       min(ts) AS session_start,
-       max(ts) + INTERVAL 30 MINUTE AS session_end,
-       CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS total_value
-FROM sessions GROUP BY user_id, sid
-""",
-    doc=(
-        "Native session_window in BATCH mode — the API-parity twin of "
-        "q_stream_session's lag-gap formulation, exercising Spark's "
-        "built-in session-merging operator outside a stream. Semantics "
-        "differences the oracle mirrors exactly: events merge while the "
-        "gap is STRICTLY below 30 minutes (the lag-gap twin breaks at "
-        "> 1800 s), and the reported window end is last-event + gap, not "
-        "last-event. One user_id shuffle; Spark's SessionWindow exec "
-        "merges sorted runs per key — the same state machine the "
-        "streaming side uses under a watermark."
-    ),
-)
-@register(
     "q_stream_session_native",
     oracle="""
 WITH wm AS (
@@ -398,6 +362,42 @@ def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_session_window_batch",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sessions GROUP BY user_id, sid
+""",
+    doc=(
+        "Native session_window in BATCH mode — the API-parity twin of "
+        "q_stream_session's lag-gap formulation, exercising Spark's "
+        "built-in session-merging operator outside a stream. Semantics "
+        "differences the oracle mirrors exactly: events merge while the "
+        "gap is STRICTLY below 30 minutes (the lag-gap twin breaks at "
+        "> 1800 s), and the reported window end is last-event + gap, not "
+        "last-event. One user_id shuffle; Spark's SessionWindow exec "
+        "merges sorted runs per key — the same state machine the "
+        "streaming side uses under a watermark."
+    ),
+)
 def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sw = F.session_window("ts", "30 minutes")
