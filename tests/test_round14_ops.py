@@ -239,3 +239,46 @@ def test_ols_regression_recovers_planted_coefficients(spark, tmp_path):
     assert abs(r["beta_isodow"] - (-0.5)) < 1e-6
     assert abs(r["intercept"] - 2.0) < 1e-5
     assert r["r2"] > 0.999999
+
+
+def test_bpe_fold_sql_matches_python_greedy_on_random_cases(spark):
+    """The aggregate() fold lambda (greedy left-to-right single-pair
+    merge) against a Python reference on 300 seeded-random cases,
+    including degenerate ones (pair absent, pair == whole word, runs of
+    the pair back-to-back). Uses column-referenced a/b so all cases run
+    in ONE Spark pass."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.operators.text import _BPE_FOLD_SQL
+
+    rng = random.Random(20260815)
+    alphabet = ["a", "b", "ab", "</w>", "c"]
+    cases = []
+    for i in range(300):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, syms, a, b))
+
+    def ref(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        cases, "i long, syms array<string>, a string, b string"
+    )
+    fold = _BPE_FOLD_SQL.format(a="a", b="b")  # column references
+    got = {
+        r["i"]: list(r["syms"])
+        for r in df.selectExpr("i", fold).collect()
+    }
+    for i, syms, a, b in cases:
+        assert got[i] == ref(syms, a, b), (i, syms, a, b, got[i])
