@@ -55,6 +55,15 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="state-table directory (default: <config.database_path>.parquet)",
     )
+    p.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="reliable-checkpoint root (HDFS/S3 path on a cluster): routes "
+        "every lineage-truncation point through df.checkpoint() there "
+        "instead of executor-local localCheckpoint, so executor loss "
+        "cannot kill a truncated plan mid-run (sets "
+        "spark.cloud_data_sync.checkpoint_dir)",
+    )
     args = p.parse_args(argv)
 
     if args.generate_config:
@@ -68,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("cloud-data-sync")
+    if args.checkpoint_dir:
+        from cloud_data_sync_spark.tables import CHECKPOINT_DIR_CONF
+
+        spark.conf.set(CHECKPOINT_DIR_CONF, args.checkpoint_dir)
     try:
         if args.once:
             reports = sync_all(

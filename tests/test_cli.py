@@ -59,3 +59,34 @@ def test_package_root_exports_public_api():
         pass
     else:  # pragma: no cover
         raise AssertionError("unknown attribute must raise AttributeError")
+
+
+def test_cli_checkpoint_dir_flag_sets_conf(tmp_path, spark):
+    from cloud_data_sync_spark.__main__ import main
+    from cloud_data_sync_spark.tables import CHECKPOINT_DIR_CONF
+
+    src = tmp_path / "src" / "bucket-a"
+    src.mkdir(parents=True)
+    (src / "a.txt").write_bytes(b"payload")
+    cfg = {
+        "databasePath": str(tmp_path / "state"),
+        "providers": [
+            {"id": "s", "type": "minio", "minioConfig": {"endpoint": str(tmp_path / "src")}},
+            {"id": "t", "type": "minio", "minioConfig": {"endpoint": str(tmp_path / "tgt")}},
+        ],
+        "mappings": [
+            {
+                "sourceProviderId": "s",
+                "sourceBucket": "bucket-a",
+                "targetProviderId": "t",
+                "targetBucket": "bucket-a",
+            }
+        ],
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    ck = str(tmp_path / "ck")
+    rc = main(["--config", str(cfg_path), "--once", "--checkpoint-dir", ck])
+    assert rc == 0
+    assert spark.conf.get(CHECKPOINT_DIR_CONF, None) == ck
+    spark.conf.unset(CHECKPOINT_DIR_CONF)
