@@ -358,3 +358,44 @@ def test_stream_left_join_nulls_respect_watermark_frontier(spark):
         assert (wm - pts[p]).total_seconds() >= 600
     # matched rows emit regardless of the frontier: at least one pair
     assert any(c is not None for _, c in rows1)
+
+
+def test_left_join_terminal_batch_is_load_bearing(spark):
+    """The availableNow terminal no-data batch IS the left-outer null
+    flush: with it disabled the drain loses every unmatched-left row.
+    Pins the no_data_batch=False opt-outs to queries where the terminal
+    batch genuinely contributes nothing (runner.run_available_now doc)."""
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.streaming import windows as W
+
+    sf = "/root/testdata/sf0.001"
+    full = W._stream_click_purchase_join(
+        spark, sf, hours=1, how="left_outer", query_name="t_lj_guard_full"
+    )
+    n_full = full.count()
+    n_nulls = full.filter(F.col("click_id").isNull()).count()
+    assert n_nulls > 0, "fixture must produce unmatched purchases"
+
+    import cloud_data_sync_spark.streaming.runner as runner
+
+    orig = runner.run_available_now
+
+    def no_terminal(result, query_name, output_mode="complete",
+                    drain_partitions=None, no_data_batch=True):
+        return orig(result, "t_lj_guard_cut", output_mode,
+                    drain_partitions, no_data_batch=False)
+
+    # windows.py imports run_available_now inside the function body, so
+    # patch the runner module attribute it resolves at call time
+    runner.run_available_now = no_terminal
+    try:
+        cut = W._stream_click_purchase_join(
+            spark, sf, hours=1, how="left_outer", query_name="ignored"
+        )
+        n_cut = cut.count()
+        n_cut_nulls = cut.filter(F.col("click_id").isNull()).count()
+    finally:
+        runner.run_available_now = orig
+    assert n_cut_nulls == 0
+    assert n_cut == n_full - n_nulls
