@@ -1822,6 +1822,117 @@ def _lsh_recall_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_SWEEP_TS = (0.5, 0.625, 0.75, 0.875, 1.0)  # exact sixteenths
+
+
+@register(
+    "q_dedup_minhash_sweep",
+    oracle=f"""
+WITH {{aug}},
+{{sig_ctes}},
+est AS (
+  SELECT c.doc_a, c.doc_b, ({{matches}}) / 16.0 AS e
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+),
+perdoc AS (
+  SELECT doc_id, max(e) AS me FROM (
+    SELECT doc_a AS doc_id, e FROM est
+    UNION ALL SELECT doc_b, e FROM est)
+  GROUP BY doc_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_corpus FROM sig),
+th AS (SELECT unnest([{{ts}}]) AS threshold)
+SELECT t.threshold,
+       CAST((SELECT count(*) FROM est p WHERE p.e >= t.threshold)
+            AS BIGINT) AS n_pairs,
+       CAST((SELECT count(*) FROM perdoc d WHERE d.me >= t.threshold)
+            AS BIGINT) AS n_docs_in_pairs,
+       tot.n_docs_corpus,
+       floor((SELECT count(*) FROM perdoc d WHERE d.me >= t.threshold)
+             / CAST(tot.n_docs_corpus AS DOUBLE) * 1000000) / 1000000
+         AS affected_frac
+FROM th t CROSS JOIN tot
+ORDER BY threshold
+""".format(
+        aug=_AUG_SQL,
+        sig_ctes=_ORACLE_SIG_CTES,
+        matches=_MINHASH_MATCHES,
+        ts=", ".join(f"CAST({t} AS DOUBLE)" for t in _MH_SWEEP_TS),
+    ),
+    doc=(
+        "MinHash threshold calibration sweep — q_semdedup_sweep's "
+        "pattern for the lexical near-dup family: for each estimated-"
+        "Jaccard threshold on the grid, how many LSH candidate pairs "
+        "fire and what fraction of the corpus sits in at least one "
+        "firing pair — THE table that picks q_dedup_minhash's 0.5 "
+        "cutoff with evidence instead of folklore (too low merges "
+        "topically-related docs; too high keeps boilerplate twins). "
+        "Rides the SHARED signature substrate and the single band-"
+        "bucket shuffle; per-doc affected counts come from ONE "
+        "(doc -> max estimate) aggregate — monotonicity of max answers "
+        "every threshold from that single pass — and the sweep is a "
+        "constant-size conditional agg over candidate-bounded rows. "
+        "Estimates and thresholds are exact sixteenths, so both engines "
+        "compare identical doubles."
+    ),
+)
+def q_dedup_minhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = corpus_signatures(spark, sf_dir).select("doc_id", "sig")
+    # one row per candidate PAIR: the bucket expansion emits a pair once
+    # per colliding band (the oracle's cand is DISTINCT); e is a pure
+    # function of the pair, so distinct collapses exactly the band copies
+    est = (
+        lsh_candidate_pairs(sigs)
+        .select("doc_a", "doc_b", _est_jaccard().alias("e"))
+        .distinct()
+    )
+    perdoc = (
+        est.selectExpr("doc_a AS doc_id", "e")
+        .union(est.selectExpr("doc_b", "e"))
+        .groupBy("doc_id")
+        .agg(F.max("e").alias("me"))
+    )
+    pair_aggs = [
+        F.sum((F.col("e") >= F.lit(t)).cast("long")).alias(f"p{i}")
+        for i, t in enumerate(_MH_SWEEP_TS)
+    ]
+    doc_aggs = [
+        F.sum((F.col("me") >= F.lit(t)).cast("long")).alias(f"d{i}")
+        for i, t in enumerate(_MH_SWEEP_TS)
+    ]
+    pair_row = est.agg(*pair_aggs)
+    doc_row = perdoc.agg(*doc_aggs)
+    tot = sigs.agg(F.count("*").alias("n_docs_corpus"))
+    packed = pair_row.crossJoin(doc_row).crossJoin(tot)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"p{i}").alias("n_pairs"),
+                F.col(f"d{i}").alias("n_docs_in_pairs"),
+            )
+            for i, t in enumerate(_MH_SWEEP_TS)
+        ]
+    )
+    return (
+        packed.select(F.explode(rows).alias("r"), "n_docs_corpus")
+        .select(
+            F.col("r.threshold").alias("threshold"),
+            F.coalesce("r.n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("r.n_docs_in_pairs", F.lit(0)).alias("n_docs_in_pairs"),
+            "n_docs_corpus",
+            floor_ratio(
+                F.coalesce("r.n_docs_in_pairs", F.lit(0)).cast("double")
+                / F.col("n_docs_corpus"),
+                6,
+            ).alias("affected_frac"),
+        )
+        .orderBy("threshold")
+    )
+
+
 _SUB_CHUNK, _SUB_STEP = 100, 50  # window chars, stride
 
 
