@@ -105,6 +105,10 @@ BNLJ_ALLOWED = {
     "q_rfm_segments",
     "q_benford_audit",
     "q_semdedup_sweep",
+    # 1-row pair-count pack x 1-row doc-count pack x 1-row corpus total —
+    # three single-row conditional aggregates packed for the threshold
+    # explode (the q_semdedup_sweep shape), constant at any corpus size
+    "q_dedup_minhash_sweep",
     "q_gaussian_nb",
     "q_hll_pair_overlap",
     "q_bm25",
