@@ -3239,8 +3239,11 @@ FROM beta ORDER BY event_type
         "q_seasonality_strength's ANOVA with directional coefficients. "
         "CROSS-ENGINE EXACT inputs: values quantize to integer "
         "micro-units, so every moment (n, sums, co-moments, sum vm²) is "
-        "an exact integer accumulated in DECIMAL(38,0) (Spark) / HUGEINT "
-        "(DuckDB) — order-independent under any merge schedule, immune "
+        "an exact integer whose per-row product AND accumulator run in "
+        "DECIMAL (Spark) / HUGEINT (DuckDB) — the DECIMAL cast sits on an "
+        "operand INSIDE each sum, never outside it, because "
+        "CAST(sum(bigint*bigint) AS DECIMAL) still wraps in int64 before "
+        "the cast — order-independent under any merge schedule, immune "
         "to the int64 products that overflow at 100 TB (n x s1y alone "
         "passes 2^63 at ~1e5 rows x 1e14) — and the centered Cramer "
         "solve is token-identical closed-form scalar math from those "
@@ -3257,18 +3260,28 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(weekday(ts) + 1 AS BIGINT) AS x2",
         "CAST(round(value * 1000000) AS BIGINT) AS vm",
     )
+    # Accumulate in DECIMAL *inside* the sum, not after it: sum(x1 * vm)
+    # would run the per-row product AND the accumulator in BIGINT and wrap
+    # silently in non-ANSI Spark (n x s1y passes 2^63 at ~1e5 rows x 1e14
+    # micro-units) while DuckDB's sum(BIGINT) promotes to HUGEINT and stays
+    # exact — the asymmetric-overflow trap (r6 advice). The first operand's
+    # DECIMAL(19,0) widens the product to DECIMAL(38,0) before any row is
+    # added; the outer cast only normalizes the plain sums' DECIMAL(29,0)
+    # to one type for the centered algebra below.
     d = "CAST({v} AS DECIMAL(38,0))"
+    dl = "CAST({v} AS DECIMAL(19,0))"
+    x1d, x2d, vmd = (dl.format(v=v) for v in ("x1", "x2", "vm"))
     mom = feat.groupBy("event_type").agg(
         F.expr(d.format(v="count(*)") + " AS n"),
-        F.expr(d.format(v="sum(x1)") + " AS s1"),
-        F.expr(d.format(v="sum(x2)") + " AS s2"),
-        F.expr(d.format(v="sum(vm)") + " AS sy"),
-        F.expr(d.format(v="sum(x1 * x1)") + " AS s11"),
-        F.expr(d.format(v="sum(x2 * x2)") + " AS s22"),
-        F.expr(d.format(v="sum(x1 * x2)") + " AS s12"),
-        F.expr(d.format(v="sum(x1 * vm)") + " AS s1y"),
-        F.expr(d.format(v="sum(x2 * vm)") + " AS s2y"),
-        F.expr("sum(CAST(vm AS DECIMAL(19,0)) * vm) AS syy"),
+        F.expr(d.format(v=f"sum({x1d})") + " AS s1"),
+        F.expr(d.format(v=f"sum({x2d})") + " AS s2"),
+        F.expr(d.format(v=f"sum({vmd})") + " AS sy"),
+        F.expr(d.format(v=f"sum({x1d} * x1)") + " AS s11"),
+        F.expr(d.format(v=f"sum({x2d} * x2)") + " AS s22"),
+        F.expr(d.format(v=f"sum({x1d} * x2)") + " AS s12"),
+        F.expr(d.format(v=f"sum({x1d} * vm)") + " AS s1y"),
+        F.expr(d.format(v=f"sum({x2d} * vm)") + " AS s2y"),
+        F.expr(d.format(v=f"sum({vmd} * vm)") + " AS syy"),
     )
     cen = mom.selectExpr(
         "event_type",

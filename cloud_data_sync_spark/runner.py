@@ -220,8 +220,17 @@ def sync_buckets(
     plan = materialize(sync_diff(src, tgt, st), eager=True)
 
     # 3. execute (copies + deletes), one status row per object —
-    # checkpoint materializes the side effects exactly once
-    results = materialize(execute_plan(plan, src_root, tgt_root), eager=True)
+    # side_effecting: the copy/delete work happens INSIDE this frame's
+    # computation, so under --checkpoint-dir it must NOT go through
+    # df.checkpoint() (whose second checkpoint-write job would re-run
+    # every copy and delete); materialize routes it write-then-read
+    # instead, which runs the side effects exactly once (r6 advice)
+    results = materialize(
+        execute_plan(plan, src_root, tgt_root),
+        eager=True,
+        side_effecting=True,
+        tag=f"results-{mid}",
+    )
 
     # 4. state maintenance: upsert copy results, remove deleted keys
     copy_rows = results.filter(F.col("action") == ACTION_COPY).select(

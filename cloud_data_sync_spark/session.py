@@ -51,6 +51,16 @@ _DEFAULTS: dict[str, str] = {
     # inside a full registry sweep than isolated). Static conf — applied
     # at session creation; sized to hold the registry's working set.
     "spark.sql.codegen.cache.maxEntries": "4000",
+    # Reliable checkpoints (the spark.cloud_data_sync.checkpoint_dir flag)
+    # are otherwise never deleted: the ContextCleaner only removes a GC'd
+    # RDD's checkpoint files when this is set, so a long-running sync loop
+    # or iterative label propagation would grow the HDFS/S3 checkpoint
+    # root unboundedly (r6 advice). Static conf — read at SparkContext
+    # creation, so it lives here rather than in materialize(); no-op when
+    # the flag is unset (localCheckpoint blocks are cleaner-managed
+    # already). Cluster submits that build their own session must set it
+    # alongside the flag (documented at tables.materialize).
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

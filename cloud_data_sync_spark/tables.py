@@ -93,8 +93,31 @@ CHECKPOINT_DIR_CONF = "spark.cloud_data_sync.checkpoint_dir"
 # re-pin only when the configured path changes mid-session.
 _CKDIR_SET: dict[str, str] = {}
 
+# side-effecting materializations under the reliable-checkpoint flag are
+# write-then-read parquet dirs; each (app, tag) keeps exactly ONE live
+# generation — the previous dir is deleted as soon as its successor is
+# durably written, so the continuous sync loop's storage is bounded at
+# one superseded generation per tag instead of growing per tick.
+_EFFECT_DIRS: dict[tuple[str, str], str] = {}
+_EFFECT_SEQ: dict[tuple[str, str], int] = {}
 
-def materialize(df: DataFrame, *, eager: bool) -> DataFrame:
+
+def _delete_dir(spark: SparkSession, uri: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (works for
+    hdfs:/s3a:/gs:/abfss: roots, not just local paths); best-effort —
+    a failed cleanup must never fail the sync tick that triggered it."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        path.getFileSystem(hconf).delete(path, True)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def materialize(
+    df: DataFrame, *, eager: bool, side_effecting: bool = False, tag: str = ""
+) -> DataFrame:
     """Truncate ``df``'s lineage: localCheckpoint by default, a reliable
     ``df.checkpoint()`` when ``spark.cloud_data_sync.checkpoint_dir`` is set.
 
@@ -107,6 +130,28 @@ def materialize(df: DataFrame, *, eager: bool) -> DataFrame:
     checkpoint filesystem (HDFS/S3 on a cluster; survives executor loss,
     required for long iterative chains where recomputing a lost block
     would replay the whole lineage that was just truncated away).
+
+    ``side_effecting=True`` declares that computing ``df`` performs
+    externally-visible work (the sync runner's copy/delete frames) that
+    must run EXACTLY once. ``df.checkpoint()`` cannot honor that: Spark's
+    reliable checkpoint runs the action's job first and then a SECOND job
+    over the same unpersisted RDD to write the checkpoint files, so every
+    copy and delete would execute twice per tick (r6 advice). Those
+    frames instead go through write-then-read parquet under the
+    checkpoint root — the write is the ONE job that runs the side
+    effects, and the returned frame is a durable file scan. ``tag`` keys
+    the superseded-generation cleanup and must be stable per logical
+    frame (e.g. ``"results-<mapping_id>"``). The localCheckpoint path is
+    already exactly-once (one eager job; blocks pinned, never recomputed
+    while they exist) and is unchanged.
+
+    Storage hygiene for the non-side-effecting ``df.checkpoint`` path:
+    sessions built by ``get_spark()``/the CLI set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (static
+    conf, session.py), so iterative loops' superseded round checkpoints
+    are deleted by the ContextCleaner once their frames are GC'd instead
+    of accumulating for the app's lifetime; externally-built cluster
+    sessions should set the same conf at submit time.
     """
     spark = df.sparkSession
     try:
@@ -116,6 +161,18 @@ def materialize(df: DataFrame, *, eager: bool) -> DataFrame:
     if not ckdir:
         return df.localCheckpoint(eager=eager)
     app = _session_key(spark)
+    if side_effecting:
+        key = (app, tag or "untagged")
+        seq = _EFFECT_SEQ.get(key, 0) + 1
+        _EFFECT_SEQ[key] = seq
+        out = f"{ckdir.rstrip('/')}/effects/{app}/{key[1]}-{seq:06d}"
+        df.write.mode("overwrite").parquet(out)
+        result = spark.read.parquet(out)
+        prev = _EFFECT_DIRS.get(key)
+        if prev and prev != out:
+            _delete_dir(spark, prev)
+        _EFFECT_DIRS[key] = out
+        return result
     if _CKDIR_SET.get(app) != ckdir:
         spark.sparkContext.setCheckpointDir(ckdir)
         _CKDIR_SET[app] = ckdir
