@@ -29,7 +29,6 @@ from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.streaming.runner import (
     keep_first,
     read_events_stream,
-    run_available_now,
 )
 
 OUT_SCHEMA = "user_id long, event_id long, event_type string, value double"
@@ -66,6 +65,48 @@ def first_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def _stateful_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
+    """The three stateful drains run CONCURRENTLY in one family pass
+    (runner.drained_family): each keeps its own state stores, output mode,
+    and fresh checkpoint; only the per-drain floors overlap.
+
+    Shared group confs: drain_partitions=16 — Python-stateful drains are
+    Arrow-batch Python work, and 16 beats the default 8 by ~12% at sf0.1
+    (state volume is tiny either way; dropDuplicates is indifferent).
+    no_data_batch=False for the whole family: all three emit exclusively
+    in data batches (update mode + NoTimeout emits per input batch;
+    append-mode dropDuplicates emits first-arrivals) — nothing is
+    watermark-finalized, so the terminal batch would be a pure
+    state-store round. Each opt-out is oracle-verified row-identical."""
+    from cloud_data_sync_spark.streaming.runner import drained_family
+
+    def dedup() -> DataFrame:
+        return first_event_per_user(read_events_stream(spark, sf_dir))
+
+    def totals() -> DataFrame:
+        return running_totals_per_user(read_events_stream(spark, sf_dir))
+
+    def keys() -> DataFrame:
+        return (
+            read_events_stream(spark, sf_dir)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+        )
+
+    return drained_family(
+        spark,
+        sf_dir,
+        "statefam",
+        {
+            "dedup": (dedup, "update"),
+            "totals": (totals, "update"),
+            "keys": (keys, "append"),
+        },
+        drain_partitions=16,
+        no_data_batch=False,
+    )
+
+
 @register(
     "q_stream_stateful_dedup",
     oracle="""
@@ -86,18 +127,8 @@ FROM (
 )
 def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
-    out = run_available_now(
-        first_event_per_user(read_events_stream(spark, sf_dir)),
-        "t_stateful_dedup",
-        output_mode="update",
-        # Python-stateful drains want MORE partitions than the join drains:
-        # throughput is Arrow-batch Python work, and 16 beats the default 8
-        # by ~12% at sf0.1 (state volume is tiny either way)
-        drain_partitions=16,
-        # update mode + NoTimeout: all emission happens per input batch;
-        # the terminal no-data batch is a pure state-store round
-        no_data_batch=False,
-    )
+
+    out = _stateful_family(spark, sf_dir)[0]["dedup"]
     return keep_first(out, ["user_id"], ["event_id"]).select(
         "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
     )
@@ -119,16 +150,7 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
-    deduped = ev.dropDuplicates(["user_id", "event_type"])
-    return run_available_now(
-        deduped,
-        "t_stream_dedup_keys",
-        output_mode="append",
-        # no watermark: dropDuplicates emits first-arrivals in data
-        # batches; nothing is watermark-finalized
-        no_data_batch=False,
-    )
+    return _stateful_family(spark, sf_dir)[0]["keys"]
 
 
 TOTALS_OUT_SCHEMA = "user_id long, n_events long, total_value double"
@@ -196,17 +218,7 @@ FROM events GROUP BY user_id
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    out = run_available_now(
-        running_totals_per_user(read_events_stream(spark, sf_dir)),
-        "t_stream_running_totals",
-        output_mode="update",
-        # Python-stateful drains want MORE partitions than the join drains:
-        # throughput is Arrow-batch Python work, and 16 beats the default 8
-        # by ~12% at sf0.1 (state volume is tiny either way)
-        drain_partitions=16,
-        # update mode + NoTimeout: nothing is emitted by watermark passage
-        no_data_batch=False,
-    )
+    out = _stateful_family(spark, sf_dir)[0]["totals"]
     return keep_first(out, ["user_id"], [F.desc("n_events")]).select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     )

@@ -18,56 +18,163 @@ from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table
 
 
+def _window_family(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, DataFrame], dict[str, str | None]]:
+    """ONE concurrent append-mode drain pass serving the whole time/session
+    window family (r6 verdict items 1+2).
+
+    Two real readStream queries drain together (runner.drained_family):
+
+    - ``panes``: 30-minute PANES per event_type — watermarked append-mode
+      aggregation whose emitted panes are rolled up batch-side into BOTH
+      the 1-hour tumbling windows (2 panes each) and the 1h/30m sliding
+      windows (each pane closes one slide) — the classic pane/paired-
+      window decomposition (Li et al., "No Pane, No Gain"). Sub-aggregates
+      carry RAW sums; rounding happens once at the final rollup.
+    - ``session_native``: session_window(30 min) per user.
+
+    Both run append mode + 10-minute watermark: windows/sessions emit
+    ONLY when the event-time watermark finalizes them — the state-bounded
+    path an unbounded production stream requires (complete mode holds
+    every window in state forever). The availableNow terminal no-data
+    batch advances the watermark to (max ts - 10 min) and flushes what
+    that finalizes, so no_data_batch stays True for this family.
+
+    Emission frontier semantics, pinned empirically (boundary fixtures in
+    tests/test_streaming.py): BOTH time and session windows emit iff
+    end <= frontier — NON-strict, end == frontier emits. (r6's session
+    oracle claimed strict '<'; the r7 boundary fixture disproved it.)
+    The frontier itself is MILLISECOND-truncated: Spark's event-time
+    stats track max event time in epoch millis (integer division floors
+    the microseconds away), so the final watermark is
+    floor_ms(max ts) - delay — the oracles encode the same
+    date_trunc('millisecond', ...) rather than the raw microsecond max.
+
+    Returns (results, watermarks): the pane rollups read the frontier
+    from the drain's OWN final-watermark telemetry (lastProgress) — no
+    re-derivation, no second scan of events.
+    """
+    from cloud_data_sync_spark.streaming.runner import (
+        drained_family,
+        read_events_stream,
+    )
+
+    def build_panes() -> DataFrame:
+        ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
+        return (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("pane_start"),
+                F.col("w.end").alias("pane_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    def build_session() -> DataFrame:
+        ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
+        return (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return drained_family(
+        spark,
+        sf_dir,
+        "winfam",
+        {
+            "panes": (build_panes, "append"),
+            "session_native": (build_session, "append"),
+        },
+    )
+
+
+def _frontier_lit(watermark: str | None):
+    """The drain's final event-time watermark as a TIMESTAMP literal,
+    parsed from the streaming query's own progress telemetry (ISO-8601,
+    ms precision, e.g. '2024-01-30T23:16:16.220Z' — the session runs
+    UTC, so the naive wall time IS the instant). A literal, not a
+    subquery: the frontier is a scalar the stream already computed, so
+    the rollup filter folds to a constant comparison instead of adding
+    a broadcast join."""
+    if watermark is None:
+        raise RuntimeError(
+            "pane drain produced no final watermark — the events stream "
+            "read zero rows or the terminal no-data batch was skipped"
+        )
+    return F.to_timestamp(
+        F.lit(watermark.replace("T", " ").replace("Z", ""))
+    )
+
+
 @register(
     "q_stream_tumbling",
     oracle="""
+WITH wm AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 10 MINUTE
+              AS frontier FROM events)
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS total_value
-FROM events GROUP BY 1, 2
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= frontier
+GROUP BY 1, 2
 """,
     doc=(
-        "Tumbling 1-hour event-time windows per event_type over the REAL "
-        "file-source stream (readStream, availableNow drain, complete "
-        "mode — deterministic full window table, matching the batch "
-        "oracle byte-for-byte)."
+        "Tumbling 1-hour event-time windows per event_type in APPEND mode "
+        "+ 10-minute watermark — the production shape (complete mode "
+        "holds every window in state forever; r6 verdict item 1). Served "
+        "from the window family's ONE real readStream drain of 30-minute "
+        "panes: a 1-hour window is the sum of its two panes, and its "
+        "emission frontier is its second pane's — so the rollup emits "
+        "exactly what a direct 1-hour append-mode aggregation would "
+        "(window_end <= max_ts - delay, non-strict, boundary-fixture "
+        "verified). The youngest unfinalized windows stay pending — the "
+        "honest cost of append mode, encoded in the oracle's frontier "
+        "predicate."
     ),
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL readStream drain (complete mode): the full deterministic window
-    # table, byte-identical to the batch twin the oracle computes. Complete
-    # mode needs no watermark for a bounded drain (state holds all windows);
-    # an unbounded production stream runs append + withWatermark instead —
-    # that finalization path is what q_stream_session_native exercises.
-    from cloud_data_sync_spark.streaming.runner import (
-        read_events_stream,
-        run_available_now,
-    )
-
-    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
-    agg = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+    results, wms = _window_family(spark, sf_dir)
+    return (
+        results["panes"]
+        .withColumn("window_start", F.date_trunc("hour", "pane_start"))
+        .filter(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+            <= _frontier_lit(wms["panes"])
+        )
+        .groupBy("window_start", "event_type")
         .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
-    return run_available_now(
-        agg, "t_stream_tumbling", output_mode="complete", no_data_batch=False
     )
 
 
 @register(
     "q_stream_sliding",
     oracle="""
-WITH expanded AS (
+WITH wm AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 10 MINUTE
+              AS frontier FROM events),
+expanded AS (
   SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
                  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
            AS window_start,
@@ -77,32 +184,43 @@ WITH expanded AS (
 SELECT CAST(window_start AS TIMESTAMP) AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS total_value
-FROM expanded GROUP BY 1
+FROM expanded, wm
+WHERE window_start + INTERVAL 1 HOUR <= frontier
+GROUP BY 1
 """,
     doc=(
-        "Sliding windows (1h long, 30m slide; each event lands in 2 "
-        "windows) over the REAL file-source stream, complete-mode "
-        "availableNow drain."
+        "Sliding windows (1h long, 30m slide) in APPEND mode + watermark, "
+        "served from the same ONE pane drain as q_stream_tumbling: each "
+        "emitted 30-minute pane contributes to the two sliding windows "
+        "that contain it, and a sliding window's emission frontier equals "
+        "its last pane's (window_end <= max_ts - delay, non-strict). "
+        "Unfinalized tail windows stay pending, exactly as a direct "
+        "append-mode sliding aggregation would hold them."
     ),
 )
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL readStream drain, complete mode (see q_stream_tumbling)
-    from cloud_data_sync_spark.streaming.runner import (
-        read_events_stream,
-        run_available_now,
-    )
-
-    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
-    agg = (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+    results, wms = _window_family(spark, sf_dir)
+    return (
+        results["panes"]
+        .select(
+            F.explode(
+                F.array(
+                    F.col("pane_start"),
+                    F.col("pane_start") - F.expr("INTERVAL 30 MINUTES"),
+                )
+            ).alias("window_start"),
+            "n_events",
+            "sum_value",
         )
-        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
-    )
-    return run_available_now(
-        agg, "t_stream_sliding", output_mode="complete", no_data_batch=False
+        .filter(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+            <= _frontier_lit(wms["panes"])
+        )
+        .groupBy("window_start")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+        )
     )
 
 
@@ -180,8 +298,8 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_click_purchase_join(
-    spark: SparkSession, sf_dir: str, hours: int, how: str, query_name: str
+def _build_click_purchase_join(
+    spark: SparkSession, sf_dir: str, hours: int, how: str
 ) -> DataFrame:
     """THE click->purchase stream-stream join used by q_stream_join
     (inner, 6h) and q_stream_left_join (left_outer, 1h): one definition so
@@ -193,14 +311,9 @@ def _stream_click_purchase_join(
     files' rows from join state, diverging from the batch oracle. The
     availableNow terminal no-data batch advances the watermark to
     (joint max - 10min) and flushes finalized left-outer nulls
-    deterministically. drain_partitions=2: stream-stream joins run 4
-    state stores per side per partition, so fewer partitions win (1 is
-    worse: the drain loses all scan/build parallelism).
+    deterministically.
     """
-    from cloud_data_sync_spark.streaming.runner import (
-        read_events_stream,
-        run_available_now,
-    )
+    from cloud_data_sync_spark.streaming.runner import read_events_stream
 
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
     clicks = (
@@ -221,7 +334,7 @@ def _stream_click_purchase_join(
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
-    joined = purchases.join(
+    return purchases.join(
         clicks,
         (F.col("user_id") == F.col("c_user"))
         & (
@@ -241,17 +354,41 @@ def _stream_click_purchase_join(
         .cast("long")
         .alias("gap_sec"),
     )
-    return run_available_now(
-        joined,
-        query_name,
-        output_mode="append",
-        # 4 state stores per side per partition: 2 partitions measured
-        # fastest (2.54 s vs 2.75 s at 4, 4.14 s at 1, sf0.1 left join)
+
+
+def _join_family(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, DataFrame], dict[str, str | None]]:
+    """Both stream-stream joins drain CONCURRENTLY in one family pass
+    (runner.drained_family): each remains a full two-stream join with its
+    own per-side watermarks and 4 state stores per side, but the two
+    drains' floors overlap instead of adding.
+
+    drain_partitions=2: stream-stream joins run 4 state stores per side
+    per partition, so fewer partitions win (measured 2.54 s vs 2.75 s at
+    4, 4.14 s at 1, sf0.1 left join). no_data_batch stays True for the
+    family: the terminal batch IS the left-outer null-emission flush
+    (guard test in tests/test_streaming.py); for the inner join it only
+    evicts state — its old solo-drain opt-out was a pure perf lever
+    (oracle-verified identical output), now subsumed by the shared pass.
+    """
+
+    def inner() -> DataFrame:
+        return _build_click_purchase_join(spark, sf_dir, hours=6, how="inner")
+
+    def left() -> DataFrame:
+        return _build_click_purchase_join(
+            spark, sf_dir, hours=1, how="left_outer"
+        )
+
+    from cloud_data_sync_spark.streaming.runner import drained_family
+
+    return drained_family(
+        spark,
+        sf_dir,
+        "joinfam",
+        {"join": (inner, "append"), "left_join": (left, "append")},
         drain_partitions=2,
-        # inner join: every match emits during data batches; the terminal
-        # no-data batch only evicts state (oracle-verified identical).
-        # left_outer: the terminal batch IS the null-emission flush — keep.
-        no_data_batch=(how != "inner"),
     )
 
 
@@ -280,16 +417,15 @@ JOIN events c
     ),
 )
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _stream_click_purchase_join(
-        spark, sf_dir, hours=6, how="inner", query_name="t_stream_join"
-    )
+    return _join_family(spark, sf_dir)[0]["join"]
 
 
 @register(
     "q_stream_session_native",
     oracle="""
 WITH wm AS (
-  SELECT max(ts) - INTERVAL 10 MINUTE AS frontier FROM events
+  SELECT date_trunc('millisecond', max(ts)) - INTERVAL 10 MINUTE AS frontier
+  FROM events
 ),
 seq AS (
   SELECT user_id, ts, value,
@@ -314,7 +450,7 @@ agg AS (
   FROM sessions GROUP BY user_id, sid
 )
 SELECT user_id, session_start, session_end, n_events, total_value
-FROM agg, wm WHERE session_end < frontier
+FROM agg, wm WHERE session_end <= frontier
 """,
     doc=(
         "Native session windows on the REAL stream: readStream + "
@@ -324,42 +460,23 @@ FROM agg, wm WHERE session_end < frontier
         "express session windows at all). The oracle encodes the "
         "emission frontier exactly: the availableNow terminal no-data "
         "batch advances the watermark to (max ts - 10 min), and a "
-        "session emits iff session_end < frontier STRICTLY (verified on "
-        "a boundary fixture where end == frontier stays pending — '<=' "
-        "would claim a row Spark holds back). Session semantics mirror "
-        "q_session_window_batch: gaps strictly under 30 minutes merge, "
-        "reported end = last event + gap. The held-back tail is the "
-        "honest cost of append mode on a bounded drain — the same "
-        "pending-row accounting q_stream_left_join's oracle does for "
-        "outer-join nulls."
+        "session emits iff session_end <= frontier — NON-strict, the "
+        "same eviction predicate as time windows (pinned by the r7 "
+        "boundary fixture in tests/test_streaming.py where end == "
+        "frontier EMITS; r6's doc claimed strict '<', which the fixture "
+        "disproved — the boundary never arose on seeded data because "
+        "equality needs an exact 40-minute last-event-to-max-ts gap). "
+        "Session semantics mirror q_session_window_batch: gaps strictly "
+        "under 30 minutes merge, reported end = last event + gap. The "
+        "held-back tail is the honest cost of append mode on a bounded "
+        "drain — the same pending-row accounting q_stream_left_join's "
+        "oracle does for outer-join nulls."
     ),
 )
 def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloud_data_sync_spark.streaming.runner import (
-        read_events_stream,
-        run_available_now,
-    )
-
-    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=None)
-    agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "total_value",
-        )
-    )
-    # append mode: the terminal no-data batch IS the finalization flush
-    return run_available_now(
-        agg, "t_stream_session_native", output_mode="append"
-    )
+    # drains concurrently with the pane aggregation (_window_family); the
+    # terminal no-data batch IS the finalization flush for append mode
+    return _window_family(spark, sf_dir)[0]["session_native"]
 
 
 @register(
@@ -421,10 +538,10 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_left_join",
     oracle="""
 WITH wm AS (
-  SELECT least(
+  SELECT date_trunc('millisecond', least(
            max(CASE WHEN event_type = 'click' THEN ts END),
            max(CASE WHEN event_type = 'purchase' THEN ts END)
-         ) - INTERVAL 10 MINUTE AS w
+         )) - INTERVAL 10 MINUTE AS w
   FROM events
 )
 SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
@@ -455,6 +572,4 @@ WHERE c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
     ),
 )
 def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _stream_click_purchase_join(
-        spark, sf_dir, hours=1, how="left_outer", query_name="t_stream_left_join"
-    )
+    return _join_family(spark, sf_dir)[0]["left_join"]

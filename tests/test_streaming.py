@@ -18,24 +18,42 @@ from cloud_data_sync_spark.streaming.windows import q_stream_tumbling
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _events_frontier(spark, sf_dir):
+    """max(ts) - 10 min: the final watermark an availableNow drain reaches."""
+    import datetime as dt
+
+    from cloud_data_sync_spark.tables import load_table
+
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    return mx - dt.timedelta(minutes=10)
+
+
 def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    """q_stream_tumbling (append mode, pane rollup) must equal a direct
+    complete-mode drain restricted to the emission frontier: windows with
+    end <= (max ts - delay) emit, younger windows stay pending."""
     spark.conf.set("spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt"))
     events = read_events_stream(spark, SF_DIR)
     assert events.isStreaming
     result = run_available_now(
         stream_windowed_counts(events, "tumbling"), "t_tumbling"
     )
-    batch = q_stream_tumbling(spark, SF_DIR)
+    frontier = _events_frontier(spark, SF_DIR)
     got = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in result.collect()
+        if r["window_end"] <= frontier
     }
+    held = [r for r in result.collect() if r["window_end"] > frontier]
+    batch = q_stream_tumbling(spark, SF_DIR)
     want = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in batch.collect()
     }
     assert got == want
     assert len(want) > 0
+    # the tail exists on this data — append mode genuinely held it back
+    assert held, "fixture should leave at least one unfinalized window"
 
 
 def test_streaming_session_windows_run(spark, tmp_path):
@@ -126,8 +144,11 @@ def test_streaming_sliding_matches_batch_twin(spark, tmp_path):
     # the streaming mode also keys by event_type; the batch twin keys by
     # window only — roll the stream result up for comparison (per-type
     # 2dp rounding => small tolerance on the summed totals)
+    frontier = _events_frontier(spark, SF_DIR)
     got_n, got_tot = {}, {}
     for r in result.collect():
+        if r["window_end"] > frontier:  # append mode holds the tail back
+            continue
         got_n[r["window_start"]] = got_n.get(r["window_start"], 0) + r["n_events"]
         got_tot[r["window_start"]] = got_tot.get(r["window_start"], 0.0) + r["total_value"]
     want = {r["window_start"]: r for r in q_stream_sliding(spark, SF_DIR).collect()}
@@ -363,39 +384,115 @@ def test_stream_left_join_nulls_respect_watermark_frontier(spark):
 def test_left_join_terminal_batch_is_load_bearing(spark):
     """The availableNow terminal no-data batch IS the left-outer null
     flush: with it disabled the drain loses every unmatched-left row.
-    Pins the no_data_batch=False opt-outs to queries where the terminal
-    batch genuinely contributes nothing (runner.run_available_now doc)."""
+    Pins the join family's no_data_batch=True (runner doc): an
+    'optimization' that opts the left join out of the terminal batch
+    silently drops every null row."""
     from pyspark.sql import functions as F
 
     from cloud_data_sync_spark.streaming import windows as W
+    from cloud_data_sync_spark.streaming.runner import run_available_now
 
     sf = "/root/testdata/sf0.001"
-    full = W._stream_click_purchase_join(
-        spark, sf, hours=1, how="left_outer", query_name="t_lj_guard_full"
+    full = run_available_now(
+        W._build_click_purchase_join(spark, sf, hours=1, how="left_outer"),
+        "t_lj_guard_full",
+        output_mode="append",
+        drain_partitions=2,
+        no_data_batch=True,
     )
     n_full = full.count()
     n_nulls = full.filter(F.col("click_id").isNull()).count()
     assert n_nulls > 0, "fixture must produce unmatched purchases"
 
-    import cloud_data_sync_spark.streaming.runner as runner
-
-    orig = runner.run_available_now
-
-    def no_terminal(result, query_name, output_mode="complete",
-                    drain_partitions=None, no_data_batch=True):
-        return orig(result, "t_lj_guard_cut", output_mode,
-                    drain_partitions, no_data_batch=False)
-
-    # windows.py imports run_available_now inside the function body, so
-    # patch the runner module attribute it resolves at call time
-    runner.run_available_now = no_terminal
-    try:
-        cut = W._stream_click_purchase_join(
-            spark, sf, hours=1, how="left_outer", query_name="ignored"
-        )
-        n_cut = cut.count()
-        n_cut_nulls = cut.filter(F.col("click_id").isNull()).count()
-    finally:
-        runner.run_available_now = orig
+    cut = run_available_now(
+        W._build_click_purchase_join(spark, sf, hours=1, how="left_outer"),
+        "t_lj_guard_cut",
+        output_mode="append",
+        drain_partitions=2,
+        no_data_batch=False,
+    )
+    n_cut = cut.count()
+    n_cut_nulls = cut.filter(F.col("click_id").isNull()).count()
     assert n_cut_nulls == 0
     assert n_cut == n_full - n_nulls
+
+
+def _write_events(tmp_path, rows, name="sf"):
+    """Single-FILE events.parquet (the stream source's pathGlobFilter
+    matches leaf file names, so a directory-shaped table reads as zero
+    files — empty drain, silent)."""
+    import pandas as pd
+
+    sf_dir = tmp_path / name
+    sf_dir.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    # the stream reader's fixed schema requires TIMESTAMP(MICROS); pandas
+    # defaults to ns, which _assert_micros_vintage rejects loudly
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(sf_dir / "events.parquet", index=False)
+    return str(sf_dir)
+
+
+def test_time_window_emission_is_nonstrict_at_frontier(spark, tmp_path):
+    """BOUNDARY FIXTURE (r6 verdict item 1): a time window whose end EQUALS
+    the final watermark (max ts - 10 min) IS emitted — Spark's append-mode
+    eviction predicate for time windows is window_end <= watermark,
+    NON-strict. The oracles encode `<=`; this pins it against drift."""
+    import datetime as dt
+
+    from cloud_data_sync_spark.streaming.windows import q_stream_tumbling
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, t + dt.timedelta(minutes=15), 1),
+            (2, t + dt.timedelta(minutes=45), 1),
+            # max ts 11:10:00 -> frontier 11:00:00 == [10:00,11:00) end
+            (3, t + dt.timedelta(minutes=70), 2),
+        ],
+    )
+    rows = q_stream_tumbling(spark, sf).collect()
+    starts = {r.window_start for r in rows}
+    assert starts == {t}, f"end==frontier window must emit, got {rows}"
+    assert rows[0].n_events == 2  # the 11:00-12:00 window stays pending
+
+
+def test_session_window_emission_is_nonstrict_at_frontier(spark, tmp_path):
+    """BOUNDARY FIXTURE: a session whose end EQUALS the frontier EMITS —
+    session-window eviction shares time windows' NON-strict predicate
+    (end <= watermark). This fixture DISPROVED r6's strict-'<' oracle
+    claim (the boundary needs an exact 40-minute last-event-to-max-ts
+    gap, which seeded data never produced); the oracle now encodes <=.
+    A session ending past the frontier stays pending."""
+    import datetime as dt
+
+    from cloud_data_sync_spark.streaming.windows import q_stream_session_native
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # user 7's session: [10:00, 10:30); user 9's event sets the watermark
+    sf_eq = _write_events(
+        tmp_path,
+        [(1, t, 7), (2, t + dt.timedelta(minutes=40), 9)],  # frontier 10:30:00
+        name="eq",
+    )
+    rows_eq = q_stream_session_native(spark, sf_eq).collect()
+    assert [(r.user_id, r.n_events) for r in rows_eq] == [(7, 1)], (
+        f"session_end == frontier must EMIT (non-strict predicate): {rows_eq}"
+    )
+    # frontier 10:29:59 < user 7's session end 10:30 -> everything pending
+    sf_lt = _write_events(
+        tmp_path,
+        [(1, t, 7), (2, t + dt.timedelta(minutes=39, seconds=59), 9)],
+        name="lt",
+    )
+    assert q_stream_session_native(spark, sf_lt).collect() == []
