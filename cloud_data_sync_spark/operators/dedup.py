@@ -2077,47 +2077,7 @@ GROUP BY s.doc_id
     ).format(b=_SEG_BLOCK, m=_SEG_MIN_TOKS),
 )
 def q_dedup_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = toks_documents(spark, sf_dir).select(
-        "doc_id", F.posexplode("toks").alias("pos0", "tok")
-    )
-    term = F.col("tok").rlike("[.!?]$").cast("int")
-    by_pos = Window.partitionBy("doc_id").orderBy("pos0")
-    sent = toks.select(
-        "doc_id",
-        "tok",
-        "pos0",
-        (
-            F.sum(term).over(by_pos.rowsBetween(Window.unboundedPreceding, 0))
-            - term
-        ).alias("sent_id"),
-    )
-    in_sent = Window.partitionBy("doc_id", "sent_id").orderBy("pos0")
-    blocks = sent.select(
-        "doc_id",
-        "sent_id",
-        "tok",
-        "pos0",
-        ((F.row_number().over(in_sent) - 1) / _SEG_BLOCK)
-        .cast("long")
-        .alias("block_id"),
-    )
-    segs = (
-        blocks.groupBy("doc_id", "sent_id", "block_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos0", "tok"))),
-                        lambda x: x["tok"],
-                    ),
-                )
-            ).alias("h"),
-            F.count("*").alias("n_toks"),
-        )
-        .filter(F.col("n_toks") >= _SEG_MIN_TOKS)
-        .select("doc_id", "h")
-    )
+    segs = sentence_segments(spark, sf_dir).select("doc_id", "h")
     shared = (
         segs.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -2136,6 +2096,193 @@ def q_dedup_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SEG_SUBSTRATE: dict[tuple, DataFrame] = {}
+
+
+def sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, h, n_toks)`` per sentence-aligned segment of at least
+    ``_SEG_MIN_TOKS`` tokens — the shared substrate behind the segment
+    family (q_dedup_sentence reports shared fractions; the scrub key
+    applies removal), materialized once per (session, documents vintage).
+
+    Plan (one doc_id exchange end to end): posexplode -> per-doc
+    running-sum window over sentence terminators (the sort spills at
+    scale) -> fixed _SEG_BLOCK re-segmentation window that REUSES the
+    doc_id partitioning -> segment hash agg whose group keys extend the
+    partition key (no second exchange). Segment hashes are 32-char md5
+    strings (cross-engine identity required — the oracle recomputes
+    them); document text never shuffles past the first window."""
+
+    def build() -> DataFrame:
+        toks = toks_documents(spark, sf_dir).select(
+            "doc_id", F.posexplode("toks").alias("pos0", "tok")
+        )
+        term = F.col("tok").rlike("[.!?]$").cast("int")
+        by_pos = Window.partitionBy("doc_id").orderBy("pos0")
+        sent = toks.select(
+            "doc_id",
+            "tok",
+            "pos0",
+            (
+                F.sum(term).over(
+                    by_pos.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                - term
+            ).alias("sent_id"),
+        )
+        in_sent = Window.partitionBy("doc_id", "sent_id").orderBy("pos0")
+        blocks = sent.select(
+            "doc_id",
+            "sent_id",
+            "tok",
+            "pos0",
+            ((F.row_number().over(in_sent) - 1) / _SEG_BLOCK)
+            .cast("long")
+            .alias("block_id"),
+        )
+        return (
+            blocks.groupBy("doc_id", "sent_id", "block_id")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos0", "tok"))
+                            ),
+                            lambda x: x["tok"],
+                        ),
+                    )
+                ).alias("h"),
+                F.count("*").alias("n_toks"),
+            )
+            .filter(F.col("n_toks") >= _SEG_MIN_TOKS)
+            .select("doc_id", "h", "n_toks")
+        )
+
+    return session_substrate(
+        spark, _SEG_SUBSTRATE, sf_dir, "dedup-sentence-segs", "documents", build
+    )
+
+
+_SEG_SQL = f"""tk AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+),
+sent AS (
+  SELECT doc_id, tok, pos,
+         sum(term) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) - term AS sent_id
+  FROM (SELECT doc_id, tok, pos,
+               CASE WHEN regexp_matches(tok, '[.!?]$') THEN 1 ELSE 0 END
+                 AS term
+        FROM tk)
+),
+blocks AS (
+  SELECT doc_id, sent_id, tok, pos,
+         (row_number() OVER (PARTITION BY doc_id, sent_id ORDER BY pos) - 1)
+           // {_SEG_BLOCK} AS block_id
+  FROM sent
+),
+segs AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
+         count(*) AS n_toks
+  FROM blocks GROUP BY doc_id, sent_id, block_id
+  HAVING count(*) >= {_SEG_MIN_TOKS}
+),
+shared AS (
+  SELECT h FROM segs GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)"""
+
+
+@register(
+    "q_dedup_sentence_scrub",
+    oracle=f"""
+WITH {_SEG_SQL},
+tot AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n_toks_total
+  FROM documents
+),
+dropped AS (
+  SELECT s.doc_id, sum(s.n_toks) AS n_dropped
+  FROM segs s JOIN shared sh ON s.h = sh.h
+  GROUP BY s.doc_id
+),
+per_doc AS (
+  SELECT t.doc_id, t.n_toks_total,
+         CAST(t.n_toks_total - coalesce(d.n_dropped, 0) AS BIGINT)
+           AS n_toks_retained,
+         floor(CAST(t.n_toks_total - coalesce(d.n_dropped, 0) AS DOUBLE)
+               / t.n_toks_total * 1000000) / 1000000 AS retained_frac
+  FROM tot t LEFT JOIN dropped d ON t.doc_id = d.doc_id
+),
+pack AS (
+  SELECT floor(CAST(sum(n_toks_retained) AS DOUBLE)
+               / sum(n_toks_total) * 1000000) / 1000000
+           AS corpus_retained_frac
+  FROM per_doc
+)
+SELECT doc_id, n_toks_total, n_toks_retained, retained_frac,
+       corpus_retained_frac
+FROM per_doc, pack
+""",
+    doc=(
+        "APPLY layer for segment-level dedup (r6 verdict item 5 — the "
+        "near-dup family has survivors/size-dist; this is the segment "
+        "family's analogue): every sentence-aligned segment seen in >=2 "
+        "distinct documents is boilerplate and is DROPPED FROM ALL "
+        "documents (the CCNet/Gopher repeated-paragraph rule — removal, "
+        "not first-copy-wins, because a span repeated across documents "
+        "is template noise in each of them). Emits per-document total "
+        "vs retained token counts, the per-doc retention fraction, and "
+        "the corpus-level retention rate (what the scrub would shrink "
+        "training data by). Rides the SAME one-exchange segment "
+        "substrate as q_dedup_sentence; sub-minimum fragments are not "
+        "dedup-eligible and are always retained. The corpus rate is a "
+        "1-row broadcast pack (constant size at any scale)."
+    ),
+)
+def q_dedup_sentence_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = sentence_segments(spark, sf_dir)
+    shared = (
+        segs.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dropped = (
+        segs.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.sum("n_toks").alias("n_dropped"))
+    )
+    tot = toks_documents(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("n_toks_total")
+    )
+    retained = F.col("n_toks_total") - F.coalesce(F.col("n_dropped"), F.lit(0))
+    per_doc = (
+        tot.join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks_total",
+            retained.cast("long").alias("n_toks_retained"),
+            floor_ratio(
+                retained.cast("double") / F.col("n_toks_total"), 6
+            ).alias("retained_frac"),
+        )
+    )
+    pack = per_doc.agg(
+        floor_ratio(
+            F.sum("n_toks_retained").cast("double") / F.sum("n_toks_total"), 6
+        ).alias("corpus_retained_frac")
+    )
+    return per_doc.crossJoin(F.broadcast(pack))
 
 
 # -- incremental dedup (crawl batch vs historical index) ---------------------

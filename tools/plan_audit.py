@@ -133,6 +133,9 @@ BNLJ_ALLOWED = {
     "q_skew_report",
     "q_histogram_equidepth",
     "q_bloom_prune",
+    # 1-row corpus-retention pack (sum retained / sum total) broadcast
+    # over the per-doc result — constant size at any corpus scale
+    "q_dedup_sentence_scrub",
 }
 
 # Global (unpartitioned) windows are forbidden — a single-partition sort of
