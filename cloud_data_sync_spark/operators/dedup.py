@@ -1975,18 +1975,7 @@ GROUP BY c.doc_id
     ).format(c=_SUB_CHUNK, s=_SUB_STEP),
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    pos = F.explode(
-        F.sequence(
-            F.lit(1),
-            F.greatest(F.length("text") - (_SUB_CHUNK - _SUB_STEP), F.lit(1)),
-            F.lit(_SUB_STEP),
-        )
-    ).alias("pos")
-    chunks = docs.select("doc_id", "text", pos).select(
-        "doc_id",
-        F.md5(F.expr(f"substring(text, pos, {_SUB_CHUNK})")).alias("h"),
-    )
+    chunks = substring_chunks(spark, sf_dir)
     shared = (
         chunks.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -2007,6 +1996,123 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("shared_frac"),
         )
+    )
+
+
+_CHUNK_SUBSTRATE: dict[tuple, DataFrame] = {}
+
+
+def substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, pos, h)`` per overlapping {c}-char/{s}-stride window —
+    the substring chunk substrate shared by q_dedup_substring (per-doc
+    shared fractions) and q_dedup_substring_spans (maximal-span
+    chaining), materialized once per (session, documents vintage).
+    Window hashes are md5 (cross-engine identity — the oracles recompute
+    them); text never leaves the per-row pipeline.""".format(
+        c=_SUB_CHUNK, s=_SUB_STEP
+    )
+
+    def build() -> DataFrame:
+        docs = _spread(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "text"
+        )
+        pos = F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.length("text") - (_SUB_CHUNK - _SUB_STEP), F.lit(1)
+                ),
+                F.lit(_SUB_STEP),
+            )
+        ).alias("pos")
+        return docs.select("doc_id", "text", pos).select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.expr(f"substring(text, pos, {_SUB_CHUNK})")).alias("h"),
+        )
+
+    return session_substrate(
+        spark, _CHUNK_SUBSTRATE, sf_dir, "dedup-substr-chunks", "documents", build
+    )
+
+
+@register(
+    "q_dedup_substring_spans",
+    oracle=f"""
+WITH chunks AS (
+  SELECT d.doc_id, CAST(g.pos AS BIGINT) AS pos,
+         md5(substring(d.text, g.pos, {_SUB_CHUNK})) AS h
+  FROM documents d,
+       LATERAL unnest(generate_series(
+         1, greatest(length(d.text) - {_SUB_CHUNK - _SUB_STEP}, 1),
+         {_SUB_STEP})) AS g(pos)
+),
+shared AS (
+  SELECT h FROM chunks GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT c.doc_id, c.pos
+  FROM chunks c JOIN shared s ON s.h = c.h
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - {_SUB_STEP} * row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id,
+         max(pos) - min(pos) + {_SUB_CHUNK} AS span_chars
+  FROM runs GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(max(span_chars) AS BIGINT) AS max_span_chars,
+       CAST(sum(span_chars) AS BIGINT) AS total_span_chars
+FROM spans GROUP BY doc_id
+""",
+    doc=(
+        "MAXIMAL repeated spans per document — the precision upgrade "
+        "q_dedup_substring's own doc names (r6 verdict item 3), the "
+        "practical middle ground between windowed-hash recall and a "
+        "suffix-array pass (Lee et al., 'Deduplicating Training Data "
+        "Makes Language Models Better', whose ~50-token duplicate spans "
+        "production pipelines cite): windows whose hash recurs in >=2 "
+        "distinct documents are CHAINED when adjacent ({s}-char stride "
+        "apart) into maximal runs via gaps-and-islands (pos - stride x "
+        "row_number is constant within a run), and each run reports its "
+        "character extent — span resolution is the {s}-char stride, the "
+        "honest granularity of the windowed method. Emits per-doc span "
+        "count, longest span, and total spanned chars (what a cut pass "
+        "would remove). Plan: the shared chunk substrate -> one hash "
+        "agg for the shared set -> equi-join -> ONE doc_id window + "
+        "run/doc aggregations riding the same exchange; only (doc_id, "
+        "pos) pairs shuffle into the window, never text."
+    ).format(s=_SUB_STEP),
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = substring_chunks(spark, sf_dir)
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = chunks.join(shared, "h").select("doc_id", "pos")
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - _SUB_STEP * F.row_number().over(by_pos)).alias("grp"),
+    )
+    spans = runs.groupBy("doc_id", "grp").agg(
+        (F.max("pos") - F.min("pos") + _SUB_CHUNK).alias("span_chars")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.max("span_chars").cast("long").alias("max_span_chars"),
+        F.sum("span_chars").cast("long").alias("total_span_chars"),
     )
 
 

@@ -51,3 +51,28 @@ def test_sentence_scrub_retains_subminimum_fragments(spark, tmp_path):
     rows = q_dedup_sentence_scrub(spark, sf).collect()
     assert all(r.n_toks_retained == r.n_toks_total == 3 for r in rows)
     assert all(r.retained_frac == 1.0 for r in rows)
+
+
+def test_substring_spans_chain_adjacent_windows(spark, tmp_path):
+    """A 250-char region shared by two docs (at offsets compatible with the
+    50-char stride) must chain into ONE maximal span of 250 chars in each
+    doc, not four separate window hits."""
+    import random
+
+    from cloud_data_sync_spark.operators.dedup import q_dedup_substring_spans
+
+    rng = random.Random(7)
+
+    def blob(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+    shared = blob(250)
+    a = shared + blob(300)          # shared at pos 1
+    b = blob(150) + shared          # shared at pos 151 (1 mod 50)
+    c = blob(400)                   # nothing shared
+    sf = _write_docs(tmp_path, [a, b, c])
+    rows = {r.doc_id: r for r in q_dedup_substring_spans(spark, sf).collect()}
+    assert set(rows) == {1, 2}, "doc 3 has no repeated span"
+    assert rows[1].n_spans == 1 and rows[1].max_span_chars == 250
+    assert rows[2].n_spans == 1 and rows[2].max_span_chars == 250
+    assert rows[1].total_span_chars == 250
