@@ -523,6 +523,314 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- product quantization (PQ) ------------------------------------------------
+
+# M subspaces x SUBD dims (M*SUBD = DIM); K codewords per subspace; codebooks
+# trained with the q_kmeans static-DAG pattern (deterministic vec_id % K
+# seeding, 2 unrolled Lloyd rounds — no iteration-count data dependence).
+_PQ_M, _PQ_SUBD, _PQ_K = 4, 16, 16
+
+
+def _pq_d2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _pq_subvectors(vecs: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): the UNIT-normalized vector split into _PQ_M
+    subvectors — PQ trains on normalized vectors so the asymmetric dot
+    against codewords approximates cosine directly."""
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    return vecs.select("vec_id", "v", "nrm", ms).select(
+        "vec_id",
+        "m",
+        F.transform(
+            F.slice("v", F.col("m") * _PQ_SUBD + 1, _PQ_SUBD),
+            lambda x: x / F.col("nrm"),
+        ).alias("sv"),
+    )
+
+
+def _pq_centroids_of(assigned: DataFrame) -> DataFrame:
+    """(m, k, c): per-dim means per (subspace, codeword) — the subspace
+    variant of ml._centroids_of. The shuffle carries M*K*SUBD groups
+    (constant) regardless of corpus size; partial avgs combine map-side."""
+    per_dim = (
+        assigned.select("m", "k", F.posexplode("sv").alias("dim", "x"))
+        .groupBy("m", "k", "dim")
+        .agg(F.avg("x").alias("v"))
+    )
+    return per_dim.groupBy("m", "k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]
+        ).alias("c")
+    )
+
+
+def _pq_assign(subv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, m, sv, k): nearest codeword per subvector, map-only — the
+    whole codebook (M*K = {mk} rows) collapses to ONE broadcast row;
+    argmin is array_min over rounded (d2, k) structs. d2 rounds to 6 dp
+    BEFORE the argmin so both engines break ties identically (the
+    q_sim_ivf convention — raw float avgs differ in the last ulp across
+    engines' aggregation orders).""".format(mk=_PQ_M * _PQ_K)
+    packed = cents.agg(F.collect_list(F.struct("m", "k", "c")).alias("cs"))
+    mine = F.filter(F.col("cs"), lambda s: s["m"] == F.col("m"))
+    best = F.array_min(
+        F.transform(
+            mine,
+            lambda s: F.struct(
+                F.round(_pq_d2(F.col("sv"), s["c"]), 6).alias("d2"),
+                s["k"].alias("k"),
+            ),
+        )
+    )
+    return (
+        subv.crossJoin(F.broadcast(packed))
+        .withColumn("best", best)
+        .select("vec_id", "m", "sv", F.col("best.k").alias("k"))
+    )
+
+
+def _pq_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    subv = _pq_subvectors(_vectors(spark, sf_dir))
+    # codebook: seed by vec_id % K, two unrolled Lloyd rounds (static DAG)
+    seeded = subv.withColumn("k", F.col("vec_id") % _PQ_K)
+    cb0 = _pq_centroids_of(seeded)
+    cb1 = _pq_centroids_of(_pq_assign(subv, cb0))
+    # encode: every vector -> M codes against the FINAL codebook
+    codes = (
+        _pq_assign(subv, cb1)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "k"))),
+                lambda s: s["k"],
+            ).alias("codes")
+        )
+    )
+    # asymmetric LUT: each query keeps its EXACT subvectors; lut[m][k] =
+    # <q_m, codeword(m,k)>, so a candidate's approximate cosine is M array
+    # lookups + adds instead of a DIM-wide dot
+    packed = cb1.agg(F.collect_list(F.struct("m", "k", "c")).alias("cs"))
+    mine = F.filter(F.col("cs"), lambda s: s["m"] == F.col("m"))
+    lut_m = F.transform(
+        F.array_sort(
+            F.transform(
+                mine,
+                lambda s: F.struct(
+                    s["k"].alias("k"), _pq_dot(F.col("sv"), s["c"]).alias("d")
+                ),
+            )
+        ),
+        lambda s: s["d"],
+    )
+    qlut = (
+        subv.filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+        )
+        .crossJoin(F.broadcast(packed))
+        .select(F.col("vec_id").alias("query_id"), "m", lut_m.alias("lrow"))
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "lrow"))),
+                lambda s: s["lrow"],
+            ).alias("lut")
+        )
+    )
+    qpack = qlut.agg(
+        F.collect_list(F.struct("query_id", "lut")).alias("qs")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PQ_M)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("q.lut"), m),
+            (F.element_at(F.col("codes"), m) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qpack))
+        .select("vec_id", "codes", F.explode("qs").alias("q"))
+        .filter(F.col("q.query_id") != F.col("vec_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "vec_id",
+            F.round(adc, 6).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored).select(
+        "query_id", "vec_id", F.col("cos_sim").alias("adc_sim"), "rank"
+    )
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ result set, materialized once per (session, embeddings vintage):
+    q_sim_pq IS this table and q_sim_pq_recall scores it against the
+    brute-force truth (the q_sim_ivf_recall scaffold)."""
+    return session_substrate(
+        spark, _VEC_SUBSTRATE, sf_dir, "sim-pq-topk", "embeddings",
+        lambda: _pq_topk_build(spark, sf_dir),
+    )
+
+
+_PQ_CTES = f"""
+subv AS (
+  SELECT vec_id, t.m AS m,
+         list_transform(range(1 + t.m * {_PQ_SUBD}, 1 + (t.m + 1) * {_PQ_SUBD}),
+                        i -> v[i] / nrm) AS sv
+  FROM n, LATERAL unnest(generate_series(0, {_PQ_M - 1})) AS t(m)
+),
+pq_seed AS (SELECT vec_id, m, sv, vec_id % {_PQ_K} AS k FROM subv),
+pc0 AS (
+  SELECT m, k, t.i AS i, avg(sv[t.i]) AS x
+  FROM pq_seed, LATERAL unnest(generate_series(1, {_PQ_SUBD})) AS t(i)
+  GROUP BY m, k, t.i
+),
+cb0 AS (SELECT m, k, list(x ORDER BY i) AS c FROM pc0 GROUP BY m, k),
+pd1 AS (
+  SELECT s.vec_id, s.m, s.sv, c.k,
+         round(list_sum(list_transform(range(1, {_PQ_SUBD + 1}),
+               i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]))), 6) AS d2
+  FROM subv s JOIN cb0 c ON c.m = s.m
+),
+pa1 AS (
+  SELECT vec_id, m, sv, k FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+    FROM pd1) WHERE rn = 1
+),
+pc1 AS (
+  SELECT m, k, t.i AS i, avg(sv[t.i]) AS x
+  FROM pa1, LATERAL unnest(generate_series(1, {_PQ_SUBD})) AS t(i)
+  GROUP BY m, k, t.i
+),
+cb1 AS (SELECT m, k, list(x ORDER BY i) AS c FROM pc1 GROUP BY m, k),
+pd2 AS (
+  SELECT s.vec_id, s.m, c.k,
+         round(list_sum(list_transform(range(1, {_PQ_SUBD + 1}),
+               i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]))), 6) AS d2
+  FROM subv s JOIN cb1 c ON c.m = s.m
+),
+pq_codes AS (
+  SELECT vec_id, list(k ORDER BY m) AS codes FROM (
+    SELECT vec_id, m, k FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+      FROM pd2) WHERE rn = 1
+  ) GROUP BY vec_id
+),
+pq_lut AS (
+  SELECT q.vec_id AS query_id, q.m,
+         list(list_sum(list_transform(range(1, {_PQ_SUBD + 1}),
+              i -> q.sv[i] * c.c[i])) ORDER BY c.k) AS lrow
+  FROM subv q JOIN cb1 c ON c.m = q.m
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id < {QUERY_CAP}
+  GROUP BY q.vec_id, q.m
+),
+pq_lut2 AS (
+  SELECT query_id, list(lrow ORDER BY m) AS lut FROM pq_lut GROUP BY query_id
+),
+pq_adc AS (
+  SELECT l.query_id, cl.vec_id,
+         round(list_sum(list_transform(range(1, {_PQ_M + 1}),
+               m -> l.lut[m][cl.codes[m] + 1])), 6) AS adc_sim
+  FROM pq_lut2 l, pq_codes cl WHERE l.query_id <> cl.vec_id
+),
+pq_topk AS (
+  SELECT query_id, vec_id, adc_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_sim DESC, vec_id) AS BIGINT) AS rank
+    FROM pq_adc) WHERE rank <= {TOP_K}
+)
+"""
+
+
+@register(
+    "q_sim_pq",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+{_PQ_CTES}
+SELECT query_id, vec_id, adc_sim, rank FROM pq_topk
+""",
+    doc=(
+        f"Product quantization ANN (r6 verdict item 4): the 64-dim "
+        f"normalized vectors split into {_PQ_M} subspaces of {_PQ_SUBD} "
+        f"dims; per subspace a {_PQ_K}-codeword codebook is trained with "
+        "the q_kmeans static DAG (deterministic vec_id % K seeding, two "
+        "unrolled Lloyd rounds, per-subvector d2 rounded to 6 dp before "
+        "each argmin so engines tie-break identically), every vector "
+        f"encodes to {_PQ_M} one-byte codes (16x compression of the "
+        "index), and queries score candidates ASYMMETRICALLY: the query "
+        "keeps its exact subvectors, builds an M x K lookup table of "
+        "subspace dots against the codebook, and a candidate's "
+        "approximate cosine is M table lookups + adds instead of a "
+        "64-wide dot (Jegou et al., 'Product Quantization for Nearest "
+        "Neighbor Search'). Plan: codebook training shuffles M*K*SUBD "
+        "constant-size groups; encoding is map-only against the ONE "
+        "broadcast codebook row; scoring is the brute-force scan shape "
+        "with the per-pair cost collapsed — and composing it with "
+        "q_sim_ivf's cell restriction (score only probed cells) is the "
+        "full IVF-PQ production layout, both halves of which this "
+        "registry now audits."
+    ),
+    plan=lambda spark, sf_dir: _pq_topk_build(spark, sf_dir),
+)
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_topk(spark, sf_dir)
+
+
+@register(
+    "q_sim_pq_recall",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+{_BF_TOPK_CTES},
+{_PQ_CTES}
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_caught,
+       floor(avg(CASE WHEN a.vec_id IS NULL THEN 0.0 ELSE 1.0 END) * 10000)
+         / 10000 AS recall
+FROM bf_topk t
+LEFT JOIN pq_topk a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+""",
+    doc=(
+        "Recall@k audit of the PQ path against the brute-force exact "
+        "top-k (the q_sim_ivf_recall scaffold verbatim: shared CTEs on "
+        "the oracle side, the audited pipelines' own result substrates "
+        "on the Spark side, ids-only scoring join, bounded query set). "
+        "PQ approximates the SCORE rather than pruning candidates, so "
+        "unlike IVF its recall on isotropic synthetic embeddings is "
+        "informative about quantization error, not cell concentration — "
+        "the two audits together say which half of an IVF-PQ stack "
+        "loses the neighbors."
+    ),
+)
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = q_sim_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = (
+        q_sim_pq(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return truth.join(approx, ["query_id", "vec_id"], "left").agg(
+        F.count("*").alias("n_true"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_caught"),
+        floor_ratio(
+            F.avg(F.coalesce("hit", F.lit(0)).cast("double")), 4
+        ).alias("recall"),
+    )
+
+
 @register(
     "q_vector_stats",
     oracle="""

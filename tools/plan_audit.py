@@ -127,6 +127,10 @@ BNLJ_ALLOWED = {
     # composes both whitelisted ANN pipelines (topk's capped-query
     # broadcast + ivf's seed pack) — same provably-small broadcast sides
     "q_sim_ivf_recall",
+    # 1-row codebook pack (M*K structs, constant) + 1-row query-LUT pack
+    # (bounded query set) — the PQ encode/score broadcasts
+    "q_sim_pq",
+    "q_sim_pq_recall",
     "q_tfidf",
     "q_term_pmi",
     "q_kmeans",
