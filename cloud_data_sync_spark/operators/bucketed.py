@@ -34,12 +34,30 @@ from pyspark.sql import functions as F
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table, table_path
 
-_BUCKETS = 8
+# Bucket count, overridable per deployment via conf (r6 verdict item 6):
+# the right value is ~cluster-core scale (hundreds to thousands) so every
+# core zips its own bucket pair; 8 here only keeps local test files
+# readable. Both facts MUST share one count — mismatched counts reintroduce
+# the exchange the layout exists to remove — which is why this is one conf,
+# not a per-table knob. The conf participates in the layout-cache key and
+# the catalog table names, so flipping it mid-session writes a fresh layout
+# instead of serving the old count from the catalog.
+BUCKET_COUNT_CONF = "spark.cloud_data_sync.bucket_count"
+_DEFAULT_BUCKETS = 8
 
-# session-scoped layout cache: (applicationId, sf_dir, fact vintages) ->
-# {table: catalog name}. Names embed the key hash, so a fresh session (new
-# applicationId) or a rewritten input (new vintage) writes fresh tables
-# instead of trusting a stale catalog entry.
+
+def _bucket_count(spark: SparkSession) -> int:
+    try:
+        n = int(spark.conf.get(BUCKET_COUNT_CONF, str(_DEFAULT_BUCKETS)))
+    except (ValueError, TypeError):
+        return _DEFAULT_BUCKETS
+    return n if n > 0 else _DEFAULT_BUCKETS
+
+
+# session-scoped layout cache: (applicationId, sf_dir, bucket count, fact
+# vintages) -> {table: catalog name}. Names embed the key hash, so a fresh
+# session (new applicationId), a rewritten input (new vintage), or a new
+# bucket count writes fresh tables instead of trusting a stale catalog entry.
 _LAYOUT_CACHE: dict[tuple, dict[str, str]] = {}
 
 _FACTS = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
@@ -57,9 +75,11 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Write-once bucketed copies of orders + lineitem; returns catalog
     table names. Both facts use the same bucket count on their join key —
     the precondition for the exchange-free co-located join."""
+    buckets = _bucket_count(spark)
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
+        buckets,
         tuple(_vintage(sf_dir, t) for t, _ in _FACTS),
     )
     hit = _LAYOUT_CACHE.get(key)
@@ -75,7 +95,7 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         if not spark.catalog.tableExists(name):
             (
                 load_table(spark, sf_dir, table)
-                .write.bucketBy(_BUCKETS, keycol)
+                .write.bucketBy(buckets, keycol)
                 .sortBy(keycol)
                 .option("path", os.path.join(scratch, table))
                 .mode("overwrite")
