@@ -34,7 +34,6 @@ from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.streaming.runner import (
     keep_first,
     read_events_stream,
-    run_available_now,
 )
 from cloud_data_sync_spark.tables import load_table
 
@@ -64,6 +63,17 @@ GROUP BY d.tier, e.event_type
     ),
 )
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drains concurrently with the window family (windows._window_family):
+    # same conf profile (default partitions, terminal batch on), same one
+    # input vintage — a third concurrent drain on the shared pass
+    from cloud_data_sync_spark.streaming.windows import _window_family
+
+    return _window_family(spark, sf_dir)[0]["enrich"]
+
+
+def build_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming enrich plan: live events broadcast-join the per-user
+    LTV tier dim (built from history), aggregated per (tier, event_type)."""
     dim = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -74,11 +84,10 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     enriched = read_events_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
-    agg = enriched.groupBy("tier", "event_type").agg(
+    return enriched.groupBy("tier", "event_type").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    return run_available_now(agg, "t_stream_enrich", output_mode="complete")
 
 
 @register(

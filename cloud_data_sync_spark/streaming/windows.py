@@ -54,7 +54,13 @@ def _window_family(
     Returns (results, watermarks): the pane rollups read the frontier
     from the drain's OWN final-watermark telemetry (lastProgress) — no
     re-derivation, no second scan of events.
+
+    ``enrich`` (streaming/enrich.py's stream⋈static broadcast join +
+    complete-mode agg) rides the same pass: it shares the family's conf
+    profile (default partitions, terminal batch on) and its one input
+    vintage, so a third concurrent drain costs ~nothing extra.
     """
+    from cloud_data_sync_spark.streaming.enrich import build_enrich_agg
     from cloud_data_sync_spark.streaming.runner import (
         drained_family,
         read_events_stream,
@@ -103,6 +109,7 @@ def _window_family(
         {
             "panes": (build_panes, "append"),
             "session_native": (build_session, "append"),
+            "enrich": (lambda: build_enrich_agg(spark, sf_dir), "complete"),
         },
     )
 
