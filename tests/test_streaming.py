@@ -496,3 +496,74 @@ def test_session_window_emission_is_nonstrict_at_frontier(spark, tmp_path):
         name="lt",
     )
     assert q_stream_session_native(spark, sf_lt).collect() == []
+
+
+def test_group_drain_restores_confs_when_member_fails(spark, tmp_path):
+    """A failing member must not leak the group's conf overrides
+    (shuffle partitions / noDataMicroBatches) into the session, and
+    sibling queries must not be left running."""
+    import pytest
+
+    from cloud_data_sync_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now_group,
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    good = read_events_stream(spark, SF_DIR).select("user_id", "event_type") \
+        .dropDuplicates(["user_id", "event_type"])
+    # complete mode on a non-aggregated stream is rejected at start()
+    bad = read_events_stream(spark, SF_DIR).select("user_id")
+    with pytest.raises(Exception):
+        run_available_now_group(
+            [(good, "t_grp_good", "append"), (bad, "t_grp_bad", "complete")],
+            drain_partitions=4,
+            no_data_batch=False,
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        == prev_ndb
+    )
+    assert not any(q.isActive for q in spark.streams.active)
+
+
+def test_drained_family_caches_and_evicts_on_vintage_change(spark, tmp_path):
+    """One concurrent pass per (session, events vintage): a second call is
+    a cache hit (no new drain), and a rewritten events file misses the
+    cache and evicts the superseded entry."""
+    import datetime as dt
+
+    from cloud_data_sync_spark.streaming import runner as R
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    sf = _write_events(tmp_path, [(1, t, 7), (2, t + dt.timedelta(hours=2), 9)])
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return (
+            R.read_events_stream(spark, sf)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+        )
+
+    members = {"probe": (build, "append")}
+    r1, _ = R.drained_family(spark, sf, "famtest", members)
+    r2, _ = R.drained_family(spark, sf, "famtest", members)
+    assert len(calls) == 1  # second call served from cache, no rebuild
+    assert r1["probe"].count() == 2
+    # rewrite events (new vintage) -> rebuild, superseded entry evicted
+    import os
+    import time
+
+    time.sleep(0.01)
+    os.utime(os.path.join(sf, "events.parquet"))
+    r3, _ = R.drained_family(spark, sf, "famtest", members)
+    assert len(calls) == 2
+    keys = [k for k in R._FAMILY_CACHE if k[1] == sf and k[2] == "famtest"]
+    assert len(keys) == 1, "superseded vintage entry must be evicted"
