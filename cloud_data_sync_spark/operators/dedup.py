@@ -821,6 +821,137 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_split_assign",
+    oracle=f"""
+WITH RECURSIVE {_AUG_SQL},
+{_ORACLE_SIG_CTES},
+dup AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+  WHERE ({_MINHASH_MATCHES}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup
+  UNION
+  SELECT doc_b, doc_a FROM dup
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b
+),
+lab AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY a),
+canon AS (
+  SELECT aug.doc_id, coalesce(l.cluster_id, aug.doc_id) AS canonical
+  FROM aug LEFT JOIN lab l ON l.doc_id = aug.doc_id
+),
+sided AS (
+  SELECT doc_id, canonical,
+         CASE WHEN substr(md5(CAST(canonical AS VARCHAR)), 1, 1)
+              IN {_VAL_NIBBLES} THEN 'val' ELSE 'train' END AS split
+  FROM canon
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sided),
+leak AS (
+  SELECT CAST(coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END),
+              0) AS BIGINT) AS n_cross_split_pairs
+  FROM dup d
+  JOIN sided sa ON sa.doc_id = d.doc_a
+  JOIN sided sb ON sb.doc_id = d.doc_b
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_clusters,
+       floor(count(*) / CAST(n_total AS DOUBLE) * 1000000) / 1000000
+         AS doc_frac,
+       n_cross_split_pairs
+FROM sided, tot, leak
+GROUP BY split, n_total, n_cross_split_pairs
+""",
+    doc=(
+        "CLUSTER-AWARE train/validation split — the production fix "
+        "q_split_leakage's nonzero leak_rate demands: every document is "
+        "assigned by hashing its near-dup CLUSTER's canonical id (min "
+        "doc_id; singletons are their own cluster), so an entire "
+        "duplicate component lands on one side and no eval example has "
+        "a near-copy in training BY CONSTRUCTION. Emits per-split doc/"
+        "cluster counts, the doc fraction (the ~1/8 nibble rule drifts "
+        "only by cluster-size variance), and the re-audited "
+        "cross-split duplicate-pair count — zero by construction, "
+        "emitted rather than asserted so the invariant is "
+        "oracle-checked. Plan: the cluster-label substrate (ids-only) "
+        "left-joins the corpus id list; side assignment is a map-only "
+        "hash; totals/leak are 1-row broadcast packs. At 100 TB this is "
+        "two ids-only joins on top of tables the dedup pass already "
+        "materialized."
+    ),
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _cluster_labels(spark, sf_dir)
+    sided = (
+        augmented_documents(spark, sf_dir)
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("canonical"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                F.substring(
+                    F.md5(F.col("canonical").cast("string")), 1, 1
+                ).isin(*_VAL_NIBBLES),
+                "val",
+            ).otherwise("train"),
+        )
+    )
+    tot = sided.agg(F.count("*").cast("long").alias("n_total"))
+    pairs = _minhash_dups(spark, sf_dir)
+    sa = sided.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("side_a")
+    )
+    sb = sided.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("side_b")
+    )
+    leak = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("side_a") != F.col("side_b"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_cross_split_pairs")
+        )
+    )
+    return (
+        sided.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("canonical").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            floor_ratio(
+                F.col("n_docs").cast("double") / F.col("n_total"), 6
+            ).alias("doc_frac"),
+            "n_cross_split_pairs",
+        )
+    )
+
+
+@register(
     "q_dedup_cross_source",
     oracle=f"""
 WITH {_AUG_SQL},

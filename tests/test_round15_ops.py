@@ -138,3 +138,16 @@ def test_pq_adc_preserves_cluster_structure(spark, tmp_path):
     # the audit runs (and reports honestly low id-level recall)
     row = q_sim_pq_recall(spark, str(sf)).collect()[0]
     assert row.n_true == 40
+
+
+def test_split_assign_is_leak_free_and_cluster_atomic(spark):
+    """Every near-dup cluster lands whole on one side: the emitted
+    cross-split pair count is zero and doc fractions sum to 1."""
+    from cloud_data_sync_spark.operators.dedup import q_split_assign
+
+    rows = {r.split: r for r in
+            q_split_assign(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"train", "val"}
+    assert all(r.n_cross_split_pairs == 0 for r in rows.values())
+    assert abs(sum(r.doc_frac for r in rows.values()) - 1.0) < 1e-5
+    assert rows["train"].n_docs > rows["val"].n_docs > 0
