@@ -2167,6 +2167,32 @@ def substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, grp, min_pos, max_pos) per maximal run of adjacent shared
+    windows — the chaining core shared by q_dedup_substring_spans
+    (extent report) and q_dedup_span_scrub (char-retention apply).
+    Runs never overlap in characters: a gap in marked positions is at
+    least 2 strides (= one chunk width), so consecutive runs' char
+    extents are disjoint by construction."""
+    chunks = substring_chunks(spark, sf_dir)
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = chunks.join(shared, "h").select("doc_id", "pos")
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - _SUB_STEP * F.row_number().over(by_pos)).alias("grp"),
+    )
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("min_pos"), F.max("pos").alias("max_pos")
+    )
+
+
 @register(
     "q_dedup_substring_spans",
     oracle=f"""
@@ -2223,28 +2249,125 @@ FROM spans GROUP BY doc_id
     ).format(s=_SUB_STEP),
 )
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chunks = substring_chunks(spark, sf_dir)
-    shared = (
-        chunks.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    marked = chunks.join(shared, "h").select("doc_id", "pos")
-    by_pos = Window.partitionBy("doc_id").orderBy("pos")
-    runs = marked.select(
+    spans = _span_runs(spark, sf_dir).select(
         "doc_id",
-        "pos",
-        (F.col("pos") - _SUB_STEP * F.row_number().over(by_pos)).alias("grp"),
-    )
-    spans = runs.groupBy("doc_id", "grp").agg(
-        (F.max("pos") - F.min("pos") + _SUB_CHUNK).alias("span_chars")
+        (F.col("max_pos") - F.col("min_pos") + _SUB_CHUNK).alias("span_chars"),
     )
     return spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.max("span_chars").cast("long").alias("max_span_chars"),
         F.sum("span_chars").cast("long").alias("total_span_chars"),
     )
+
+
+@register(
+    "q_dedup_span_scrub",
+    oracle=f"""
+WITH chunks AS (
+  SELECT d.doc_id, CAST(g.pos AS BIGINT) AS pos,
+         md5(substring(d.text, g.pos, {_SUB_CHUNK})) AS h
+  FROM documents d,
+       LATERAL unnest(generate_series(
+         1, greatest(length(d.text) - {_SUB_CHUNK - _SUB_STEP}, 1),
+         {_SUB_STEP})) AS g(pos)
+),
+shared AS (
+  SELECT h FROM chunks GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT c.doc_id, c.pos
+  FROM chunks c JOIN shared s ON s.h = c.h
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - {_SUB_STEP} * row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, min(pos) AS min_pos, max(pos) AS max_pos
+  FROM runs GROUP BY doc_id, grp
+),
+tot AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total
+  FROM documents
+),
+cut AS (
+  SELECT s.doc_id,
+         sum(least(s.max_pos + {_SUB_CHUNK - 1}, t.n_chars_total)
+             - s.min_pos + 1) AS n_cut
+  FROM spans s JOIN tot t ON t.doc_id = s.doc_id
+  GROUP BY s.doc_id
+),
+per_doc AS (
+  SELECT t.doc_id, t.n_chars_total,
+         CAST(t.n_chars_total - coalesce(c.n_cut, 0) AS BIGINT)
+           AS n_chars_retained,
+         floor(CAST(t.n_chars_total - coalesce(c.n_cut, 0) AS DOUBLE)
+               / t.n_chars_total * 1000000) / 1000000 AS retained_frac
+  FROM tot t LEFT JOIN cut c ON c.doc_id = t.doc_id
+),
+pack AS (
+  SELECT floor(CAST(sum(n_chars_retained) AS DOUBLE)
+               / sum(n_chars_total) * 1000000) / 1000000
+           AS corpus_retained_frac
+  FROM per_doc
+)
+SELECT doc_id, n_chars_total, n_chars_retained, retained_frac,
+       corpus_retained_frac
+FROM per_doc, pack
+""",
+    doc=(
+        "APPLY layer for char-span dedup — the q_dedup_sentence_scrub "
+        "twin at window granularity: every maximal repeated span "
+        "(q_dedup_substring_spans' chained runs) is CUT from its "
+        "document, clamped to the document's end (tail windows extend "
+        "past short texts), and each document reports total vs retained "
+        "characters plus the corpus char-retention rate. Runs never "
+        "overlap in characters (adjacent-window chaining leaves >= one "
+        "chunk width between runs), so the cut is a plain per-doc sum — "
+        "no interval merging needed. Rides the same chunk substrate and "
+        "one doc_id window; the corpus rate is a 1-row broadcast pack."
+    ),
+)
+def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _span_runs(spark, sf_dir)
+    tot = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars_total")
+    )
+    cut = (
+        spans.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.least(
+                    F.col("max_pos") + (_SUB_CHUNK - 1), F.col("n_chars_total")
+                )
+                - F.col("min_pos")
+                + 1
+            ).alias("span_cut"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("span_cut").alias("n_cut"))
+    )
+    retained = F.col("n_chars_total") - F.coalesce(F.col("n_cut"), F.lit(0))
+    per_doc = tot.join(cut, "doc_id", "left").select(
+        "doc_id",
+        "n_chars_total",
+        retained.cast("long").alias("n_chars_retained"),
+        floor_ratio(
+            retained.cast("double") / F.col("n_chars_total"), 6
+        ).alias("retained_frac"),
+    )
+    pack = per_doc.agg(
+        floor_ratio(
+            F.sum("n_chars_retained").cast("double")
+            / F.sum("n_chars_total"),
+            6,
+        ).alias("corpus_retained_frac")
+    )
+    return per_doc.crossJoin(F.broadcast(pack))
 
 
 _SEG_BLOCK, _SEG_MIN_TOKS = 10, 5

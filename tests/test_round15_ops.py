@@ -151,3 +151,28 @@ def test_split_assign_is_leak_free_and_cluster_atomic(spark):
     assert all(r.n_cross_split_pairs == 0 for r in rows.values())
     assert abs(sum(r.doc_frac for r in rows.values()) - 1.0) < 1e-5
     assert rows["train"].n_docs > rows["val"].n_docs > 0
+
+
+def test_span_scrub_cuts_clamped_extents(spark, tmp_path):
+    """The 250-char shared region is cut from both docs (tail window
+    clamped to doc end), unique content retained; corpus rate is the
+    char-weighted mean."""
+    import random
+
+    from cloud_data_sync_spark.operators.dedup import q_dedup_span_scrub
+
+    rng = random.Random(7)
+
+    def blob(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+    shared = blob(250)
+    a = shared + blob(300)   # 550 chars, span 1..250
+    b = blob(150) + shared   # 400 chars, span 151..400 (tail clamped)
+    sf = _write_docs(tmp_path, [a, b])
+    rows = {r.doc_id: r for r in q_dedup_span_scrub(spark, sf).collect()}
+    assert rows[1].n_chars_total == 550 and rows[1].n_chars_retained == 300
+    assert rows[2].n_chars_total == 400 and rows[2].n_chars_retained == 150
+    assert {r.corpus_retained_frac for r in rows.values()} == {
+        int(450 / 950 * 1e6) / 1e6
+    }

@@ -140,6 +140,7 @@ BNLJ_ALLOWED = {
     # 1-row corpus-retention pack (sum retained / sum total) broadcast
     # over the per-doc result — constant size at any corpus scale
     "q_dedup_sentence_scrub",
+    "q_dedup_span_scrub",
     # 1-row corpus-total pack x 1-row leak-count pack over the 2-row
     # per-split aggregate — constant size at any corpus scale
     "q_split_assign",
