@@ -111,13 +111,24 @@ FROM (
     ),
 )
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Stable per-(process, session, sf_dir) log dir, wiped on entry:
-    # repeated invocations (bench min-of-2, oracle gates) reuse instead of
-    # leaking a fresh mkdtemp each call; the pid component keeps two
-    # concurrent processes (which CAN collide on hash((id(spark), ...))
-    # under a pinned PYTHONHASHSEED) from rmtree-ing each other's live
-    # log. Wiping at the START keeps the returned DataFrame's lazy read
-    # of THIS run's log valid after return.
+    # custom-sink member of the stateful family: the foreachBatch drain
+    # runs concurrently with the applyInPandasWithState drains in ONE
+    # group pass, cached per (session, events vintage)
+    from cloud_data_sync_spark.streaming.stateful import _stateful_family
+
+    return _stateful_family(spark, sf_dir)[0]["upsert"]
+
+
+def build_upsert_member(spark: SparkSession, sf_dir: str):
+    """(starter, finalize) pair for the stateful family's custom-sink
+    slot (runner.drained_family output_mode='custom').
+
+    Stable per-(process, session, sf_dir) log dir, wiped when the family
+    REBUILDS (cache miss — fresh session or new events vintage); cache
+    hits keep serving the already-resolved frame over the same log. The
+    pid component keeps two concurrent processes (which CAN collide on
+    hash((id(spark), ...)) under a pinned PYTHONHASHSEED) from
+    rmtree-ing each other's live log."""
     log_dir = os.path.join(
         tempfile.gettempdir(),
         f"stream_upsert_log_{os.getpid()}_{abs(hash((id(spark), sf_dir)))}",
@@ -128,30 +139,29 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
         keep_first(batch, *latest).write.mode("append").parquet(log_dir)
 
-    stream = read_events_stream(spark, sf_dir)
-    from cloud_data_sync_spark.streaming.runner import _drain_ckpt_root
-
-    # explicit tmpfs-rooted checkpoint (and cleanup): without one Spark
-    # mints a disk-backed temp checkpoint per drain and best-effort leaks it
-    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_", dir=_drain_ckpt_root())
-    try:
-        q = (
-            stream.writeStream.foreachBatch(upsert_batch)
+    def starter(ckpt: str):
+        return (
+            read_events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(upsert_batch)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    if not os.path.isdir(log_dir):
-        # zero micro-batches executed (no file matched the source glob):
-        # name the real problem instead of a PATH_NOT_FOUND on the temp log
-        raise RuntimeError(
-            f"stream upsert drained zero batches from {sf_dir!r} — no "
-            "events file matched the stream source; nothing was upserted"
+
+    def finalize() -> DataFrame:
+        if not os.path.isdir(log_dir):
+            # zero micro-batches executed (no file matched the source
+            # glob): name the real problem instead of a PATH_NOT_FOUND
+            raise RuntimeError(
+                f"stream upsert drained zero batches from {sf_dir!r} — no "
+                "events file matched the stream source; nothing was upserted"
+            )
+        log = spark.read.parquet(log_dir)
+        return keep_first(log, *latest).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
         )
-    log = spark.read.parquet(log_dir)
-    return keep_first(log, *latest).select(
-        "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
-    )
+
+    return starter, finalize

@@ -260,6 +260,13 @@ def run_available_now_group(
                 prefix=f"stream_ckpt_{query_name}_", dir=_drain_ckpt_root()
             )
             ckpts.append(ckpt)
+            if callable(result):
+                # custom-sink member (e.g. foreachBatch): the spec carries
+                # a starter(ckpt_dir) -> StreamingQuery instead of a
+                # DataFrame; it owns its writeStream shape, the group
+                # still owns conf, checkpoint lifecycle, and await
+                queries.append(result(ckpt))
+                continue
             queries.append(
                 result.writeStream.format("memory")
                 .queryName(query_name)
@@ -294,7 +301,16 @@ def run_available_now_group(
         )
         for ckpt in ckpts:
             shutil.rmtree(ckpt, ignore_errors=True)
-    return {name: spark.table(name) for _, name, _ in specs}, watermarks
+    # custom-sink members have no memory table to read back — their
+    # results live wherever their sink wrote (the caller finalizes)
+    return (
+        {
+            name: spark.table(name)
+            for result, name, _ in specs
+            if not callable(result)
+        },
+        watermarks,
+    )
 
 
 # drained-family cache: {(app, sf_dir, tag, events vintage) ->
@@ -363,15 +379,32 @@ def drained_family(
     for k in dead:
         _FAMILY_CACHE.pop(k, None)
     suffix = zlib.crc32(repr((sf_dir, vintage)).encode()) & 0xFFFFFFFF
-    specs = [
-        (build(), f"t_{tag}_{name}_{suffix:08x}", output_mode)
-        for name, (build, output_mode) in members.items()
-    ]
+    specs = []
+    finalizers: dict[str, object] = {}
+    for name, (build, output_mode) in members.items():
+        qname = f"t_{tag}_{name}_{suffix:08x}"
+        if output_mode == "custom":
+            # custom-sink member: build() -> (starter(ckpt) -> query,
+            # finalize() -> DataFrame). The starter owns its sink (e.g.
+            # foreachBatch to a parquet log); finalize reads the result
+            # back after the whole group terminates.
+            starter, finalize = build()
+            specs.append((starter, qname, output_mode))
+            finalizers[name] = finalize
+        else:
+            specs.append((build(), qname, output_mode))
     drained, wms = run_available_now_group(
         specs, drain_partitions=drain_partitions, no_data_batch=no_data_batch
     )
     out = (
-        {name: drained[f"t_{tag}_{name}_{suffix:08x}"] for name in members},
+        {
+            name: (
+                finalizers[name]()
+                if name in finalizers
+                else drained[f"t_{tag}_{name}_{suffix:08x}"]
+            )
+            for name in members
+        },
         {name: wms[f"t_{tag}_{name}_{suffix:08x}"] for name in members},
     )
     _FAMILY_CACHE[key] = out

@@ -73,11 +73,15 @@ def _stateful_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     Shared group confs: drain_partitions=16 — Python-stateful drains are
     Arrow-batch Python work, and 16 beats the default 8 by ~12% at sf0.1
     (state volume is tiny either way; dropDuplicates is indifferent).
-    no_data_batch=False for the whole family: all three emit exclusively
+    no_data_batch=False for the whole family: all four emit exclusively
     in data batches (update mode + NoTimeout emits per input batch;
-    append-mode dropDuplicates emits first-arrivals) — nothing is
-    watermark-finalized, so the terminal batch would be a pure
-    state-store round. Each opt-out is oracle-verified row-identical."""
+    append-mode dropDuplicates emits first-arrivals; foreachBatch writes
+    per data batch) — nothing is watermark-finalized, so the terminal
+    batch would be a pure state-store round. Each opt-out is
+    oracle-verified row-identical. The foreachBatch upsert rides as the
+    family's custom-sink member (its parquet log is the sink; finalize
+    resolves the cross-batch winners)."""
+    from cloud_data_sync_spark.streaming.enrich import build_upsert_member
     from cloud_data_sync_spark.streaming.runner import drained_family
 
     def dedup() -> DataFrame:
@@ -101,6 +105,10 @@ def _stateful_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
             "dedup": (dedup, "update"),
             "totals": (totals, "update"),
             "keys": (keys, "append"),
+            "upsert": (
+                lambda: build_upsert_member(spark, sf_dir),
+                "custom",
+            ),
         },
         drain_partitions=16,
         no_data_batch=False,
