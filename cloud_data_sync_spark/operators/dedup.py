@@ -2352,18 +2352,24 @@ def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("span_cut").alias("n_cut"))
     )
     retained = F.col("n_chars_total") - F.coalesce(F.col("n_cut"), F.lit(0))
+    # try_divide: an EMPTY document has n_chars_total = 0, and vanilla
+    # Spark 4 runs ANSI mode where a plain double division by zero is a
+    # job-killing DIVIDE_BY_ZERO; DuckDB's x/0 is NULL, so NULL is the
+    # cross-engine fraction for zero-length docs (same rule as _cosine)
     per_doc = tot.join(cut, "doc_id", "left").select(
         "doc_id",
         "n_chars_total",
         retained.cast("long").alias("n_chars_retained"),
         floor_ratio(
-            retained.cast("double") / F.col("n_chars_total"), 6
+            F.try_divide(retained.cast("double"), F.col("n_chars_total")), 6
         ).alias("retained_frac"),
     )
     pack = per_doc.agg(
         floor_ratio(
-            F.sum("n_chars_retained").cast("double")
-            / F.sum("n_chars_total"),
+            F.try_divide(
+                F.sum("n_chars_retained").cast("double"),
+                F.sum("n_chars_total"),
+            ),
             6,
         ).alias("corpus_retained_frac")
     )
@@ -2626,6 +2632,9 @@ def q_dedup_sentence_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("toks").cast("long").alias("n_toks_total")
     )
     retained = F.col("n_toks_total") - F.coalesce(F.col("n_dropped"), F.lit(0))
+    # try_divide (ANSI-safe): token totals are >= 1 for any non-NULL text
+    # (splitting '' yields ['']), but NULL text carries a NULL total and a
+    # future tokenizer change must degrade to NULL like DuckDB, not throw
     per_doc = (
         tot.join(dropped, "doc_id", "left")
         .select(
@@ -2633,13 +2642,18 @@ def q_dedup_sentence_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_toks_total",
             retained.cast("long").alias("n_toks_retained"),
             floor_ratio(
-                retained.cast("double") / F.col("n_toks_total"), 6
+                F.try_divide(retained.cast("double"), F.col("n_toks_total")),
+                6,
             ).alias("retained_frac"),
         )
     )
     pack = per_doc.agg(
         floor_ratio(
-            F.sum("n_toks_retained").cast("double") / F.sum("n_toks_total"), 6
+            F.try_divide(
+                F.sum("n_toks_retained").cast("double"),
+                F.sum("n_toks_total"),
+            ),
+            6,
         ).alias("corpus_retained_frac")
     )
     return per_doc.crossJoin(F.broadcast(pack))

@@ -606,7 +606,19 @@ def _pq_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebook: seed by vec_id % K, two unrolled Lloyd rounds (static DAG)
     seeded = subv.withColumn("k", F.col("vec_id") % _PQ_K)
     cb0 = _pq_centroids_of(seeded)
-    cb1 = _pq_centroids_of(_pq_assign(subv, cb0))
+    cb1raw = _pq_centroids_of(_pq_assign(subv, cb0))
+    # DENSIFY codeword ids after training: a corpus whose vec_id residues
+    # don't cover 0..K-1 (tiny fixtures; any K > corpus) trains a SPARSE
+    # codebook, and the ADC lookup below is POSITIONAL (lut[m] is ordered
+    # by codeword id) — a sparse id k would index past the list end (an
+    # ANSI INVALID_ARRAY_INDEX job-killer, caught by the adversarial
+    # suite). row_number over k per subspace is order-preserving, so the
+    # argmin tie-break is unchanged; codes are then 0..len(codebook)-1 by
+    # construction. The window input is the M*K codebook — constant size.
+    wk = Window.partitionBy("m").orderBy("k")
+    cb1 = cb1raw.select(
+        "m", (F.row_number().over(wk) - 1).cast("long").alias("k"), "c"
+    )
     # encode: every vector -> M codes against the FINAL codebook
     codes = (
         _pq_assign(subv, cb1)
@@ -715,7 +727,12 @@ pc1 AS (
   FROM pa1, LATERAL unnest(generate_series(1, {_PQ_SUBD})) AS t(i)
   GROUP BY m, k, t.i
 ),
-cb1 AS (SELECT m, k, list(x ORDER BY i) AS c FROM pc1 GROUP BY m, k),
+cb1raw AS (SELECT m, k, list(x ORDER BY i) AS c FROM pc1 GROUP BY m, k),
+cb1 AS (
+  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY k) - 1 AS BIGINT)
+              AS k, c
+  FROM cb1raw
+),
 pd2 AS (
   SELECT s.vec_id, s.m, c.k,
          round(list_sum(list_transform(range(1, {_PQ_SUBD + 1}),

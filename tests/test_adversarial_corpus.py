@@ -60,6 +60,11 @@ KEYS = [
     "q_dedup_survivors",      # NULL-text length coalesce in survivor pick
     "q_cluster_size_dist",    # histogram over a near-empty duplicate graph
     "q_split_leakage",        # md5-nibble sides on a degenerate pair set
+    "q_dedup_sentence_scrub",  # NULL-text totals stay NULL, never throw
+    "q_dedup_span_scrub",      # EMPTY doc: 0-length total -> NULL frac
+    #   (try_divide; plain '/' is a job-killing ANSI DIVIDE_BY_ZERO)
+    "q_dedup_substring_spans",  # empty-string chunks share md5('') runs
+    "q_split_assign",          # cluster-aware sides on a degenerate graph
 ]
 
 
@@ -171,6 +176,8 @@ VEC_EVENT_KEYS = [
     "q_gaussian_nb",   # NULL embeddings join neither split
     "q_logreg_probe",  # saturated sigmoid -> clamped cross-entropy
     "q_stream_running_totals",  # all-NULL key sums NULL (SQL), not 0.0
+    "q_sim_pq",         # NULL/zero-norm embeddings excluded before coding
+    "q_sim_pq_recall",  # audit join over the degenerate result sets
 ]
 
 
