@@ -59,7 +59,12 @@ GROUP BY d.tier, e.event_type
         "Stream⋈static enrichment: the live events stream broadcast-joins "
         "a per-user lifetime-value tier dimension (built from history), "
         "then aggregates per (tier, event_type). The static side ships to "
-        "executors once; each micro-batch enriches map-only."
+        "executors once; each micro-batch enriches map-only. Complete "
+        "mode is scale-safe HERE, unlike the time windows it was removed "
+        "from: the aggregation state is one row per (tier, event_type) — "
+        "a BOUNDED key domain (5 tiers x a fixed type vocabulary) that "
+        "does not grow with stream length, the textbook case where "
+        "complete mode is the right output mode."
     ),
 )
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -176,3 +176,75 @@ def test_span_scrub_cuts_clamped_extents(spark, tmp_path):
     assert {r.corpus_retained_frac for r in rows.values()} == {
         int(450 / 950 * 1e6) / 1e6
     }
+
+
+def _ref_spans(texts, chunk=100, step=50):
+    """Pure-Python reference of the windowed span chainer."""
+    import hashlib
+
+    windows = {}  # doc -> [(pos, h)]
+    for d, t in enumerate(texts, start=1):
+        top = max(len(t) - (chunk - step), 1)
+        windows[d] = [
+            (p, hashlib.md5(t[p - 1 : p - 1 + chunk].encode()).hexdigest())
+            for p in range(1, top + 1, step)
+        ]
+    docs_of = {}
+    for d, ws in windows.items():
+        for _, h in ws:
+            docs_of.setdefault(h, set()).add(d)
+    out = {}
+    for d, ws in windows.items():
+        marked = sorted(p for p, h in ws if len(docs_of[h]) >= 2)
+        if not marked:
+            continue
+        runs, start, prev = [], marked[0], marked[0]
+        for p in marked[1:]:
+            if p == prev + step:
+                prev = p
+            else:
+                runs.append((start, prev))
+                start = prev = p
+        runs.append((start, prev))
+        spans = [hi - lo + chunk for lo, hi in runs]
+        out[d] = (len(spans), max(spans), sum(spans))
+    return out
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 10**6))
+def test_span_chaining_matches_pure_python_reference(
+    spark, tmp_path_factory, seed
+):
+    """Randomized corpora with planted shared regions: the Spark chainer
+    must equal a from-scratch Python implementation exactly."""
+    import random
+
+    from cloud_data_sync_spark.operators.dedup import q_dedup_substring_spans
+
+    rng = random.Random(seed)
+
+    def blob(n):
+        return "".join(rng.choice("abcdefgh") for _ in range(n))
+
+    shared = [blob(rng.randrange(100, 400)) for _ in range(2)]
+    texts = []
+    for _ in range(rng.randrange(2, 5)):
+        parts = []
+        for _ in range(rng.randrange(1, 4)):
+            if rng.random() < 0.6:
+                # plant at a stride-aligned offset so hashes can collide
+                pad = 50 * rng.randrange(0, 3)
+                parts.append(blob(pad) + rng.choice(shared))
+            else:
+                parts.append(blob(rng.randrange(30, 200)))
+        texts.append("".join(parts))
+    sf = _write_docs(tmp_path_factory.mktemp("spanprop"), texts)
+    got = {
+        r.doc_id: (r.n_spans, r.max_span_chars, r.total_span_chars)
+        for r in q_dedup_substring_spans(spark, sf).collect()
+    }
+    assert got == _ref_spans(texts)
