@@ -90,6 +90,9 @@ def _stateful_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     def totals() -> DataFrame:
         return running_totals_per_user(read_events_stream(spark, sf_dir))
 
+    def pertype() -> DataFrame:
+        return per_type_totals_per_user(read_events_stream(spark, sf_dir))
+
     def keys() -> DataFrame:
         return (
             read_events_stream(spark, sf_dir)
@@ -104,6 +107,7 @@ def _stateful_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         {
             "dedup": (dedup, "update"),
             "totals": (totals, "update"),
+            "pertype": (pertype, "update"),
             "keys": (keys, "append"),
             "upsert": (
                 lambda: build_upsert_member(spark, sf_dir),
@@ -159,6 +163,71 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stateful_family(spark, sf_dir)[0]["keys"]
+
+
+PER_TYPE_OUT_SCHEMA = (
+    "user_id long, event_type string, n_events long, total_value double"
+)
+# composite per-key state WITHOUT the protobuf state server: the state is
+# a MAP column event_type -> [n, total, n_vals] (doubles; counts stay
+# exact far past any corpus size). n_vals tracks non-NULL contributions
+# for SQL sum semantics, as in TOTALS_STATE_SCHEMA.
+PER_TYPE_STATE_SCHEMA = "m map<string, array<double>>"
+# map keys must be strings; a NULL event_type still forms its own SQL
+# group, so it rides under a sentinel no real event type can collide with
+_NULL_TYPE = "\x00<null>"
+
+
+def _per_type_totals_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if batch.empty:
+        return
+    m = dict(state.get[0] or {}) if state.exists else {}
+    touched = []
+    for et, grp in batch.groupby("event_type", dropna=False):
+        k = et if isinstance(et, str) else _NULL_TYPE
+        n, total, n_vals = m.get(k, (0.0, 0.0, 0.0))
+        vals = grp["value"].dropna()
+        m[k] = [
+            float(n + len(grp)),
+            float(total + vals.sum()),
+            float(n_vals + len(vals)),
+        ]
+        touched.append(k)
+    state.update((m,))
+    # update-mode MapState contract: emit superseding rows ONLY for the
+    # sub-keys this batch touched — never the whole map
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(touched),
+            "event_type": [
+                None if k == _NULL_TYPE else k for k in touched
+            ],
+            "n_events": [int(m[k][0]) for k in touched],
+            "total_value": [
+                m[k][1] if m[k][2] else None for k in touched
+            ],
+        }
+    )
+
+
+def per_type_totals_per_user(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame → superseding (user, event_type) totals rows for
+    the sub-keys each batch touches — composite MapState WITHOUT the
+    transformWithState protobuf server (see q_stream_per_type_totals)."""
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _per_type_totals_fn,
+            outputStructType=PER_TYPE_OUT_SCHEMA,
+            stateStructType=PER_TYPE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 TOTALS_OUT_SCHEMA = "user_id long, n_events long, total_value double"
@@ -229,4 +298,46 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _stateful_family(spark, sf_dir)[0]["totals"]
     return keep_first(out, ["user_id"], [F.desc("n_events")]).select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
+@register(
+    "q_stream_per_type_totals",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id, event_type
+""",
+    doc=(
+        "COMPOSITE per-key state in Structured Streaming WITHOUT the "
+        "transformWithState protobuf server: per user, a MAP column "
+        "event_type -> (n, total, n_vals) lives in applyInPandasWithState "
+        "group state, each micro-batch updates only the sub-keys it "
+        "touches and emits superseding rows for exactly those — the "
+        "per-tenant/per-metric breakdown shape (usage meters, "
+        "per-endpoint error counters) that streaming/tws.py expresses "
+        "via Spark 4 MapState where protobuf exists (the two are twins; "
+        "this one runs in ANY environment). NULL event_type groups under "
+        "a sentinel map key and emits back as NULL, matching SQL GROUP "
+        "BY. The drain keeps each (user, type)'s final row (max n_events "
+        "— totals are monotone). State scales as users x observed types "
+        "per user, partitioned by the group key; a real deployment "
+        "prefers tws.py's MapState where available because its state "
+        "I/O touches only the sub-keys present in a batch, while the "
+        "flat-tuple API rewrites the whole map value per update — the "
+        "honest trade this pair of keys documents."
+    ),
+)
+def q_stream_per_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    out = _stateful_family(spark, sf_dir)[0]["pertype"]
+    return keep_first(
+        out, ["user_id", "event_type"], [F.desc("n_events")]
+    ).select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
     )

@@ -24,8 +24,13 @@ protobuf between the JVM and the Python driver worker; this container has
 no ``google.protobuf``, so the query registers only where the import
 succeeds (a real cluster). The processor logic itself is pure
 pandas-over-Arrow and is unit-tested against a fake state handle
-(tests/test_streaming.py); ``q_stream_running_totals`` remains the
-always-available custom-stateful path via ``applyInPandasWithState``.
+(tests/test_streaming.py). The composite-state OPERATOR itself does not
+wait on protobuf: ``q_stream_per_type_totals`` (stateful.py) delivers
+the same per-(user, event_type) accumulators through
+``applyInPandasWithState``'s map-typed state column in any environment —
+this module remains the Spark-4 API twin whose MapState touches only
+the sub-keys present in a batch (the flat-tuple API rewrites the whole
+map value per update).
 """
 
 from __future__ import annotations

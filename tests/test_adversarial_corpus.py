@@ -166,6 +166,7 @@ ADVERSARIAL_EVENTS = [
     (6, _ts(10), 11, "purchase", -5.0, "{}"),
     (7, _ts(3600), 11, "view", 1e12, "{}"),          # duration overflows long µs
     (8, _ts(3599), 12, "", 0.0, "{}"),               # empty event_type
+    (9, _ts(20), 12, None, 3.0, "{}"),               # NULL event_type
 ]
 
 VEC_EVENT_KEYS = [
@@ -176,6 +177,7 @@ VEC_EVENT_KEYS = [
     "q_gaussian_nb",   # NULL embeddings join neither split
     "q_logreg_probe",  # saturated sigmoid -> clamped cross-entropy
     "q_stream_running_totals",  # all-NULL key sums NULL (SQL), not 0.0
+    "q_stream_per_type_totals",  # NULL event_type groups via the sentinel
     "q_sim_pq",         # NULL/zero-norm embeddings excluded before coding
     "q_sim_pq_recall",  # audit join over the degenerate result sets
 ]
