@@ -380,7 +380,11 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_with_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector with its IVF cell and (for the bounded query set) the
+    N_PROBE probed cells — the coarse-quantizer stage shared verbatim by
+    q_sim_ivf (exact in-cell cosines) and q_sim_ivf_pq (ADC in-cell
+    scoring), so the two paths cannot drift on seeding/tie-break."""
     vecs = _vectors(spark, sf_dir)
     seeds_row = (
         vecs.orderBy(F.md5(F.col("vec_id").cast("string")))
@@ -439,9 +443,16 @@ def _ivf_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda p: p["seed_id"],
     )
-    with_cell = vecs.crossJoin(F.broadcast(seeds_row)).withColumn(
-        "cell", best["seed_id"]
-    ).withColumn("probes", probes).drop("seeds")
+    return (
+        vecs.crossJoin(F.broadcast(seeds_row))
+        .withColumn("cell", best["seed_id"])
+        .withColumn("probes", probes)
+        .drop("seeds")
+    )
+
+
+def _ivf_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_cell = _ivf_with_cell(spark, sf_dir)
     q = (
         with_cell.filter(
             (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
@@ -601,7 +612,12 @@ def _pq_assign(subv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _pq_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_model(spark: SparkSession, sf_dir: str):
+    """(codes, qlut): every vector's M dense codes, and each bounded-set
+    query's M x K asymmetric lookup table — the trained PQ model shared
+    verbatim by q_sim_pq (exhaustive ADC) and q_sim_ivf_pq (ADC within
+    probed IVF cells), so the two paths cannot drift on training,
+    densification, or LUT ordering."""
     subv = _pq_subvectors(_vectors(spark, sf_dir))
     # codebook: seed by vec_id % K, two unrolled Lloyd rounds (static DAG)
     seeded = subv.withColumn("k", F.col("vec_id") % _PQ_K)
@@ -660,10 +676,15 @@ def _pq_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lut")
         )
     )
-    qpack = qlut.agg(
-        F.collect_list(F.struct("query_id", "lut")).alias("qs")
-    )
-    adc = F.aggregate(
+    return codes, qlut
+
+
+def _pq_adc() -> Column:
+    """The shared ADC fold: score = sum over subspaces of
+    lut[m][code[m] + 1] (codes are dense 0-based ids; lut rows are
+    ordered by codeword id). A function, not a module constant: Column
+    construction needs an active SparkContext."""
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(_PQ_M)),
         F.lit(0.0),
         lambda acc, m: acc
@@ -672,6 +693,13 @@ def _pq_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.element_at(F.col("codes"), m) + 1).cast("int"),
         ),
     )
+
+
+def _pq_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes, qlut = _pq_model(spark, sf_dir)
+    qpack = qlut.agg(
+        F.collect_list(F.struct("query_id", "lut")).alias("qs")
+    )
     scored = (
         codes.crossJoin(F.broadcast(qpack))
         .select("vec_id", "codes", F.explode("qs").alias("q"))
@@ -679,7 +707,7 @@ def _pq_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q.query_id").alias("query_id"),
             "vec_id",
-            F.round(adc, 6).alias("cos_sim"),
+            F.round(_pq_adc(), 6).alias("cos_sim"),
         )
     )
     return _rank_topk(scored).select(
@@ -836,6 +864,139 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = q_sim_topk(spark, sf_dir).select("query_id", "vec_id")
     approx = (
         q_sim_pq(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return truth.join(approx, ["query_id", "vec_id"], "left").agg(
+        F.count("*").alias("n_true"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_caught"),
+        floor_ratio(
+            F.avg(F.coalesce("hit", F.lit(0)).cast("double")), 4
+        ).alias("recall"),
+    )
+
+
+# -- IVF-PQ: the two audited halves composed ----------------------------------
+
+_IVFPQ_CTES = f"""
+ivfpq_cand AS (
+  SELECT qp.vec_id AS query_id, cc.vec_id
+  FROM qprobe qp JOIN cell cc ON qp.cell = cc.cell AND qp.vec_id <> cc.vec_id
+),
+ivfpq_adc AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_sum(list_transform(range(1, {_PQ_M + 1}),
+               m -> l.lut[m][cl.codes[m] + 1])), 6) AS adc_sim
+  FROM ivfpq_cand c
+  JOIN pq_lut2 l ON l.query_id = c.query_id
+  JOIN pq_codes cl ON cl.vec_id = c.vec_id
+),
+ivfpq_topk AS (
+  SELECT query_id, vec_id, adc_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_sim DESC, vec_id) AS BIGINT) AS rank
+    FROM ivfpq_adc) WHERE rank <= {TOP_K}
+)"""
+
+
+def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _ivf_with_cell(spark, sf_dir)
+    q = wc.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.explode("probes").alias("cell")
+    )
+    cand = (
+        wc.select("cell", "vec_id")
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    codes, qlut = _pq_model(spark, sf_dir)
+    qstruct = qlut.select(
+        "query_id",
+        F.struct(
+            F.col("query_id").alias("query_id"), F.col("lut").alias("lut")
+        ).alias("q"),
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qstruct), "query_id")
+        .select(
+            "query_id", "vec_id", F.round(_pq_adc(), 6).alias("cos_sim")
+        )
+    )
+    return _rank_topk(scored).select(
+        "query_id", "vec_id", F.col("cos_sim").alias("adc_sim"), "rank"
+    )
+
+
+def _ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_substrate(
+        spark, _VEC_SUBSTRATE, sf_dir, "sim-ivfpq-topk", "embeddings",
+        lambda: _ivf_pq_build(spark, sf_dir),
+    )
+
+
+@register(
+    "q_sim_ivf_pq",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+{_IVF_TOPK_CTES},
+{_PQ_CTES},
+{_IVFPQ_CTES}
+SELECT query_id, vec_id, adc_sim, rank FROM ivfpq_topk
+""",
+    doc=(
+        "IVF-PQ — the production ANN layout, composed from the two halves "
+        "this registry already audits separately: candidates come from "
+        "q_sim_ivf's coarse quantizer (each query probes its N_PROBE "
+        "nearest cells; the SAME _ivf_with_cell stage, so seeding and "
+        "tie-breaks cannot drift) and are scored with q_sim_pq's "
+        "asymmetric lookup tables over the SAME trained codebook "
+        "(_pq_model) — M table lookups + adds per candidate instead of a "
+        "64-wide dot, over only the probed fraction of the corpus "
+        "instead of all of it. This is the Jegou et al. IVFADC "
+        "configuration every billion-vector deployment runs. Plan: the "
+        "constant seed/codebook packs broadcast; the candidate join is "
+        "cell-equi; codes attach by vec_id; the bounded query LUT side "
+        "broadcasts as a hash join (no nested loop)."
+    ),
+    plan=lambda spark, sf_dir: _ivf_pq_build(spark, sf_dir),
+)
+def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_pq_topk(spark, sf_dir)
+
+
+@register(
+    "q_sim_ivf_pq_recall",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+{_BF_TOPK_CTES},
+{_IVF_TOPK_CTES},
+{_PQ_CTES},
+{_IVFPQ_CTES}
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_caught,
+       floor(avg(CASE WHEN a.vec_id IS NULL THEN 0.0 ELSE 1.0 END) * 10000)
+         / 10000 AS recall
+FROM bf_topk t
+LEFT JOIN ivfpq_topk a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+""",
+    doc=(
+        "Recall@k audit of the composed IVF-PQ path against brute force — "
+        "the third row of the ANN audit table (IVF-only isolates cell "
+        "concentration, PQ-only isolates quantization error, this one "
+        "measures the product of the two losses a deployment actually "
+        "ships). Same scaffold, query set, and tie-break contracts as "
+        "the other two audits."
+    ),
+)
+def q_sim_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = q_sim_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = (
+        q_sim_ivf_pq(spark, sf_dir)
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )

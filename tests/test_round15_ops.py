@@ -248,3 +248,35 @@ def test_span_chaining_matches_pure_python_reference(
         for r in q_dedup_substring_spans(spark, sf).collect()
     }
     assert got == _ref_spans(texts)
+
+
+def test_ivf_pq_candidates_come_from_probed_cells_only(spark, tmp_path):
+    """IVF-PQ on the 4-cluster fixture: top-k stays within the query's
+    cluster (cells align with clusters; ADC preserves them), and the
+    result set is a subset of the probed-cell candidate space — never a
+    full-corpus scan result that ignored the coarse quantizer."""
+    import numpy as np
+    import pandas as pd
+
+    from cloud_data_sync_spark.operators.similarity import (
+        _ivf_pq_build,
+        q_sim_ivf_pq_recall,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = [rng.normal(0, 1, 64) for _ in range(4)]
+    rows = []
+    for i in range(100, 900):
+        c = centers[i % 4]
+        rows.append((i, str(i % 4),
+                     (c + rng.normal(0, 0.005, 64)).astype("float32").tolist()))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]).to_parquet(
+        sf / "embeddings.parquet", index=False
+    )
+    out = _ivf_pq_build(spark, str(sf)).collect()
+    assert len(out) == 8 * 5
+    assert all(r.vec_id % 4 == r.query_id % 4 for r in out)
+    row = q_sim_ivf_pq_recall(spark, str(sf)).collect()[0]
+    assert row.n_true == 40  # the audit runs end to end

@@ -131,6 +131,10 @@ BNLJ_ALLOWED = {
     # (bounded query set) — the PQ encode/score broadcasts
     "q_sim_pq",
     "q_sim_pq_recall",
+    # composes the ivf seed pack + pq codebook pack (both 1-row constant);
+    # the candidate and LUT joins themselves are equi hash joins
+    "q_sim_ivf_pq",
+    "q_sim_ivf_pq_recall",
     "q_tfidf",
     "q_term_pmi",
     "q_kmeans",
