@@ -2134,14 +2134,15 @@ _CHUNK_SUBSTRATE: dict[tuple, DataFrame] = {}
 
 
 def substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(doc_id, pos, h)`` per overlapping {c}-char/{s}-stride window —
-    the substring chunk substrate shared by q_dedup_substring (per-doc
-    shared fractions) and q_dedup_substring_spans (maximal-span
-    chaining), materialized once per (session, documents vintage).
-    Window hashes are md5 (cross-engine identity — the oracles recompute
-    them); text never leaves the per-row pipeline.""".format(
-        c=_SUB_CHUNK, s=_SUB_STEP
-    )
+    """``(doc_id, pos, h)`` per overlapping window of ``_SUB_CHUNK`` (100)
+    chars at ``_SUB_STEP`` (50) stride — the substring chunk substrate
+    shared by q_dedup_substring (per-doc shared fractions) and
+    q_dedup_substring_spans (maximal-span chaining), materialized once
+    per (session, documents vintage). Window hashes are md5 (cross-engine
+    identity — the oracles recompute them); text never leaves the per-row
+    pipeline. (Plain string, not str.format: a formatted "docstring" is
+    an expression statement — __doc__ would be None and the format call
+    dead work per invocation; r7 ADVICE.)"""
 
     def build() -> DataFrame:
         docs = _spread(load_table(spark, sf_dir, "documents")).select(

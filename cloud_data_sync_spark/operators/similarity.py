@@ -589,11 +589,11 @@ def _pq_centroids_of(assigned: DataFrame) -> DataFrame:
 
 def _pq_assign(subv: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, m, sv, k): nearest codeword per subvector, map-only — the
-    whole codebook (M*K = {mk} rows) collapses to ONE broadcast row;
+    whole codebook (M*K = 64 rows) collapses to ONE broadcast row;
     argmin is array_min over rounded (d2, k) structs. d2 rounds to 6 dp
     BEFORE the argmin so both engines break ties identically (the
     q_sim_ivf convention — raw float avgs differ in the last ulp across
-    engines' aggregation orders).""".format(mk=_PQ_M * _PQ_K)
+    engines' aggregation orders)."""
     packed = cents.agg(F.collect_list(F.struct("m", "k", "c")).alias("cs"))
     mine = F.filter(F.col("cs"), lambda s: s["m"] == F.col("m"))
     best = F.array_min(

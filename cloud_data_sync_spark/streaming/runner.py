@@ -368,6 +368,17 @@ def drained_family(
         return cached
     for stale in [k for k in _FAMILY_CACHE if k[:3] == base]:
         _FAMILY_CACHE.pop(stale, None)
+        # also drop the superseded vintage's memory-sink temp views: the
+        # sink tables (t_<tag>_<member>_<suffix>) pin their FULL result
+        # sets in driver memory for the session's lifetime otherwise —
+        # the suffix is derivable from the stale key's (sf_dir, vintage)
+        # exactly as it was built below (r7 ADVICE)
+        stale_suffix = zlib.crc32(repr((stale[1], stale[3])).encode()) & 0xFFFFFFFF
+        for member in members:
+            try:
+                spark.catalog.dropTempView(f"t_{tag}_{member}_{stale_suffix:08x}")
+            except Exception:  # noqa: BLE001 - custom-sink members have no view
+                pass
     # dead-session purge (same rationale as tables.purge_dead_sessions)
     dead = []
     for k, (dfs, _) in _FAMILY_CACHE.items():

@@ -121,12 +121,18 @@ def _frontier_lit(watermark: str | None):
     UTC, so the naive wall time IS the instant). A literal, not a
     subquery: the frontier is a scalar the stream already computed, so
     the rollup filter folds to a constant comparison instead of adding
-    a broadcast join."""
+    a broadcast join.
+
+    A ``None`` watermark (zero-row events file, or all-NULL ts — the
+    drain's telemetry then carries only the 1970 epoch sentinel, mapped
+    to None upstream) yields a NULL timestamp literal: every
+    ``window_end <= frontier`` comparison is then NULL and the rollup
+    emits ZERO rows — exactly what the DuckDB oracles produce for the
+    same input (``max(ts)`` over no rows is NULL and their frontier
+    predicate filters everything). Raising here instead (the pre-r8
+    behavior) was a cross-engine divergence on degenerate streams."""
     if watermark is None:
-        raise RuntimeError(
-            "pane drain produced no final watermark — the events stream "
-            "read zero rows or the terminal no-data batch was skipped"
-        )
+        return F.lit(None).cast("timestamp")
     return F.to_timestamp(
         F.lit(watermark.replace("T", " ").replace("Z", ""))
     )

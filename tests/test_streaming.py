@@ -567,3 +567,69 @@ def test_drained_family_caches_and_evicts_on_vintage_change(spark, tmp_path):
     assert len(calls) == 2
     keys = [k for k in R._FAMILY_CACHE if k[1] == sf and k[2] == "famtest"]
     assert len(keys) == 1, "superseded vintage entry must be evicted"
+
+
+def test_degenerate_stream_yields_empty_not_raise(spark, tmp_path):
+    """r7 ADVICE: an events file whose every ts is NULL never advances the
+    watermark (the drain's telemetry carries only the 1970 sentinel), and
+    the pane rollups must return EMPTY — matching the DuckDB oracles,
+    whose frontier (max(ts) - delay) is NULL and filters every row — not
+    raise. The NULL-frontier literal makes both engines agree."""
+    import pandas as pd
+
+    from cloud_data_sync_spark.streaming.windows import (
+        q_stream_sliding,
+        q_stream_tumbling,
+    )
+
+    sf_dir = tmp_path / "degenerate"
+    sf_dir.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": [pd.NaT],
+            "user_id": [7],
+            "event_type": ["click"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(sf_dir / "events.parquet", index=False)
+    assert q_stream_tumbling(spark, str(sf_dir)).collect() == []
+    assert q_stream_sliding(spark, str(sf_dir)).collect() == []
+
+
+def test_family_eviction_drops_stale_sink_views(spark, tmp_path):
+    """r7 ADVICE: evicting a superseded family-cache entry must also drop
+    its memory-sink temp views — otherwise each vintage rewrite pins
+    another full result set in driver memory for the session's life."""
+    import datetime as dt
+    import time
+    import zlib
+
+    from cloud_data_sync_spark.streaming import runner as R
+    from cloud_data_sync_spark.tables import _file_vintage, table_path
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    sf = _write_events(tmp_path, [(1, t, 7), (2, t + dt.timedelta(hours=2), 9)])
+
+    def build():
+        return (
+            R.read_events_stream(spark, sf)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+        )
+
+    members = {"probe": (build, "append")}
+    R.drained_family(spark, sf, "evictview", members)
+    v1 = _file_vintage(table_path(sf, "events"))
+    sfx1 = zlib.crc32(repr((sf, v1)).encode()) & 0xFFFFFFFF
+    view1 = f"t_evictview_probe_{sfx1:08x}"
+    assert spark.catalog.tableExists(view1)
+    time.sleep(0.01)
+    os.utime(os.path.join(sf, "events.parquet"))
+    R.drained_family(spark, sf, "evictview", members)
+    assert not spark.catalog.tableExists(view1), (
+        "stale vintage's memory-sink view must be dropped on eviction"
+    )
