@@ -289,7 +289,7 @@ def test_session_gap_uses_microsecond_precision(spark, tmp_path):
 
     import pandas as pd
 
-    from cloud_data_sync_spark.streaming.windows import q_stream_session
+    from cloud_data_sync_spark.streaming.windows import q_session_lag_gap
 
     t0 = dt.datetime(2024, 1, 1, 10, 0, 0, 200000)
     rows = pd.DataFrame(
@@ -309,7 +309,7 @@ def test_session_gap_uses_microsecond_precision(spark, tmp_path):
     sf_dir = tmp_path / "sf"
     sf_dir.mkdir()
     rows.to_parquet(sf_dir / "events.parquet", index=False)
-    sessions = q_stream_session(spark, str(sf_dir)).collect()
+    sessions = q_session_lag_gap(spark, str(sf_dir)).collect()
     assert len(sessions) == 2, f"1800.5s gap must split sessions, got {sessions}"
     by_start = sorted(sessions, key=lambda r: r.session_start)
     assert by_start[0].n_events == 1
