@@ -18,6 +18,8 @@ not bit-stable, rounded values are.
 from __future__ import annotations
 
 import hashlib
+import os
+import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -299,6 +301,197 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(scored)
 
 
+# -- coarse-quantizer column helpers (shared write-time / probe-time) ---------
+
+
+def _seed_rows(vecs: DataFrame) -> DataFrame:
+    """(seed_id, sv, snrm): the IVF coarse centroids — the K_CENTROIDS
+    smallest md5(vec_id), a fixed-K deterministic sample reproducible on
+    any engine (TakeOrderedAndProject, bounded at any corpus size)."""
+    return (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(K_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nrm").alias("snrm"),
+        )
+    )
+
+
+def _seeds_pack(seeds: DataFrame) -> DataFrame:
+    """ONE broadcast row holding the (seed_id-sorted) seed array."""
+    return seeds.select(
+        F.struct(
+            F.col("seed_id").alias("seed_id"),
+            F.col("sv").alias("sv"),
+            F.col("snrm").alias("snrm"),
+        ).alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("seeds"))
+
+
+def _ranked_cells_col() -> Column:
+    """EVERY seed cell ranked for the row's vector, as a sorted array of
+    struct(nsim, seed_id) over the broadcast ``seeds`` pack:
+    element 1 is the assignment cell (argmax sim, tie → min seed),
+    slice(1, N_PROBE) the probe set, and a posexplode the full
+    probe-depth ranking q_sim_ivf_sweep sweeps over. Sims are rounded to
+    6 dp BEFORE the sort so both engines break ties identically (the
+    module-wide convention). Requires columns ``v``, ``nrm``, ``seeds``."""
+    v, nrm = F.col("v"), F.col("nrm")
+    scored = F.transform(
+        F.col("seeds"),
+        lambda s: F.struct(
+            F.round(
+                # try_divide for the same zero-norm reason as _cosine
+                F.try_divide(
+                    F.aggregate(
+                        F.zip_with(v, s["sv"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ),
+                    nrm * s["snrm"],
+                ),
+                6,
+            ).alias("sim"),
+            s["seed_id"].alias("seed_id"),
+        ),
+    )
+    return F.array_sort(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                (-s["sim"]).alias("nsim"), s["seed_id"].alias("seed_id")
+            ),
+        )
+    )
+
+
+# -- index-as-layout: the persisted ANN index (r7 verdict item 4) -------------
+
+# (applicationId, sf_dir, embeddings vintage) -> catalog table names. The
+# bucketed.py layout-cache pattern: a fresh session, a rewritten input, or a
+# missing catalog entry rewrites; otherwise every ANN consumer reads the
+# already-written layout.
+_ANN_LAYOUT_CACHE: dict[tuple, dict[str, str]] = {}
+
+
+def ann_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Write-once ANN index layout; returns catalog table names.
+
+    At 100 TB the ANN index is A TABLE YOU BUILD ONCE AND PROBE MANY
+    TIMES, not a per-query computation — this persists exactly that
+    artifact set, once per (session, sf_dir, embeddings vintage):
+
+    - ``index``: (vec_id, v, nrm, cell, codes) — every corpus vector with
+      its IVF cell and PQ codes, written ``bucketBy(8, cell)`` + sorted,
+      so probe-side cell joins and per-cell scans read a co-located
+      layout (cell-pruned file groups at cluster scale; 8 buckets only
+      keeps local files readable — the bucketed.py rationale). Carrying
+      v/nrm makes it a COVERING index: exact in-cell rerank (q_sim_ivf)
+      needs no join back to the corpus, and ADC scoring (q_sim_ivf_pq)
+      reads codes off the same row instead of a vec_id shuffle join.
+    - ``seeds``: (seed_id, sv, snrm) — the coarse quantizer, K rows.
+    - ``codebook``: (m, k, c) — the trained PQ codebook, M*K rows.
+
+    Probe time reads these tables only: no seed re-derivation, no
+    codebook retraining, no re-assignment (the r7 verdict's gap — the
+    stack recomputed all three per session). Values are identical to the
+    in-flight pipeline by construction (the write runs that pipeline),
+    so every oracle is unchanged."""
+    from cloud_data_sync_spark.tables import _file_vintage, table_path
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _file_vintage(table_path(sf_dir, "embeddings")),
+    )
+    hit = _ANN_LAYOUT_CACHE.get(key)
+    if hit is not None and all(
+        spark.catalog.tableExists(n) for n in hit.values()
+    ):
+        return hit
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:10]
+    scratch = os.path.join(tempfile.gettempdir(), f"cds_ann_{tag}")
+    names = {
+        "index": f"ann_index_{tag}",
+        "seeds": f"ann_seeds_{tag}",
+        "codebook": f"ann_codebook_{tag}",
+    }
+    vecs = _vectors(spark, sf_dir)
+    if not spark.catalog.tableExists(names["seeds"]):
+        _seed_rows(vecs).write.option(
+            "path", os.path.join(scratch, "seeds")
+        ).mode("overwrite").saveAsTable(names["seeds"])
+    if not spark.catalog.tableExists(names["codebook"]):
+        _pq_codebook_build(spark, sf_dir).write.option(
+            "path", os.path.join(scratch, "codebook")
+        ).mode("overwrite").saveAsTable(names["codebook"])
+    if not spark.catalog.tableExists(names["index"]):
+        codes = _pq_codes_from(
+            _pq_subvectors(vecs), spark.table(names["codebook"])
+        )
+        (
+            _ivf_with_cell(spark, sf_dir)
+            .select("vec_id", "v", "nrm", "cell")
+            .join(codes, "vec_id")
+            .write.bucketBy(8, "cell")
+            .sortBy("cell")
+            .option("path", os.path.join(scratch, "index"))
+            .mode("overwrite")
+            .saveAsTable(names["index"])
+        )
+    _ANN_LAYOUT_CACHE[key] = names
+    return names
+
+
+def _ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.table(ann_index_tables(spark, sf_dir)["index"])
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded query set, read FROM the index layout (queries are
+    corpus members; their v/nrm/codes ride the covering index rows)."""
+    return _ann_index(spark, sf_dir).filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    )
+
+
+def _query_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, qv, qn, ranked): each query with ALL seed cells ranked,
+    against the PERSISTED seeds table (no re-derivation)."""
+    seeds_row = _seeds_pack(
+        spark.table(ann_index_tables(spark, sf_dir)["seeds"])
+    )
+    return (
+        _ann_queries(spark, sf_dir)
+        .select("vec_id", "v", "nrm")
+        .crossJoin(F.broadcast(seeds_row))
+        .withColumn("ranked", _ranked_cells_col())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "ranked",
+        )
+    )
+
+
+def _query_probe_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, qv, qn, cell): one row per (query, probed cell) — the
+    N_PROBE nearest cells per query, the standard IVF recall/cost lever."""
+    return _query_ranked_cells(spark, sf_dir).select(
+        "query_id",
+        "qv",
+        "qn",
+        F.explode(
+            F.transform(
+                F.slice("ranked", 1, N_PROBE), lambda p: p["seed_id"]
+            )
+        ).alias("cell"),
+    )
+
+
 # IVF pipeline as named CTEs — shared by q_sim_ivf and (as the approximate
 # side) q_sim_ivf_recall.
 _IVF_TOPK_CTES = f"""
@@ -381,91 +574,30 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_with_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every vector with its IVF cell and (for the bounded query set) the
-    N_PROBE probed cells — the coarse-quantizer stage shared verbatim by
-    q_sim_ivf (exact in-cell cosines) and q_sim_ivf_pq (ADC in-cell
-    scoring), so the two paths cannot drift on seeding/tie-break."""
+    """Every vector with its IVF cell — the coarse-quantizer assignment,
+    run at LAYOUT WRITE time (ann_index_tables); probe-time consumers
+    read the persisted index instead of re-assigning. Cell = rank-1 of
+    the shared _ranked_cells_col ordering, so write-time assignment and
+    probe-time query ranking cannot drift on rounding/tie-break."""
     vecs = _vectors(spark, sf_dir)
-    seeds_row = (
-        vecs.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(K_CENTROIDS)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("seed_id"),
-                F.col("v").alias("sv"),
-                F.col("nrm").alias("snrm"),
-            ).alias("s")
-        )
-        .agg(F.array_sort(F.collect_list("s")).alias("seeds"))
-    )
-    v, nrm = F.col("v"), F.col("nrm")
-    scored_seeds = F.transform(
-        F.col("seeds"),
-        lambda s: F.struct(
-            F.round(
-                # try_divide for the same zero-norm reason as _cosine
-                F.try_divide(
-                    F.aggregate(
-                        F.zip_with(v, s["sv"], lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
-                    ),
-                    nrm * s["snrm"],
-                ),
-                6,
-            ).alias("sim"),
-            s["seed_id"].alias("seed_id"),
-        ),
-    )
-    # argmax(sim, tie → min seed) as array_min over (-sim, seed_id): the
-    # natural struct ordering replaces an O(K log K) comparator sort with
-    # one linear min, same tie semantics as the oracle's ORDER BY.
-    best = F.array_min(
-        F.transform(
-            scored_seeds,
-            lambda s: F.struct((-s["sim"]).alias("nsim"), s["seed_id"].alias("seed_id")),
-        )
-    )
-    # queries probe their N_PROBE nearest cells: sort the (-sim, seed)
-    # structs and slice — same tie semantics as the argmax
-    probes = F.transform(
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    scored_seeds,
-                    lambda s: F.struct(
-                        (-s["sim"]).alias("nsim"), s["seed_id"].alias("seed_id")
-                    ),
-                )
-            ),
-            1,
-            N_PROBE,
-        ),
-        lambda p: p["seed_id"],
-    )
+    seeds_row = _seeds_pack(_seed_rows(vecs))
     return (
         vecs.crossJoin(F.broadcast(seeds_row))
-        .withColumn("cell", best["seed_id"])
-        .withColumn("probes", probes)
+        .withColumn("cell", F.element_at(_ranked_cells_col(), 1)["seed_id"])
         .drop("seeds")
     )
 
 
 def _ivf_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    with_cell = _ivf_with_cell(spark, sf_dir)
-    q = (
-        with_cell.filter(
-            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            F.explode("probes").alias("cell"),
-        )
-    )
-    cand = with_cell.drop("probes").join(F.broadcast(q), "cell").filter(
-        F.col("query_id") != F.col("vec_id")
+    """Probe-side IVF: broadcast the (bounded) query probe set against the
+    persisted covering index — cell-equi join, exact in-cell cosines off
+    the index row (no corpus join-back), shared ranking contract."""
+    idx = _ann_index(spark, sf_dir)
+    q = _query_probe_cells(spark, sf_dir)
+    cand = (
+        idx.select("cell", "vec_id", "v", "nrm")
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
     )
     scored = cand.select(
         "query_id",
@@ -612,31 +744,34 @@ def _pq_assign(subv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _pq_model(spark: SparkSession, sf_dir: str):
-    """(codes, qlut): every vector's M dense codes, and each bounded-set
-    query's M x K asymmetric lookup table — the trained PQ model shared
-    verbatim by q_sim_pq (exhaustive ADC) and q_sim_ivf_pq (ADC within
-    probed IVF cells), so the two paths cannot drift on training,
-    densification, or LUT ordering."""
+def _pq_codebook_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, k, c): the trained, densified PQ codebook — run at LAYOUT WRITE
+    time (ann_index_tables persists it; probe-time LUT building reads the
+    table, never retrains). Seeded by vec_id % K, two unrolled Lloyd
+    rounds (the q_kmeans static DAG — no iteration-count data dependence).
+
+    DENSIFY codeword ids after training: a corpus whose vec_id residues
+    don't cover 0..K-1 (tiny fixtures; any K > corpus) trains a SPARSE
+    codebook, and the ADC lookup is POSITIONAL (lut[m] is ordered by
+    codeword id) — a sparse id k would index past the list end (an ANSI
+    INVALID_ARRAY_INDEX job-killer, caught by the adversarial suite).
+    row_number over k per subspace is order-preserving, so the argmin
+    tie-break is unchanged; codes are then 0..len(codebook)-1 by
+    construction. The window input is the M*K codebook — constant size."""
     subv = _pq_subvectors(_vectors(spark, sf_dir))
-    # codebook: seed by vec_id % K, two unrolled Lloyd rounds (static DAG)
     seeded = subv.withColumn("k", F.col("vec_id") % _PQ_K)
     cb0 = _pq_centroids_of(seeded)
     cb1raw = _pq_centroids_of(_pq_assign(subv, cb0))
-    # DENSIFY codeword ids after training: a corpus whose vec_id residues
-    # don't cover 0..K-1 (tiny fixtures; any K > corpus) trains a SPARSE
-    # codebook, and the ADC lookup below is POSITIONAL (lut[m] is ordered
-    # by codeword id) — a sparse id k would index past the list end (an
-    # ANSI INVALID_ARRAY_INDEX job-killer, caught by the adversarial
-    # suite). row_number over k per subspace is order-preserving, so the
-    # argmin tie-break is unchanged; codes are then 0..len(codebook)-1 by
-    # construction. The window input is the M*K codebook — constant size.
     wk = Window.partitionBy("m").orderBy("k")
-    cb1 = cb1raw.select(
+    return cb1raw.select(
         "m", (F.row_number().over(wk) - 1).cast("long").alias("k"), "c"
     )
-    # encode: every vector -> M codes against the FINAL codebook
-    codes = (
+
+
+def _pq_codes_from(subv: DataFrame, cb1: DataFrame) -> DataFrame:
+    """(vec_id, codes): every vector encoded to M dense codes against the
+    final codebook — the write-time encode pass that lands in the index."""
+    return (
         _pq_assign(subv, cb1)
         .groupBy("vec_id")
         .agg(
@@ -646,9 +781,20 @@ def _pq_model(spark: SparkSession, sf_dir: str):
             ).alias("codes")
         )
     )
-    # asymmetric LUT: each query keeps its EXACT subvectors; lut[m][k] =
-    # <q_m, codeword(m,k)>, so a candidate's approximate cosine is M array
-    # lookups + adds instead of a DIM-wide dot
+
+
+def _query_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, lut): each bounded-set query's M x K asymmetric lookup
+    table, built at PROBE time from the PERSISTED codebook — the query
+    keeps its exact subvectors; lut[m][k] = <q_m, codeword(m,k)>, so a
+    candidate's approximate cosine is M array lookups + adds instead of
+    a DIM-wide dot. Shared verbatim by q_sim_pq (exhaustive ADC) and
+    q_sim_ivf_pq (ADC within probed cells), so the two paths cannot
+    drift on densification or LUT ordering."""
+    cb1 = spark.table(ann_index_tables(spark, sf_dir)["codebook"])
+    subq = _pq_subvectors(
+        _ann_queries(spark, sf_dir).select("vec_id", "v", "nrm")
+    )
     packed = cb1.agg(F.collect_list(F.struct("m", "k", "c")).alias("cs"))
     mine = F.filter(F.col("cs"), lambda s: s["m"] == F.col("m"))
     lut_m = F.transform(
@@ -662,11 +808,8 @@ def _pq_model(spark: SparkSession, sf_dir: str):
         ),
         lambda s: s["d"],
     )
-    qlut = (
-        subv.filter(
-            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
-        )
-        .crossJoin(F.broadcast(packed))
+    return (
+        subq.crossJoin(F.broadcast(packed))
         .select(F.col("vec_id").alias("query_id"), "m", lut_m.alias("lrow"))
         .groupBy("query_id")
         .agg(
@@ -676,7 +819,6 @@ def _pq_model(spark: SparkSession, sf_dir: str):
             ).alias("lut")
         )
     )
-    return codes, qlut
 
 
 def _pq_adc() -> Column:
@@ -696,8 +838,10 @@ def _pq_adc() -> Column:
 
 
 def _pq_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    codes, qlut = _pq_model(spark, sf_dir)
-    qpack = qlut.agg(
+    """Probe-side exhaustive ADC: codes stream off the persisted index;
+    the query LUT pack is built from the persisted codebook."""
+    codes = _ann_index(spark, sf_dir).select("vec_id", "codes")
+    qpack = _query_lut(spark, sf_dir).agg(
         F.collect_list(F.struct("query_id", "lut")).alias("qs")
     )
     scored = (
@@ -900,31 +1044,25 @@ ivfpq_topk AS (
 
 
 def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wc = _ivf_with_cell(spark, sf_dir)
-    q = wc.filter(
-        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
-    ).select(
-        F.col("vec_id").alias("query_id"), F.explode("probes").alias("cell")
-    )
+    """Probe-side IVFADC over the covering index: the cell-equi candidate
+    join reads (vec_id, cell, codes) off ONE index row — the pre-layout
+    plan's codes-by-vec_id shuffle join is gone (the covering index IS
+    that join, paid once at write time)."""
+    idx = _ann_index(spark, sf_dir)
+    q = _query_probe_cells(spark, sf_dir).select("query_id", "cell")
     cand = (
-        wc.select("cell", "vec_id")
+        idx.select("cell", "vec_id", "codes")
         .join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id")
     )
-    codes, qlut = _pq_model(spark, sf_dir)
-    qstruct = qlut.select(
+    qstruct = _query_lut(spark, sf_dir).select(
         "query_id",
         F.struct(
             F.col("query_id").alias("query_id"), F.col("lut").alias("lut")
         ).alias("q"),
     )
-    scored = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(qstruct), "query_id")
-        .select(
-            "query_id", "vec_id", F.round(_pq_adc(), 6).alias("cos_sim")
-        )
+    scored = cand.join(F.broadcast(qstruct), "query_id").select(
+        "query_id", "vec_id", F.round(_pq_adc(), 6).alias("cos_sim")
     )
     return _rank_topk(scored).select(
         "query_id", "vec_id", F.col("cos_sim").alias("adc_sim"), "rank"
@@ -1006,6 +1144,236 @@ def q_sim_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_ratio(
             F.avg(F.coalesce("hit", F.lit(0)).cast("double")), 4
         ).alias("recall"),
+    )
+
+
+# -- IVF operating-point calibration (r7 verdict item 1) ----------------------
+
+
+def _ivf_sweep_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _ann_index(spark, sf_dir)
+    # cell sizes: ONE constant-state aggregate over the index scan (≤K
+    # groups, map-side combine — the shuffle carries partial counts only)
+    csize = idx.groupBy("cell").agg(F.count("*").alias("sz"))
+    # (query_id, r, cell): every seed cell ranked per query — bounded at
+    # |queries| × K rows
+    qr = (
+        _query_ranked_cells(spark, sf_dir)
+        .select("query_id", F.posexplode("ranked").alias("i", "p"))
+        .select(
+            "query_id",
+            (F.col("i") + 1).cast("long").alias("r"),
+            F.col("p.seed_id").alias("cell"),
+        )
+    )
+    # candidates scanned at depth p = cumulative probed-cell sizes − 1
+    # (the query itself always sits in its rank-1 cell)
+    wq = (
+        Window.partitionBy("query_id")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    qcum = (
+        qr.join(F.broadcast(csize), "cell", "left")
+        .withColumn("cum", F.sum(F.coalesce("sz", F.lit(0))).over(wq))
+        .withColumn("n_cand", (F.col("cum") - 1).cast("double"))
+    )
+    depth = qcum.groupBy("r").agg(F.avg("n_cand").alias("mean_cand"))
+    # a true top-k neighbor is caught at EXACTLY the depth that first
+    # probes its cell: IVF scores candidates with exact cosines under the
+    # global ranking contract, so a global-top-k member present in the
+    # candidate set can never be displaced — membership IS recall
+    truth = _bf_topk(spark, sf_dir).select("query_id", "vec_id")
+    hist = (
+        idx.select("vec_id", "cell")
+        .join(F.broadcast(truth), "vec_id")
+        .join(F.broadcast(qr), ["query_id", "cell"])
+        .groupBy("r")
+        .agg(F.count("*").alias("c"))
+    )
+    pack = truth.agg(F.count("*").alias("n_true")).crossJoin(
+        idx.agg(F.count("*").alias("n_corpus"))
+    )
+    wr = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        depth.join(F.broadcast(hist), "r", "left")
+        .withColumn(
+            "n_caught",
+            F.sum(F.coalesce("c", F.lit(0))).over(wr).cast("long"),
+        )
+        .crossJoin(F.broadcast(pack))
+        .select(
+            F.col("r").alias("n_probe"),
+            "n_true",
+            "n_caught",
+            floor_ratio(
+                F.try_divide(
+                    F.col("n_caught").cast("double"), F.col("n_true")
+                ),
+                4,
+            ).alias("recall"),
+            floor_ratio(F.col("mean_cand"), 4).alias("mean_candidates"),
+            floor_ratio(
+                F.try_divide(
+                    F.col("mean_cand"), (F.col("n_corpus") - 1).cast("double")
+                ),
+                6,
+            ).alias("corpus_frac"),
+        )
+    )
+
+
+@register(
+    "q_sim_ivf_sweep",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+{_BF_TOPK_CTES},
+{_IVF_TOPK_CTES},
+qrank AS (
+  SELECT vec_id AS query_id, seed_id AS cell,
+         CAST(row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, seed_id) AS BIGINT) AS r
+  FROM assign WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}
+),
+csize AS (SELECT cell, count(*) AS sz FROM cell GROUP BY cell),
+qcum AS (
+  SELECT q.query_id, q.r,
+         CAST(sum(coalesce(s.sz, 0)) OVER (PARTITION BY q.query_id
+              ORDER BY q.r ROWS UNBOUNDED PRECEDING) - 1 AS DOUBLE) AS n_cand
+  FROM qrank q LEFT JOIN csize s ON s.cell = q.cell
+),
+depth AS (
+  SELECT r, avg(n_cand) AS mean_cand FROM qcum GROUP BY r
+),
+hist AS (
+  SELECT q.r, count(*) AS c
+  FROM bf_topk t
+  JOIN cell cc ON cc.vec_id = t.vec_id
+  JOIN qrank q ON q.query_id = t.query_id AND q.cell = cc.cell
+  GROUP BY q.r
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM bf_topk),
+corp AS (SELECT count(*) AS n_corpus FROM n)
+SELECT d.r AS n_probe,
+       t.n_true,
+       CAST(sum(coalesce(h.c, 0)) OVER (ORDER BY d.r ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_caught,
+       floor(sum(coalesce(h.c, 0)) OVER (ORDER BY d.r ROWS UNBOUNDED PRECEDING)
+             / CAST(t.n_true AS DOUBLE) * 10000) / 10000 AS recall,
+       floor(d.mean_cand * 10000) / 10000 AS mean_candidates,
+       floor(d.mean_cand / CAST(p.n_corpus - 1 AS DOUBLE) * 1000000) / 1000000
+         AS corpus_frac
+FROM depth d
+LEFT JOIN hist h ON h.r = d.r
+CROSS JOIN tot t CROSS JOIN corp p
+""",
+    doc=(
+        "IVF operating-point calibration (r7 verdict item 1) — the "
+        "similarity twin of q_dedup_minhash_sweep: ONE row per probe "
+        "depth 1..K with recall@k against the brute-force truth, mean "
+        "candidates scanned per query, and the corpus fraction touched — "
+        "the recall-vs-cost curve a deployment picks N_PROBE from with "
+        "evidence instead of a fixed constant. The whole grid falls out "
+        "of ONE candidate-ranked aggregate, no per-depth re-probing: "
+        "because IVF scores candidates with EXACT cosines under the "
+        "global (rounded-cosine, vec_id) ranking contract, a true top-k "
+        "neighbor in the candidate set can never be displaced by a "
+        "non-member — so it is caught at exactly the depth that first "
+        "probes its cell, and recall(p) is a running sum over the "
+        "cell-rank histogram of the truth pairs. Substrates shared "
+        "verbatim: the persisted index (cells), the persisted seeds "
+        "(query cell ranking), and the brute-force top-k session "
+        "substrate (truth); the only corpus-touching additions are the "
+        "index scan for ≤K-group cell sizes (map-side combined) and the "
+        "ids-only truth join — no new corpus exchange. All depth-keyed "
+        "frames are ≤K rows (the global running-sum window and the "
+        "1-row totals pack are constant-size)."
+    ),
+)
+def q_sim_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_sweep_build(spark, sf_dir)
+
+
+@register(
+    "q_sim_index_stats",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+seeds AS (
+  SELECT vec_id AS seed_id, v AS sv, nrm AS snrm
+  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {K_CENTROIDS}
+),
+assign AS (
+  SELECT n.vec_id, s.seed_id,
+         round(list_sum(list_transform(range(1, len(n.v) + 1),
+               i -> n.v[i] * s.sv[i])) / (n.nrm * s.snrm), 6) AS sim
+  FROM n, seeds s
+),
+cell AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, seed_id) AS rn
+    FROM assign) WHERE rn = 1
+),
+csize AS (SELECT cell, count(*) AS sz FROM cell GROUP BY cell)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM seeds) AS n_seeds,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((SELECT count(*) FROM seeds) - count(*) AS BIGINT)
+         AS n_empty_cells,
+       CAST(min(sz) AS BIGINT) AS min_cell,
+       CAST(max(sz) AS BIGINT) AS max_cell,
+       floor(avg(CAST(sz AS DOUBLE)) * 10000) / 10000 AS mean_cell,
+       floor(max(sz) / (SELECT CAST(count(*) AS DOUBLE) FROM n) * 1000000)
+         / 1000000 AS max_cell_frac
+FROM csize
+""",
+    doc=(
+        "Index-layout balance audit over the PERSISTED ANN index: "
+        "populated/empty cell counts and the cell-size distribution "
+        "(min/mean/max, largest-cell corpus fraction) — the health check "
+        "a deployment runs after every index build, because IVF probe "
+        "cost is proportional to probed-cell size and a skewed layout "
+        "(one mega-cell) silently turns nprobe=2 into a near-full scan. "
+        "Reads only the index table: one ≤K-group aggregate (map-side "
+        "combined) folded to a single summary row; the seeds count rides "
+        "the K-row seeds table. Together with q_sim_ivf_sweep this "
+        "closes the layout's measure-don't-guess loop: stats say whether "
+        "the partitioning is balanced, the sweep says what probing it "
+        "costs."
+    ),
+)
+def q_sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = ann_index_tables(spark, sf_dir)
+    idx = spark.table(names["index"])
+    csize = idx.groupBy("cell").agg(F.count("*").alias("sz"))
+    seeds_n = spark.table(names["seeds"]).agg(
+        F.count("*").alias("n_seeds")
+    )
+    corp = idx.agg(F.count("*").alias("n_vectors"))
+    return (
+        csize.agg(
+            F.count("*").alias("n_cells"),
+            F.min("sz").alias("min_cell"),
+            F.max("sz").alias("max_cell"),
+            floor_ratio(F.avg(F.col("sz").cast("double")), 4).alias(
+                "mean_cell"
+            ),
+        )
+        .crossJoin(F.broadcast(seeds_n))
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "n_seeds",
+            "n_cells",
+            (F.col("n_seeds") - F.col("n_cells")).alias("n_empty_cells"),
+            "min_cell",
+            "max_cell",
+            "mean_cell",
+            floor_ratio(
+                F.try_divide(
+                    F.col("max_cell").cast("double"), F.col("n_vectors")
+                ),
+                6,
+            ).alias("max_cell_frac"),
+        )
     )
 
 

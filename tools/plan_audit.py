@@ -135,6 +135,12 @@ BNLJ_ALLOWED = {
     # the candidate and LUT joins themselves are equi hash joins
     "q_sim_ivf_pq",
     "q_sim_ivf_pq_recall",
+    # 1-row (n_true, n_corpus) totals pack over the ≤K-row depth frame;
+    # the seed pack / truth broadcasts are the audited ANN shapes
+    "q_sim_ivf_sweep",
+    # 1-row seeds-count + corpus-count packs over the ≤K-row cell-size
+    # aggregate — constant at any corpus size
+    "q_sim_index_stats",
     "q_tfidf",
     "q_term_pmi",
     "q_kmeans",
@@ -170,6 +176,9 @@ BNLJ_ALLOWED = {
 GLOBAL_WINDOW_ALLOWED = {
     "q_vocab", "q_token_budget", "q_zipf_fit", "q_spend_gini",
     "q_lorenz_curve",
+    # the cumulative-recall window runs over the per-probe-depth rollup —
+    # ≤K_CENTROIDS rows (a config constant), never a data cardinality
+    "q_sim_ivf_sweep",
 }
 
 RULES: dict[str, dict[str, tuple[str, ...]]] = {
