@@ -1,0 +1,167 @@
+"""Storage-layout maintenance: the compaction planner.
+
+Small-files pathology is the #1 real-world listing/scan killer at 100 TB:
+object stores and HDFS namenodes degrade with file COUNT, parquet footer
+reads dominate scans when files are KB-sized, and every downstream task
+pays per-file open cost. The fix every lakehouse runs on a schedule is a
+COMPACTION pass — group each prefix's small files into ~target-size
+rewrite bins — and the expensive part at scale is not the rewrite, it's
+deciding WHAT to rewrite without scanning payloads. That decision needs
+only the catalog listing (``sources/listing.py`` produces exactly the
+input: object_name + size, metadata-only), which makes the planner free
+to run on every sync tick.
+
+``compaction_plan`` is generic over any catalog listing; the registered
+query runs it on a deterministic synthetic inventory derived from
+``orders`` (the sync.py oracle-checkability pattern — DuckDB cannot list
+a filesystem, so the reconciliation family derives listings both engines
+can reproduce; ``tests`` additionally run the planner over a REAL
+``list_objects`` listing of the testdata directory).
+
+Plan shape at scale: one window partitioned by prefix (listing-sized
+metadata rows — never payloads), one (prefix, bin) aggregate, one prefix
+rollup. All shuffles carry listing rows; a table with millions of files
+keeps its window partition-local to its prefix. The bin assignment is
+the running-sum form (a file lands in the bin its cumulative start
+offset falls in): deterministic under the (object_name) ordering, one
+pass, no iteration — the standard SQL approximation of next-fit packing
+(an exact first-fit-decreasing pack is iterative and buys ~single-digit
+percent bin-count improvement that no scheduled compactor bothers with).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_data_sync_spark.registry import floor_ratio, register
+from cloud_data_sync_spark.tables import load_table
+
+# Target rewrite-bin size. Production uses the table's block/rowgroup
+# target (~128 MB); the synthetic inventory's "files" are order-priced
+# (~1-600 KB), so the checked constant is 1 MB — the plan SHAPE is
+# byte-count-independent.
+TARGET_BIN_BYTES = 1_000_000
+
+
+def compaction_plan(
+    listing: DataFrame, target_bytes: int = TARGET_BIN_BYTES
+) -> DataFrame:
+    """Per-prefix compaction plan over a catalog listing.
+
+    ``listing`` needs ``object_name`` (prefix = first '/'-segment, the
+    table/partition directory in a lake layout) and ``size``. Returns one
+    row per prefix: file count + byte totals + file-size extremes, the
+    packed bin count, the largest bin, and the projected file-count
+    reduction — everything a compaction scheduler ranks prefixes by.
+    """
+    pref = listing.select(
+        F.substring_index("object_name", "/", 1).alias("prefix"),
+        "object_name",
+        "size",
+    )
+    w = (
+        Window.partitionBy("prefix")
+        .orderBy("object_name")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # a file joins the bin its cumulative START offset falls in: floor of
+    # a non-negative double, so Spark/DuckDB div semantics cannot diverge
+    assigned = pref.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("size").over(w) - F.col("size"))
+            / F.lit(float(target_bytes))
+        ),
+    )
+    bins = assigned.groupBy("prefix", "bin").agg(
+        F.sum("size").alias("bin_bytes"),
+        F.count("*").alias("nf"),
+        F.min("size").alias("mnf"),
+        F.max("size").alias("mxf"),
+    )
+    return bins.groupBy("prefix").agg(
+        F.sum("nf").cast("long").alias("n_files"),
+        F.sum("bin_bytes").cast("long").alias("total_bytes"),
+        F.min("mnf").alias("min_file"),
+        F.max("mxf").alias("max_file"),
+        F.count("*").alias("n_bins"),
+        F.max("bin_bytes").alias("max_bin_bytes"),
+        floor_ratio(
+            F.lit(1.0) - F.count("*") / F.sum("nf").cast("double"), 6
+        ).alias("reduction_frac"),
+    )
+
+
+def synthetic_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic file inventory both engines can derive: every order
+    becomes an object under one of 8 table prefixes, sized by its
+    floored total price — the sync.py synthetic-catalog pattern."""
+    k = F.col("o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("tbl_"),
+            (k % 8).cast("string"),
+            F.lit("/obj_"),
+            k.cast("string"),
+        ).alias("object_name"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("size"),
+    )
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT 'tbl_' || CAST(o_orderkey % 8 AS VARCHAR) || '/obj_' ||
+         CAST(o_orderkey AS VARCHAR) AS object_name,
+         CAST(floor(o_totalprice) AS BIGINT) AS size
+  FROM orders
+),
+pref AS (
+  SELECT split_part(object_name, '/', 1) AS prefix, object_name, size
+  FROM files
+),
+assigned AS (
+  SELECT prefix, size,
+         CAST(floor((sum(size) OVER (PARTITION BY prefix ORDER BY object_name
+              ROWS UNBOUNDED PRECEDING) - size)
+              / {float(TARGET_BIN_BYTES)}) AS BIGINT) AS bin
+  FROM pref
+),
+bins AS (
+  SELECT prefix, bin, sum(size) AS bin_bytes, count(*) AS nf,
+         min(size) AS mnf, max(size) AS mxf
+  FROM assigned GROUP BY prefix, bin
+)
+SELECT prefix,
+       CAST(sum(nf) AS BIGINT) AS n_files,
+       CAST(sum(bin_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(mnf) AS BIGINT) AS min_file,
+       CAST(max(mxf) AS BIGINT) AS max_file,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes,
+       floor((1.0 - count(*) / CAST(sum(nf) AS DOUBLE)) * 1000000) / 1000000
+         AS reduction_frac
+FROM bins GROUP BY prefix
+""",
+    doc=(
+        "Compaction planner (r7 verdict item 5) — the operational layout "
+        "primitive the listing substrate makes free: per table prefix, "
+        "the file-size distribution, the bin-packed rewrite groups "
+        "(running-sum window over name-ordered files into target-size "
+        "bins — a file joins the bin its cumulative start offset falls "
+        "in), and the projected file-count reduction a scheduler ranks "
+        "prefixes by. Metadata-only end to end: the planner touches "
+        "listing rows, never payloads, so it rides every sync tick. One "
+        "prefix-partitioned window + two hash aggregates; all shuffles "
+        "are listing-sized. The registered inventory is the "
+        "deterministic orders-derived catalog (the q_sync_diff "
+        "oracle-checkability pattern); compaction_plan itself is generic "
+        "over any sources/listing.py catalog DataFrame (tested against "
+        "a real list_objects listing)."
+    ),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compaction_plan(synthetic_inventory(spark, sf_dir))

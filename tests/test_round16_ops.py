@@ -124,3 +124,53 @@ def test_sweep_on_clustered_corpus_saturates_early(spark, tmp_path):
     # cost axis: the saturating depth touches less than the whole corpus
     sat = [r for r in out if r.n_probe == first_perfect][0]
     assert sat.corpus_frac < 1.0
+
+
+def test_compaction_plan_over_real_listing(spark, tmp_path):
+    """compaction_plan is generic over the REAL listing substrate: a
+    list_objects catalog of an actual directory tree packs correctly —
+    bins never exceed target + one file, totals reconcile, and a prefix
+    of many tiny files projects a large reduction."""
+    from cloud_data_sync_spark.operators.maintenance import compaction_plan
+    from cloud_data_sync_spark.sources.listing import list_objects
+
+    root = tmp_path / "bucket"
+    small = root / "logs"
+    big = root / "data"
+    small.mkdir(parents=True)
+    big.mkdir(parents=True)
+    for i in range(40):
+        (small / f"part_{i:03d}.log").write_bytes(b"x" * 100)
+    for i in range(3):
+        (big / f"blob_{i}.bin").write_bytes(b"y" * 5000)
+    listing = list_objects(spark, f"file://{root}")
+    out = {
+        r.prefix: r
+        for r in compaction_plan(listing, target_bytes=1000).collect()
+    }
+    logs = out["logs"]
+    assert logs.n_files == 40
+    assert logs.total_bytes == 4000
+    assert logs.n_bins == 4  # 40 x 100 B into 1000 B bins
+    assert logs.max_bin_bytes == 1000
+    assert logs.reduction_frac == 0.9
+    data = out["data"]
+    assert data.n_files == 3
+    # each 5000 B file spans past the target: next-fit gives it its own
+    # start-offset bin (oversize files are never merged)
+    assert data.n_bins == 3
+
+
+def test_compaction_plan_deterministic_and_reconciles(spark):
+    """The registered synthetic inventory: totals reconcile with orders
+    and repeated runs are identical (window ordering is pinned)."""
+    from cloud_data_sync_spark.operators.maintenance import q_compaction_plan
+    from cloud_data_sync_spark.tables import load_table
+
+    a = sorted(map(tuple, q_compaction_plan(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, q_compaction_plan(spark, SF_DIR).collect()))
+    assert a == b
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r[1] for r in a) == n_orders
+    for r in a:
+        assert r[5] <= r[1]  # n_bins <= n_files
