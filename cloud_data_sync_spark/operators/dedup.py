@@ -46,7 +46,16 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies (id+2M, %7) ∪ near copies with appended
     tokens (id+1M, %10) ∪ token-sorted reorderings (id+3M, %9)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return augment_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def augment_docs(docs: DataFrame) -> DataFrame:
+    """The augmentation itself over any (doc_id, text) frame — shared by
+    the batch corpus and the streaming crawl source (streaming/crawl.py),
+    so the two inputs cannot drift; every branch is a per-row projection,
+    valid on batch and streaming DataFrames alike."""
     exact = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
@@ -185,7 +194,9 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 # window stays inside the digest.
 
 
-def minhash_signatures(docs: DataFrame, hashed_shingles: bool = False) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, hashed_shingles: bool = False, spread_input: bool = True
+) -> DataFrame:
     """(doc_id, sh, sig): trigram shingles + 16-min MinHash signature.
 
     Entirely per-row (transform -> md5 -> array_min of 16 windows): ZERO
@@ -202,7 +213,9 @@ def minhash_signatures(docs: DataFrame, hashed_shingles: bool = False) -> DataFr
     so verification columns shuffle as 8-byte longs instead of ~20-byte
     shingle strings, and array_intersect compares longs, not strings.
     """
-    hs = _with_shingles(_spread(docs)).withColumn(
+    # spread_input=False for streaming inputs: ``spread`` probes the batch
+    # file listing, and micro-batch parallelism is the trigger's business
+    hs = _with_shingles(_spread(docs) if spread_input else docs).withColumn(
         "hs", F.transform("sh", F.md5)
     ).filter(F.size("hs") > 0)
     # one parsed text expression per signature (the _win(h, i) window at

@@ -97,6 +97,12 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         tpch,
     )
-    from cloud_data_sync_spark.streaming import enrich, stateful, tws, windows  # noqa: F401
+    from cloud_data_sync_spark.streaming import (  # noqa: F401
+        crawl,
+        enrich,
+        stateful,
+        tws,
+        windows,
+    )
 
     return dict(_REGISTRY)

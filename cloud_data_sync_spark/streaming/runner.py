@@ -331,6 +331,7 @@ def drained_family(
     members: dict[str, tuple],
     drain_partitions: int | None = None,
     no_data_batch: bool = True,
+    vintage_table: str = "events",
 ) -> tuple[dict[str, DataFrame], dict[str, str | None]]:
     """Run a FAMILY of independent availableNow drains concurrently, once
     per (session, sf_dir, events vintage), and serve every member from
@@ -360,7 +361,10 @@ def drained_family(
         table_path,
     )
 
-    vintage = _file_vintage(table_path(sf_dir, "events"))
+    # ``vintage_table`` names the family's input table (events for the
+    # window/join/stateful families, documents for the crawl family) so
+    # the cache keys on the right file's vintage
+    vintage = _file_vintage(table_path(sf_dir, vintage_table))
     base = (_session_key(spark), sf_dir, tag)
     key = base + (vintage,)
     cached = _FAMILY_CACHE.get(key)

@@ -633,3 +633,80 @@ def test_family_eviction_drops_stale_sink_views(spark, tmp_path):
     assert not spark.catalog.tableExists(view1), (
         "stale vintage's memory-sink view must be dropped on eviction"
     )
+
+
+def test_streaming_minhash_matches_batch_incremental(spark):
+    """The streaming ingest and the batch incremental pass must agree
+    row-for-row: same LSH candidates, same best-match argmax, same
+    verdicts — the oracle-equivalence claim, checked directly."""
+    from cloud_data_sync_spark.operators.dedup import (
+        q_dedup_minhash_incremental,
+    )
+    from cloud_data_sync_spark.streaming.crawl import q_stream_minhash_dedup
+
+    got = sorted(map(tuple, q_stream_minhash_dedup(spark, SF_DIR).collect()))
+    want = sorted(
+        map(tuple, q_dedup_minhash_incremental(spark, SF_DIR).collect())
+    )
+    assert got == want
+
+
+def test_streaming_minhash_probes_state_across_batches(spark, tmp_path):
+    """CROSS-BATCH state: with maxFilesPerTrigger=1 and two document
+    files, a near-dup arriving in batch 2 must match an index document
+    that arrived in batch 1 — only bucket STATE can connect them. The
+    pair set must equal the single-batch (and batch-engine) result."""
+    import pandas as pd
+
+    from cloud_data_sync_spark.streaming.crawl import (
+        read_documents_stream,
+        streaming_candidate_pairs,
+    )
+    from cloud_data_sync_spark.streaming.runner import run_available_now
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    older = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["a"],
+            "n_chars": [len(text)],
+        }
+    )
+    newer_text = text + " lambda"
+    newer = pd.DataFrame(
+        {
+            "doc_id": [2_000_001],
+            "text": [newer_text],
+            "lang": ["en"],
+            "source": ["b"],
+            "n_chars": [len(newer_text)],
+        }
+    )
+    sf = tmp_path / "crawl"
+    sf.mkdir()
+    older.to_parquet(sf / "documents_000.parquet", index=False)
+    newer.to_parquet(sf / "documents_001.parquet", index=False)
+    # file source orders batches by modification time: make it explicit
+    t0 = (sf / "documents_000.parquet").stat().st_mtime
+    os.utime(sf / "documents_001.parquet", (t0 + 10, t0 + 10))
+
+    pairs = streaming_candidate_pairs(
+        read_documents_stream(spark, str(sf), max_files_per_trigger=1)
+        .select("doc_id", "text")
+    )
+    out = run_available_now(
+        pairs,
+        "t_crawl_xbatch",
+        output_mode="update",
+        drain_partitions=4,
+        no_data_batch=False,
+    )
+    rows = {(r.doc_a, r.doc_b): r.est for r in out.collect()}
+    assert (1, 2_000_001) in rows, (
+        "batch-2 document must LSH-match the batch-1 index member via "
+        f"bucket state; got {rows}"
+    )
+    # 10 shared trigram shingles of 11; most minhash lanes agree
+    assert rows[(1, 2_000_001)] >= 0.5
