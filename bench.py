@@ -198,6 +198,12 @@ def main() -> None:
                     # completed every sweep): value is the min-of-sweeps
                     # total; these expose how much box noise the min hid
                     "sweep_totals": sweep_totals,
+                    # shared-host load at run end (1/5/15-min averages):
+                    # the machine-readable noise context — same-code
+                    # totals have swung 63-89 s purely with box load, so
+                    # cross-round comparisons need this alongside the
+                    # sweep totals (r7 verdict item 7)
+                    "load_avg": [round(x, 2) for x in os.getloadavg()],
                 },
                 f,
                 indent=1,
