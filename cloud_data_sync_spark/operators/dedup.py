@@ -1849,6 +1849,175 @@ def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- band-geometry calibration (the (bands, rows) S-curve evidence) ----------
+
+# Bounded pair population for the geometry sweep: the %8 audit sample
+# FURTHER capped by base id, so the pair count is a CONSTANT at any
+# corpus size (the q_sim_topk bounded-query-set rule — a fraction-sized
+# pair set would grow quadratically with the corpus). The cap tests the
+# BASE id (doc_id % 1M), and every augmentation offset is divisible by 8,
+# so copy families stay dup-closed inside the capped sample.
+_BAND_CAP = 2000
+_BAND_LAYOUTS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+
+
+def _band_collide_sql(b: int, r: int, a: str = "sig_a", bb: str = "sig_b") -> str:
+    """OR over b bands of AND over that band's r lane equalities —
+    generated SQL text over the signed-long lane arrays (0-based [])."""
+    bands = []
+    for j in range(b):
+        terms = [f"({a}[{j * r + i}] = {bb}[{j * r + i}])" for i in range(r)]
+        bands.append("(" + " AND ".join(terms) + ")")
+    return "(" + " OR ".join(bands) + ")"
+
+
+def _band_collide_oracle(b: int, r: int) -> str:
+    """Same predicate over the oracle's s0..s15 hex-window lane columns."""
+    bands = []
+    for j in range(b):
+        terms = [f"(x.s{j * r + i} = y.s{j * r + i})" for i in range(r)]
+        bands.append("(" + " AND ".join(terms) + ")")
+    return "(" + " OR ".join(bands) + ")"
+
+
+@register(
+    "q_dedup_band_sweep",
+    oracle=f"""
+WITH {_AUG_SQL},
+{_ORACLE_SIG_CTES},
+bsamp AS (
+  SELECT * FROM sig
+  WHERE (doc_id % 1000000) % {_AUDIT_MOD} = 0
+    AND doc_id % 1000000 < {_BAND_CAP}
+),
+bp AS (
+  SELECT ({_MINHASH_MATCHES}) AS m,
+         {", ".join(
+             f"CASE WHEN {_band_collide_oracle(b, r)} THEN 1 ELSE 0 END"
+             f" AS c_{b}_{r}"
+             for b, r in _BAND_LAYOUTS
+         )}
+  FROM bsamp x JOIN bsamp y ON x.doc_id < y.doc_id
+),
+tot AS (
+  SELECT count(*) AS n_pairs,
+         sum(CASE WHEN m >= 8 THEN 1 ELSE 0 END) AS n_above,
+         {", ".join(
+             f"sum(c_{b}_{r}) AS cand_{b}_{r}, "
+             f"sum(CASE WHEN m >= 8 THEN c_{b}_{r} ELSE 0 END) AS hit_{b}_{r}"
+             for b, r in _BAND_LAYOUTS
+         )}
+  FROM bp
+)
+{" UNION ALL ".join(
+    f'''SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_above AS BIGINT) AS n_above,
+       CAST(cand_{b}_{r} AS BIGINT) AS n_candidates,
+       CAST(hit_{b}_{r} AS BIGINT) AS n_caught,
+       floor(hit_{b}_{r} / CAST(n_above AS DOUBLE) * 10000) / 10000 AS recall,
+       floor(cand_{b}_{r} / CAST(n_pairs AS DOUBLE) * 1000000) / 1000000
+         AS candidate_frac
+    FROM tot'''
+    for b, r in _BAND_LAYOUTS
+)}
+""",
+    doc=(
+        "LSH band-GEOMETRY calibration — the third leg of the dedup "
+        "evidence stack (q_dedup_minhash_sweep picks the threshold, "
+        "q_dedup_lsh_recall audits the deployed bands, this picks the "
+        "(bands, rows) layout itself): for every way of carving the "
+        "16-lane signature into equal bands (16x1 ... 1x16), one row "
+        "with the candidate volume and the recall against "
+        "above-threshold pairs (est >= 0.5, i.e. >= 8 matching lanes) — "
+        "the empirical S-curve trade every LSH deployment tunes: more "
+        "bands/shorter rows catch more true pairs but explode the "
+        "candidate set, fewer/longer bands prune harder but miss. ALL "
+        "five layouts are evaluated from ONE pass over the bounded pair "
+        "population: each pair's 16-lane match pattern decides every "
+        "layout's collision at once (generated literal predicates, no "
+        "per-layout banding shuffle, no re-bucketing). The pair "
+        "population is the dup-closed %8 audit sample capped by base id "
+        "(constant size at ANY corpus scale — the bounded-broadcast "
+        "rule), so the nested-loop pair join is provably small; the "
+        "ground truth is the estimator itself at the deployed threshold "
+        "(integer lane counts — no FP divergence), isolating pure "
+        "band-geometry effects from estimator error, which "
+        "q_dedup_minhash_calibration already measures."
+    ),
+)
+def q_dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = F.col("doc_id") % 1_000_000
+    samp = (
+        corpus_signatures(spark, sf_dir)
+        .filter((base % _AUDIT_MOD == 0) & (base < _BAND_CAP))
+        .select("doc_id", "sig")
+    )
+    x = samp.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    y = samp.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = " + ".join(
+        f"(CASE WHEN sig_a[{i}] = sig_b[{i}] THEN 1 ELSE 0 END)"
+        for i in range(N_PERM)
+    )
+    pairs = (
+        x.join(F.broadcast(y), F.col("doc_a") < F.col("doc_b"))
+        .selectExpr(
+            f"({matches}) AS m",
+            *[
+                f"CASE WHEN {_band_collide_sql(b, r)} THEN 1 ELSE 0 END"
+                f" AS c_{b}_{r}"
+                for b, r in _BAND_LAYOUTS
+            ],
+        )
+    )
+    above = F.when(F.col("m") >= N_PERM // 2, 1).otherwise(0)
+    aggs = [
+        F.count("*").alias("n_pairs"),
+        F.sum(above).alias("n_above"),
+    ]
+    for b, r in _BAND_LAYOUTS:
+        aggs.append(F.sum(F.col(f"c_{b}_{r}")).alias(f"cand_{b}_{r}"))
+        aggs.append(
+            F.sum(above * F.col(f"c_{b}_{r}")).alias(f"hit_{b}_{r}")
+        )
+    tot = pairs.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("long").alias("bands"),
+                    F.lit(r).cast("long").alias("rows_per_band"),
+                    F.col(f"cand_{b}_{r}").alias("cand"),
+                    F.col(f"hit_{b}_{r}").alias("hit"),
+                )
+                for b, r in _BAND_LAYOUTS
+            ]
+        )
+    )
+    return (
+        tot.select("n_pairs", "n_above", rows.alias("l"))
+        .select(
+            F.col("l.bands").alias("bands"),
+            F.col("l.rows_per_band").alias("rows_per_band"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_above").cast("long").alias("n_above"),
+            F.col("l.cand").cast("long").alias("n_candidates"),
+            F.col("l.hit").cast("long").alias("n_caught"),
+            floor_ratio(
+                F.try_divide(
+                    F.col("l.hit").cast("double"), F.col("n_above")
+                ),
+                4,
+            ).alias("recall"),
+            floor_ratio(
+                F.try_divide(
+                    F.col("l.cand").cast("double"), F.col("n_pairs")
+                ),
+                6,
+            ).alias("candidate_frac"),
+        )
+    )
+
+
 @register(
     "q_dedup_lsh_recall",
     oracle=f"""

@@ -97,7 +97,8 @@ def compaction_plan(
 def synthetic_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic file inventory both engines can derive: every order
     becomes an object under one of 8 table prefixes, sized by its
-    floored total price — the sync.py synthetic-catalog pattern."""
+    floored total price, last-modified at its order date — the sync.py
+    synthetic-catalog pattern."""
     k = F.col("o_orderkey")
     return load_table(spark, sf_dir, "orders").select(
         F.concat(
@@ -107,6 +108,7 @@ def synthetic_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             k.cast("string"),
         ).alias("object_name"),
         F.floor(F.col("o_totalprice")).cast("long").alias("size"),
+        F.col("o_orderdate").alias("last_modified"),
     )
 
 
@@ -165,3 +167,102 @@ FROM bins GROUP BY prefix
 )
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(synthetic_inventory(spark, sf_dir))
+
+
+# Retention horizons (days). Production lifecycle policies tier these
+# (IA at 30, archive at 90, delete at 365); the planner is horizon-generic.
+RETENTION_HORIZONS = (30, 90, 365)
+
+
+def retention_plan(
+    listing: DataFrame, horizons: tuple[int, ...] = RETENTION_HORIZONS
+) -> DataFrame:
+    """Per-(prefix, horizon) lifecycle projection over a catalog listing:
+    how many files/bytes fall past each age horizon, measured against
+    the listing's OWN newest object (deterministic — no wall clock in a
+    query both engines must reproduce; a production run passes its
+    policy evaluation instant the same way)."""
+    pack = listing.agg(F.max("last_modified").alias("mx"))
+    pref = listing.select(
+        F.substring_index("object_name", "/", 1).alias("prefix"),
+        "size",
+        "last_modified",
+    )
+    h = F.explode(
+        F.array(*[F.lit(d) for d in horizons])
+    ).alias("horizon_days")
+    rows = pref.crossJoin(F.broadcast(pack)).select(
+        "prefix", "size", "last_modified", "mx", h
+    )
+    expired = F.col("last_modified") < F.expr(
+        "mx - make_interval(0, 0, 0, horizon_days)"
+    )
+    exp_bytes = F.sum(F.when(expired, F.col("size")).otherwise(0))
+    return rows.groupBy(
+        "prefix", F.col("horizon_days").cast("long").alias("horizon_days")
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.sum("size").cast("long").alias("bytes_total"),
+        F.sum(F.when(expired, 1).otherwise(0)).cast("long").alias(
+            "n_expired"
+        ),
+        exp_bytes.cast("long").alias("bytes_expired"),
+        floor_ratio(
+            F.try_divide(
+                exp_bytes.cast("double"), F.sum("size").cast("double")
+            ),
+            6,
+        ).alias("bytes_frac"),
+    )
+
+
+@register(
+    "q_retention_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT 'tbl_' || CAST(o_orderkey % 8 AS VARCHAR) || '/obj_' ||
+         CAST(o_orderkey AS VARCHAR) AS object_name,
+         CAST(floor(o_totalprice) AS BIGINT) AS size,
+         o_orderdate AS last_modified
+  FROM orders
+),
+mx AS (SELECT max(last_modified) AS mx FROM files),
+h AS (SELECT unnest([{", ".join(str(d) for d in RETENTION_HORIZONS)}])
+        AS horizon_days),
+r AS (
+  SELECT split_part(object_name, '/', 1) AS prefix, size, last_modified,
+         h.horizon_days, mx.mx
+  FROM files, h, mx
+)
+SELECT prefix,
+       CAST(horizon_days AS BIGINT) AS horizon_days,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(size) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN last_modified < mx - INTERVAL (horizon_days) DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+       CAST(sum(CASE WHEN last_modified < mx - INTERVAL (horizon_days) DAY
+                     THEN size ELSE 0 END) AS BIGINT) AS bytes_expired,
+       floor(sum(CASE WHEN last_modified < mx - INTERVAL (horizon_days) DAY
+                      THEN size ELSE 0 END)
+             / CAST(sum(size) AS DOUBLE) * 1000000) / 1000000 AS bytes_frac
+FROM r GROUP BY prefix, horizon_days
+""",
+    doc=(
+        "Retention/lifecycle planner — the compaction planner's sibling "
+        "and the other scheduled maintenance decision a 100 TB lake "
+        "runs on listings alone: per (table prefix, age horizon), the "
+        "file count and byte volume already past the horizon, measured "
+        "against the listing's own newest object (deterministic; a "
+        "production evaluation passes its policy instant explicitly). "
+        "One metadata-only pass: the max-mtime scalar is ONE broadcast "
+        "row, horizons explode a config-constant array (x3), and the "
+        "(prefix, horizon) hash aggregate map-side combines — shuffles "
+        "carry listing rows, never payloads, so the projection that "
+        "drives tiering/expiry jobs costs a sync tick, not a scan. "
+        "retention_plan itself is generic over any sources/listing.py "
+        "catalog (last_modified rides CATALOG_SCHEMA); the registered "
+        "inventory is the orders-derived synthetic catalog."
+    ),
+)
+def q_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_plan(synthetic_inventory(spark, sf_dir))

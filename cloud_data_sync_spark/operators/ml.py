@@ -618,6 +618,110 @@ def q_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_logreg_auc",
+    oracle=f"""
+WITH {_PROBE_CTES},
+grp AS (
+  SELECT m2, sum(y) AS pos, sum(1 - y) AS neg FROM s2 GROUP BY m2
+),
+cum AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY m2
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+  FROM grp
+),
+tot AS (SELECT sum(pos) AS np, sum(neg) AS nn FROM grp)
+SELECT CAST(t.np AS BIGINT) AS n_pos,
+       CAST(t.nn AS BIGINT) AS n_neg,
+       (SELECT CAST(count(*) AS BIGINT) FROM grp) AS n_distinct_scores,
+       floor(sum(c.pos * (c.cneg + c.neg / 2.0)) / (t.np * t.nn) * 1000000)
+         / 1000000 AS auc
+FROM cum c CROSS JOIN tot t
+GROUP BY t.np, t.nn
+""",
+    doc=(
+        "Exact ROC AUC for the trained linear probe — the ranking-quality "
+        "gate a score-gated curation pipeline checks alongside "
+        "calibration (q_logreg_calibration says whether the "
+        "probabilities are honest; AUC says whether the ORDERING "
+        "separates classes — a probe can be well-calibrated and still "
+        "rank poorly, and vice versa). Computed as the Mann-Whitney "
+        "statistic over tie-grouped raw margins: AUC = sum over distinct "
+        "scores of pos·(negatives_below + neg_ties/2) / (n_pos·n_neg) — "
+        "ranks never materialize, ties get the average-rank correction "
+        "exactly, and margins m2 (not p2) carry the ordering so the "
+        "statistic crosses one fewer transcendental layer. Distributed "
+        "shape: one score-key hash aggregate (map-side combined), then "
+        "the q_spend_gini two-phase global order — repartitionByRange on "
+        "score, per-partition running sums, a per-partition offset table "
+        "(one row per shuffle partition, config cardinality) broadcast "
+        "back — so NO data-sized single-partition window exists; the "
+        "final fold is a 1-row aggregate. Every per-group contribution "
+        "is an exact multiple of 0.5 bounded by n²/2 << 2^53, so the "
+        "cross-engine sum is order-independent and bit-stable; the "
+        "score ORDERING is ulp-stable by the module's margin argument "
+        "(same foundation as the calibration bins)."
+    ),
+)
+def q_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, s2 = _probe_pipeline(spark, sf_dir)
+    grp = s2.groupBy("m2").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    # q_spend_gini's two-phase global order: range partitions ascending
+    # in m2, per-pid running negatives, pid offsets (one row/partition)
+    ranged = grp.repartitionByRange(F.col("m2")).select(
+        "m2", "pos", "neg", F.spark_partition_id().alias("pid")
+    )
+    w_loc = (
+        Window.partitionBy("pid")
+        .orderBy("m2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = ranged.withColumn(
+        "cneg_loc", F.sum("neg").over(w_loc) - F.col("neg")
+    )
+    offs = (
+        loc.groupBy("pid")
+        .agg(F.sum("neg").alias("pneg"))
+        .select(
+            "pid",
+            (
+                F.sum("pneg").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                )
+                - F.col("pneg")
+            ).alias("off"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("pos").alias("np"),
+        F.sum("neg").alias("nn"),
+        F.count("*").alias("n_distinct_scores"),
+    )
+    contrib = F.col("pos") * (
+        F.col("off") + F.col("cneg_loc") + F.col("neg") / 2.0
+    )
+    return (
+        loc.join(F.broadcast(offs), "pid")
+        .agg(F.sum(contrib).alias("s"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("np").cast("long").alias("n_pos"),
+            F.col("nn").cast("long").alias("n_neg"),
+            F.col("n_distinct_scores").cast("long").alias(
+                "n_distinct_scores"
+            ),
+            floor_ratio(
+                F.try_divide(F.col("s"), F.col("np") * F.col("nn")), 6
+            ).alias("auc"),
+        )
+    )
+
+
 # -- hashing-trick featurization ---------------------------------------------
 
 _FH_BUCKETS = 16

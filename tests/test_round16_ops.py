@@ -174,3 +174,72 @@ def test_compaction_plan_deterministic_and_reconciles(spark):
     assert sum(r[1] for r in a) == n_orders
     for r in a:
         assert r[5] <= r[1]  # n_bins <= n_files
+
+
+def test_band_sweep_nesting_invariants(spark):
+    """Band layouts nest (a (b,r) band is a union of (2b,r/2) bands), so
+    candidate and caught counts must be monotone in band count; and any
+    above-threshold pair (>=8 of 16 lanes) must collide under 16x1, so
+    that layout's recall is exactly 1.0."""
+    from cloud_data_sync_spark.operators.dedup import q_dedup_band_sweep
+
+    rows = {r.bands: r for r in q_dedup_band_sweep(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2, 4, 8, 16}
+    n_pairs = {r.n_pairs for r in rows.values()}
+    assert len(n_pairs) == 1  # one shared pair population
+    for coarse, fine in [(1, 2), (2, 4), (4, 8), (8, 16)]:
+        assert rows[coarse].n_candidates <= rows[fine].n_candidates
+        assert rows[coarse].n_caught <= rows[fine].n_caught
+    assert rows[16].recall == 1.0
+    assert rows[16].n_caught == rows[16].n_above
+
+
+def test_logreg_auc_matches_bruteforce(spark):
+    """The distributed Mann-Whitney AUC equals the O(n^2) definitional
+    AUC (ties counted 1/2) computed driver-side on the same scores."""
+    from cloud_data_sync_spark.operators.ml import (
+        _probe_pipeline,
+        q_logreg_auc,
+    )
+
+    got = q_logreg_auc(spark, SF_DIR).collect()[0]
+    _, s2 = _probe_pipeline(spark, SF_DIR)
+    pts = [(r.m2, r.y) for r in s2.select("m2", "y").collect()]
+    pos = [m for m, y in pts if y == 1.0]
+    neg = [m for m, y in pts if y == 0.0]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos
+        for n in neg
+    )
+    import math
+
+    expect = math.floor(wins / (len(pos) * len(neg)) * 1e6) / 1e6
+    assert got.auc == expect
+    assert 0.5 < got.auc <= 1.0  # the probe must actually rank
+
+
+def test_retention_plan_monotone_in_horizon(spark):
+    """Per prefix: totals are horizon-invariant, expired counts/bytes
+    shrink as the horizon grows, and fractions stay in [0, 1]."""
+    from collections import defaultdict
+
+    from cloud_data_sync_spark.operators.maintenance import q_retention_plan
+
+    by_prefix = defaultdict(dict)
+    for r in q_retention_plan(spark, SF_DIR).collect():
+        by_prefix[r.prefix][r.horizon_days] = r
+    assert len(by_prefix) == 8
+    for rows in by_prefix.values():
+        assert set(rows) == {30, 90, 365}
+        assert len({r.n_total for r in rows.values()}) == 1
+        assert rows[30].n_expired >= rows[90].n_expired >= rows[365].n_expired
+        assert (
+            rows[30].bytes_expired
+            >= rows[90].bytes_expired
+            >= rows[365].bytes_expired
+        )
+        for r in rows.values():
+            assert 0 <= r.bytes_frac <= 1
+            assert r.bytes_expired <= r.bytes_total

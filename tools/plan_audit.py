@@ -83,6 +83,9 @@ GLOBAL_FORBID = ("CartesianProduct",)
 #   constant-size threshold explode.
 BNLJ_ALLOWED = {
     "q_logreg_calibration",
+    # inherits the probe's 1-row weight packs; adds the 1-row (np, nn,
+    # groups) totals pack over the 1-row contribution fold
+    "q_logreg_auc",
     # 1-row orders-aggregate pack × 1-row orphan-count pack — both sides
     # are single-row aggregates, constant at any corpus size
     "q_expectations",
@@ -151,6 +154,14 @@ BNLJ_ALLOWED = {
     # over the per-doc result — constant size at any corpus scale
     "q_dedup_sentence_scrub",
     "q_dedup_span_scrub",
+    # the geometry sweep's pair join is a nested loop over the BOUNDED
+    # audit sample (base-id-capped, constant at any corpus size — the
+    # q_sim_topk bounded-set rule); every layout is decided in that one
+    # pass, no per-layout banding
+    "q_dedup_band_sweep",
+    # 1-row max-mtime pack cross-joined into the horizon explode over
+    # listing rows — the q_mixture_temperature scalar shape
+    "q_retention_plan",
     # 1-row corpus-total pack x 1-row leak-count pack over the 2-row
     # per-split aggregate — constant size at any corpus scale
     "q_split_assign",
@@ -176,6 +187,9 @@ BNLJ_ALLOWED = {
 GLOBAL_WINDOW_ALLOWED = {
     "q_vocab", "q_token_budget", "q_zipf_fit", "q_spend_gini",
     "q_lorenz_curve",
+    # the offset-table window runs over one row per shuffle partition
+    # (config cardinality) — the q_spend_gini two-phase order pattern
+    "q_logreg_auc",
     # the cumulative-recall window runs over the per-probe-depth rollup —
     # ≤K_CENTROIDS rows (a config constant), never a data cardinality
     "q_sim_ivf_sweep",
