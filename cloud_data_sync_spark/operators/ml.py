@@ -635,10 +635,9 @@ tot AS (SELECT sum(pos) AS np, sum(neg) AS nn FROM grp)
 SELECT CAST(t.np AS BIGINT) AS n_pos,
        CAST(t.nn AS BIGINT) AS n_neg,
        (SELECT CAST(count(*) AS BIGINT) FROM grp) AS n_distinct_scores,
-       floor(sum(c.pos * (c.cneg + c.neg / 2.0)) / (t.np * t.nn) * 1000000)
-         / 1000000 AS auc
-FROM cum c CROSS JOIN tot t
-GROUP BY t.np, t.nn
+       floor((SELECT sum(pos * (cneg + neg / 2.0)) FROM cum)
+             / (t.np * t.nn) * 1000000) / 1000000 AS auc
+FROM tot t
 """,
     doc=(
         "Exact ROC AUC for the trained linear probe — the ranking-quality "

@@ -65,6 +65,10 @@ KEYS = [
     #   (try_divide; plain '/' is a job-killing ANSI DIVIDE_BY_ZERO)
     "q_dedup_substring_spans",  # empty-string chunks share md5('') runs
     "q_split_assign",          # cluster-aware sides on a degenerate graph
+    "q_dedup_band_sweep",      # bounded pair sample may be tiny/empty ->
+    #   try_divide recall; every layout predicate over degenerate sigs
+    "q_stream_minhash_dedup",  # streaming bucket-state probe over
+    #   NULL/empty/1-token docs (dropped pre-banding on both engines)
 ]
 
 
@@ -180,6 +184,9 @@ VEC_EVENT_KEYS = [
     "q_stream_per_type_totals",  # NULL event_type groups via the sentinel
     "q_sim_pq",         # NULL/zero-norm embeddings excluded before coding
     "q_sim_pq_recall",  # audit join over the degenerate result sets
+    "q_sim_ivf_sweep",  # layout write + sweep over a degenerate index
+    "q_sim_index_stats",  # cell stats when most vectors are excluded
+    "q_logreg_auc",     # tie-heavy margins; 1-row fold on tiny classes
 ]
 
 
