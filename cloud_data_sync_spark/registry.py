@@ -89,6 +89,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bucketed,
         corpus,
         dedup,
+        governance,
         maintenance,
         ml,
         multimodal,

@@ -89,6 +89,9 @@ BNLJ_ALLOWED = {
     # 1-row orders-aggregate pack × 1-row orphan-count pack — both sides
     # are single-row aggregates, constant at any corpus size
     "q_expectations",
+    # 1-row orders-totals aggregate × 1-row orphan-count aggregate —
+    # both sides single-row packs, constant at any corpus size
+    "q_sample_coherent",
     # 1-row Neyman normalizer pack (sum of N_h·sigma_h) — same scalar
     # cross-join shape as q_mixture_temperature
     "q_neyman_alloc",
