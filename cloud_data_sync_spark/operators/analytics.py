@@ -3320,3 +3320,262 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor((b1m * c1y + b2m * c2y) / CAST(cyy AS DOUBLE)"
         " * 1000000) / 1000000 AS r2",
     ).orderBy("event_type")
+
+
+# -- round-17 additions: mutual-information feature ranking, survival ---------
+
+# Feature definitions for the MI ranking: (name, DuckDB expression).
+# The Spark side builds the identical expressions via F.expr so the two
+# engines cannot diverge on bucketing.
+_MI_FEATURES = (
+    ("source", "source"),
+    ("nchars_b500", "CAST(CAST(floor(n_chars / 500.0) AS BIGINT) AS STRING)"),
+    ("nchars_b100", "CAST(CAST(floor(n_chars / 100.0) AS BIGINT) AS STRING)"),
+)
+
+
+@register(
+    "q_mutual_info",
+    oracle=f"""
+WITH cells AS (
+  {" UNION ALL ".join(
+      f"SELECT '{name}' AS feature, {expr} AS fval, lang,"
+      " count(*) AS c FROM documents GROUP BY fval, lang"
+      for name, expr in _MI_FEATURES
+  )}
+),
+marg AS (
+  SELECT feature, fval, lang, c,
+         sum(c) OVER (PARTITION BY feature) AS n,
+         sum(c) OVER (PARTITION BY feature, fval) AS cx,
+         sum(c) OVER (PARTITION BY feature, lang) AS cy
+  FROM cells
+)
+SELECT feature,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       floor(sum(-(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n)
+                 * c / cy) * 1000000) / 1000000 AS h_label,
+       floor(sum(-(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n)
+                 * c / cx) * 1000000) / 1000000 AS h_feat,
+       floor(sum((CAST(c AS DOUBLE) / n)
+                 * ln(CAST(c AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)))
+             * 1000000) / 1000000 AS mi
+FROM marg
+GROUP BY feature
+""",
+    doc=(
+        "Mutual-information feature ranking — which document metadata "
+        "predicts the language label (the stratification question a "
+        "corpus pipeline answers before sampling): per candidate "
+        "feature, H(label), H(feature) and I(label; feature), all from "
+        "ONE (feature, value, label) contingency aggregate. One explode "
+        "fans each doc into its 3 feature assignments, one map-side-"
+        "combinable hash aggregate builds the cell frame (bounded by "
+        "feature-domain x label-domain, never row count), and the "
+        "marginals are windows over that tiny frame. Entropy terms are "
+        "weighted per-cell (sum of (cy/n)ln(cy/n) * c/cy restates the "
+        "label marginal exactly) so the whole readout is one pass over "
+        "cells with no second join. Floored at 1e-6 on both engines."
+    ),
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("feature"),
+                            F.expr(expr).alias("fval"),
+                        )
+                        for name, expr in _MI_FEATURES
+                    ]
+                )
+            ).alias("p"),
+            "lang",
+        )
+        .groupBy("p.feature", "p.fval", "lang")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("feature"))
+    cx = F.sum("c").over(Window.partitionBy("feature", "fval"))
+    cy = F.sum("c").over(Window.partitionBy("feature", "lang"))
+    marg = cells.select(
+        "feature",
+        "c",
+        n.alias("n"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    return marg.groupBy("feature").agg(
+        F.count("*").alias("n_cells"),
+        floor_ratio(
+            F.sum(
+                -(d("cy") / d("n"))
+                * F.log(d("cy") / d("n"))
+                * d("c")
+                / d("cy")
+            ),
+            6,
+        ).alias("h_label"),
+        floor_ratio(
+            F.sum(
+                -(d("cx") / d("n"))
+                * F.log(d("cx") / d("n"))
+                * d("c")
+                / d("cx")
+            ),
+            6,
+        ).alias("h_feat"),
+        floor_ratio(
+            F.sum(
+                (d("c") / d("n"))
+                * F.log(d("c") * d("n") / (d("cx") * d("cy")))
+            ),
+            6,
+        ).alias("mi"),
+    )
+
+
+# Churn horizon for the survival analysis: a user whose last event is
+# more than this far before the corpus frontier is labeled churned (the
+# standard last-seen heuristic; 1 day against ~0.75-day mean inter-event gaps); active users are right-censored at the
+# frontier.
+_KM_HORIZON_US = 1 * 86_400_000_000
+
+
+@register(
+    "q_survival_km",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+tmax AS (SELECT max(l) AS t FROM per_user),
+durs AS (
+  SELECT CASE WHEN l < t - {_KM_HORIZON_US} THEN 1 ELSE 0 END AS churned,
+         CAST(floor((CASE WHEN l < t - {_KM_HORIZON_US} THEN l ELSE t END - f)
+              / 3600000000.0) AS BIGINT) AS dur_hours
+  FROM per_user, tmax
+),
+daily AS (
+  SELECT dur_hours, sum(churned) AS d, sum(1 - churned) AS cens
+  FROM durs GROUP BY dur_hours
+),
+risked AS (
+  SELECT dur_hours, d, cens,
+         (SELECT count(*) FROM durs)
+           - coalesce(sum(d + cens) OVER (ORDER BY dur_hours
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM daily
+),
+km AS (
+  SELECT dur_hours, d, cens, n_risk,
+         max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur_hours ROWS UNBOUNDED PRECEDING) AS dead_end,
+         sum(CASE WHEN d > 0 AND d < n_risk
+                  THEN ln(1.0 - d / CAST(n_risk AS DOUBLE)) ELSE 0.0 END)
+           OVER (ORDER BY dur_hours ROWS UNBOUNDED PRECEDING) AS logs
+  FROM risked
+)
+SELECT CAST(dur_hours AS BIGINT) AS t_hours,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS d_churned,
+       CAST(cens AS BIGINT) AS c_censored,
+       CASE WHEN dead_end = 1 THEN 0.0
+            ELSE floor((exp(logs) - 0.000000001) * 1000000) / 1000000
+            END AS surv
+FROM km WHERE d > 0
+""",
+    doc=(
+        "Kaplan-Meier survival over user lifetimes — the retention "
+        "curve with CORRECT censoring (plain retention treats every "
+        "still-active user as churned-at-last-event; KM right-censors "
+        "them at the corpus frontier): per churn-time step, the risk "
+        "set, churn/censor counts, and the product-limit survival "
+        "estimate S(t) = prod(1 - d/n), computed as exp of a running "
+        "log-sum with an explicit absorbing-zero flag (no ln(0) on "
+        "either engine). One (user) hash aggregate does all row-scale "
+        "work; the KM recursion runs on the per-hour rollup, whose "
+        "cardinality is the observation window in hours — a bounded "
+        "domain, which is what makes the unpartitioned running window "
+        "admissible (same class as q_lorenz_curve's decile window)."
+    ),
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(tus).alias("f"), F.max(tus).alias("l")
+    )
+    tmax = per_user.agg(F.max("l").alias("t"))
+    churned = F.col("l") < F.col("t") - F.lit(_KM_HORIZON_US)
+    end = F.when(churned, F.col("l")).otherwise(F.col("t"))
+    durs = per_user.join(F.broadcast(tmax)).select(
+        F.when(churned, 1).otherwise(0).alias("churned"),
+        F.floor((end - F.col("f")) / 3_600_000_000.0)
+        .cast("long")
+        .alias("dur_hours"),
+    )
+    daily = durs.groupBy("dur_hours").agg(
+        F.sum("churned").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).alias("cens"),
+    )
+    n_users = durs.agg(F.count("*").alias("n_users"))
+    w_prev = (
+        Window.orderBy("dur_hours")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("dur_hours").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_n = daily.join(F.broadcast(n_users))
+    n_risk = F.col("n_users") - F.coalesce(
+        F.sum(F.col("d") + F.col("cens")).over(w_prev), F.lit(0)
+    )
+    risked = with_n.select(
+        "dur_hours", "d", "cens", n_risk.alias("n_risk")
+    )
+    km = risked.select(
+        "dur_hours",
+        "d",
+        "cens",
+        "n_risk",
+        F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("dead_end"),
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d") / F.col("n_risk").cast("double")
+                ),
+            ).otherwise(0.0)
+        )
+        .over(w_cum)
+        .alias("logs"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("dur_hours").cast("long").alias("t_hours"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("d_churned"),
+        F.col("cens").cast("long").alias("c_censored"),
+        # epsilon-shifted floor: the product-limit estimate is an exact
+        # rational that can land exactly ON a 1e-6 boundary (147/150 =
+        # 0.98 did, at sf0.01), where the two engines' exp(sum(ln(...)))
+        # round-trips straddle the floor. Shifting by 1e-9 — far above
+        # either engine's ulp error, far below any KM step — pins both
+        # to the same cell. Same shift verbatim in the oracle.
+        F.when(F.col("dead_end") == 1, F.lit(0.0))
+        .otherwise(
+            F.floor((F.exp("logs") - F.lit(1e-9)) * 1_000_000) / 1_000_000
+        )
+        .alias("surv"),
+    )

@@ -93,6 +93,7 @@ def all_queries() -> dict[str, QuerySpec]:
         maintenance,
         ml,
         multimodal,
+        optstats,
         relational,
         similarity,
         text,

@@ -69,6 +69,8 @@ KEYS = [
     #   try_divide recall; every layout predicate over degenerate sigs
     "q_stream_minhash_dedup",  # streaming bucket-state probe over
     #   NULL/empty/1-token docs (dropped pre-banding on both engines)
+    "q_mutual_info",           # NULL lang/source/n_chars become NULL-keyed
+    #   contingency cells on both engines, never a cast kill
 ]
 
 
@@ -187,6 +189,8 @@ VEC_EVENT_KEYS = [
     "q_sim_ivf_sweep",  # layout write + sweep over a degenerate index
     "q_sim_index_stats",  # cell stats when most vectors are excluded
     "q_logreg_auc",     # tie-heavy margins; 1-row fold on tiny classes
+    "q_survival_km",    # NULL user/ts filtered pre-agg; tied lifetimes
+    #   collapse to one KM step; absorbing-zero flag when d == n_risk
 ]
 
 

@@ -82,3 +82,76 @@ def test_coherent_sample_join_commutes(spark):
     assert got["customer"].orphans == 0
     for r in got.values():
         assert 0.02 < r.samp_frac < 0.25  # ~10%, loose at sf0.001
+
+
+def test_join_card_est_bounds_and_exactness(spark):
+    """F2 invariants: sum c^2 >= n_rows (with equality iff all keys
+    unique), the estimate is within the histogram's provable range, and
+    f2_exact for one column equals a direct recomputation."""
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.operators.optstats import q_join_card_est
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = {r.join_col: r for r in q_join_card_est(spark, SF_DIR).collect()}
+    assert set(rows) == {"l_partkey", "l_suppkey", "l_orderkey"}
+    li = load_table(spark, SF_DIR, "lineitem")
+    direct = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")))
+        .collect()[0][0]
+    )
+    assert rows["l_partkey"].f2_exact == direct
+    for r in rows.values():
+        assert r.f2_exact >= r.n_rows
+        assert r.max_key_rows**2 <= r.f2_exact
+        assert 0.0 <= r.skew_frac <= 1.0
+        assert r.rel_err >= 0.0
+        # uniformity estimate is a lower bound per bucket (Cauchy-Schwarz:
+        # sum c^2 >= (sum c)^2 / d), so f2_est <= f2_exact + flooring slack
+        assert r.f2_est <= r.f2_exact
+
+
+def test_mutual_info_information_inequalities(spark):
+    """MI >= 0, MI <= min(H_label, H_feat), H_label identical across
+    features (same label marginal), and refining the n_chars bucketing
+    (500 -> 100) cannot DECREASE MI (data-processing inequality)."""
+    from cloud_data_sync_spark.operators.analytics import q_mutual_info
+
+    rows = {r.feature: r for r in q_mutual_info(spark, SF_DIR).collect()}
+    assert set(rows) == {"source", "nchars_b500", "nchars_b100"}
+    labels = {r.h_label for r in rows.values()}
+    assert max(labels) - min(labels) < 3e-6
+    for r in rows.values():
+        assert r.mi >= -3e-6
+        assert r.mi <= min(r.h_label, r.h_feat) + 3e-6
+        assert r.h_feat >= -3e-6
+    assert rows["nchars_b100"].mi >= rows["nchars_b500"].mi - 3e-6
+
+
+def test_survival_km_monotone(spark):
+    """KM invariants at sf0.01 (sf0.001 has a single churn step): S(t)
+    non-increasing in [0, 1], the risk set non-increasing, and total
+    churned <= user count."""
+    from cloud_data_sync_spark.operators.analytics import q_survival_km
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = sorted(
+        q_survival_km(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.t_hours,
+    )
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.surv <= 1.0
+        assert r.d_churned >= 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.surv <= a.surv + 1e-9
+        assert b.n_at_risk <= a.n_at_risk
+    n_users = (
+        load_table(spark, "/root/testdata/sf0.01", "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.d_churned for r in rows) <= n_users

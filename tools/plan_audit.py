@@ -98,6 +98,10 @@ BNLJ_ALLOWED = {
     # 1-row state-count pack seeding the uniform pi0 (the pagerank
     # (1-d)/N shape); every iteration joins a states-bounded aggregate
     "q_markov_stationary",
+    # 1-row corpus-frontier pack (max last-event ts) over per-user rows
+    # + 1-row user-count pack over the hour rollup — both single-row
+    # scalar packs, constant at any corpus size
+    "q_survival_km",
     # 1-row (n, sum) totals pack feeding the Gini closed form
     "q_spend_gini",
     # same substrate/pack as q_spend_gini (shared ranked-spend builder)
@@ -196,6 +200,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # the cumulative-recall window runs over the per-probe-depth rollup —
     # ≤K_CENTROIDS rows (a config constant), never a data cardinality
     "q_sim_ivf_sweep",
+    # the KM recursion windows run over the per-hour duration rollup —
+    # bounded by the observation window in hours (~720), never user or
+    # event cardinality (same class as q_lorenz_curve's decile window)
+    "q_survival_km",
 }
 
 RULES: dict[str, dict[str, tuple[str, ...]]] = {
