@@ -914,3 +914,143 @@ def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# -- DSIR: data selection via importance resampling ---------------------------
+
+# Hashed-feature space size. DSIR (Xie et al. 2023) uses 10k hashed
+# n-gram buckets at production scale; 256 keeps the oracle's per-token
+# md5 affordable while exercising the identical plan shape (the bucket
+# frame is broadcast either way — 10k rows is as "tiny" as 256 at
+# 100 TB).
+_DSIR_BUCKETS = 256
+# Jelinek-Mercer interpolation weight: p(b) = LAM*emp(b) + (1-LAM)/B.
+# Unlike add-one smoothing — whose bias is asymmetric in the two
+# corpus totals (-B/n_target per token here, which drowned the signal:
+# the target total is a fraction of the raw total) — interpolation
+# scores a proportionally-represented bucket EXACTLY 0 regardless of
+# totals, so only genuine distribution shift moves a doc's weight.
+_DSIR_LAMBDA = 0.9
+# The target distribution: English docs stand in for the curated
+# high-quality sample a real run feeds (the raw side is the full
+# corpus). Any predicate works; the estimator only needs the two
+# bucket-count frames.
+_DSIR_TARGET = "lang = 'en'"
+
+
+@register(
+    "q_corpus_dsir",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % {_DSIR_BUCKETS} AS b
+  FROM toks
+),
+raw AS (SELECT b, count(*) AS c FROM b GROUP BY b),
+tgt AS (SELECT b, count(*) AS c FROM b WHERE {_DSIR_TARGET} GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM b WHERE {_DSIR_TARGET}) AS nt,
+         (SELECT count(*) FROM b) AS nr
+),
+lr AS (
+  SELECT raw.b,
+         ln({_DSIR_LAMBDA} * coalesce(tgt.c, 0) / tot.nt
+            + {1.0 - _DSIR_LAMBDA} / {_DSIR_BUCKETS})
+         - ln({_DSIR_LAMBDA} * raw.c / tot.nr
+            + {1.0 - _DSIR_LAMBDA} / {_DSIR_BUCKETS}) AS lr
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+),
+docw AS (
+  SELECT b.doc_id, b.lang, b.source, sum(lr.lr) AS logw
+  FROM b JOIN lr ON b.b = lr.b
+  GROUP BY b.doc_id, b.lang, b.source
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(avg(logw) * 1000000) / 1000000 AS avg_logw,
+       floor(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1000000) / 1000000 AS sel_frac
+FROM docw GROUP BY lang, source
+""",
+    doc=(
+        "DSIR — data selection via importance resampling (Xie et al. "
+        "2023), the standard recipe for steering a raw crawl toward a "
+        "target domain: hashed-unigram bucket counts estimate a target "
+        "LM (English docs) and a raw LM (full corpus) with Jelinek-"
+        "Mercer interpolation smoothing (proportional buckets score "
+        "exactly 0 — add-one smoothing's asymmetric total bias drowned "
+        "the signal), each doc scores the SUM of per-token "
+        "log-likelihood ratios, and selection keeps positive-weight "
+        "docs. Reported per (lang, source): doc count, mean log-weight "
+        "and selected fraction — English groups score positive, "
+        "non-English negative, which is the estimator working. Plan "
+        "shape: the tokenized substrate explodes once, the two bucket "
+        "frames are 256-row aggregates (broadcast to the token "
+        "stream — never a corpus-side shuffle), and the per-doc "
+        "reduce is the one (doc) hash aggregate every text operator "
+        "pays. At 100 TB the bucket frames are still KB-scale: the "
+        "importance model is a broadcast variable by construction, "
+        "which is exactly why DSIR scales where classifier-based "
+        "selection needs GPU inference."
+    ),
+)
+def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloud_data_sync_spark.operators.governance import bucket16
+
+    toks = toks_documents(spark, sf_dir).select(
+        "doc_id", "lang", "source", F.explode("toks").alias("w")
+    )
+    b = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        (bucket16(F.col("w")) % _DSIR_BUCKETS).alias("b"),
+    )
+    raw = b.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt = (
+        b.filter(F.expr(_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    tot = b.agg(
+        F.sum(F.when(F.expr(_DSIR_TARGET), 1).otherwise(0)).alias("nt"),
+        F.count("*").alias("nr"),
+    )
+    lr = (
+        raw.join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    _DSIR_LAMBDA
+                    * F.coalesce(F.col("tc"), F.lit(0))
+                    / F.col("nt")
+                    + (1.0 - _DSIR_LAMBDA) / _DSIR_BUCKETS
+                )
+                - F.log(
+                    _DSIR_LAMBDA * F.col("rc") / F.col("nr")
+                    + (1.0 - _DSIR_LAMBDA) / _DSIR_BUCKETS
+                )
+            ).alias("lr"),
+        )
+    )
+    docw = (
+        b.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.sum("lr").alias("logw"))
+    )
+    return docw.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        floor_ratio(F.avg("logw"), 6).alias("avg_logw"),
+        floor_ratio(
+            F.sum(F.when(F.col("logw") > 0, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("sel_frac"),
+    )

@@ -1532,3 +1532,103 @@ def _graph_degree_pipeline(edge_counts: DataFrame) -> DataFrame:
             F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx), 4
         ).alias("assortativity"),
     )
+
+
+# -- multi-source BFS over the trade graph ------------------------------------
+
+_BFS_ITERS = 3
+_BFS_UNREACHED = 99  # sentinel strictly above any reachable depth
+
+
+def _bfs_iter_sql(i: int) -> str:
+    prev = f"d{i - 1}"
+    return f"""
+d{i} AS (
+  SELECT d.node,
+         min(least(d.dist, coalesce(dp.dist, {_BFS_UNREACHED - 1}) + 1))
+           AS dist
+  FROM {prev} d
+  LEFT JOIN edges e ON e.dst = d.node
+  LEFT JOIN {prev} dp ON dp.node = e.src
+  GROUP BY d.node
+)"""
+
+
+@register(
+    "q_graph_bfs",
+    oracle="WITH "
+    + _EDGE_SQL
+    + f""",
+d0 AS (
+  SELECT node,
+         CASE WHEN node % 7 = 0 THEN 0 ELSE {_BFS_UNREACHED} END AS dist
+  FROM nodes
+)"""
+    + "".join("," + _bfs_iter_sql(i) for i in range(1, _BFS_ITERS + 1))
+    + f"""
+SELECT nodes.n_name AS nation, CAST(d.dist AS BIGINT) AS dist
+FROM d{_BFS_ITERS} d JOIN nodes ON nodes.node = d.node
+WHERE d.dist < {_BFS_UNREACHED}
+""",
+    doc=(
+        "Multi-source BFS (hop distance from a seed set, here nations "
+        "with key % 7 == 0) over the directed trade graph — the "
+        "reachability primitive behind blast-radius, influence and "
+        "contamination-spread queries. Fixed-depth unrolled iteration "
+        "(the q_pagerank static-DAG pattern — no driver loop, no "
+        "recursion): each round is one equi-join of the frontier "
+        "against the edge aggregate plus a min-relaxation hash "
+        "aggregate, so at billions of edges each hop costs exactly one "
+        "co-partitioned join+agg shuffle pair and the unreached "
+        "sentinel keeps every node's row width constant. The edge "
+        "derivation rides the shared trade_edges substrate; the oracle "
+        "unrolls the identical relaxation in SQL CTEs."
+    ),
+    plan=lambda spark, sf_dir: _bfs_pipeline(
+        spark, sf_dir, _trade_edges_build(spark, sf_dir)
+    ),
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bfs_pipeline(spark, sf_dir, trade_edges(spark, sf_dir))
+
+
+def _bfs_pipeline(
+    spark: SparkSession, sf_dir: str, edges: DataFrame
+) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    e = edges.select("src", "dst")
+    dist = nation.select(
+        "node",
+        F.when(F.col("node") % 7 == 0, 0)
+        .otherwise(_BFS_UNREACHED)
+        .alias("dist"),
+    )
+    for _ in range(_BFS_ITERS):
+        relaxed = (
+            dist.join(F.broadcast(e), dist.node == e.dst, "left")
+            .join(
+                F.broadcast(dist.select(F.col("node").alias("pn"),
+                                        F.col("dist").alias("pd"))),
+                F.col("pn") == F.col("src"),
+                "left",
+            )
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.least(
+                        F.col("dist"),
+                        F.coalesce(F.col("pd"), F.lit(_BFS_UNREACHED - 1))
+                        + 1,
+                    )
+                ).alias("dist")
+            )
+        )
+        dist = relaxed
+    return (
+        dist.filter(F.col("dist") < _BFS_UNREACHED)
+        .join(F.broadcast(nation), "node")
+        .select("n_name", "dist")
+        .select(F.col("n_name").alias("nation"), F.col("dist").cast("long").alias("dist"))
+    )

@@ -71,6 +71,9 @@ KEYS = [
     #   NULL/empty/1-token docs (dropped pre-banding on both engines)
     "q_mutual_info",           # NULL lang/source/n_chars become NULL-keyed
     #   contingency cells on both engines, never a cast kill
+    "q_corpus_dsir",           # NULL text drops from the token stream on
+    #   both engines; empty docs contribute one ''-token; NULL lang
+    #   groups ride the raw side only
 ]
 
 

@@ -155,3 +155,68 @@ def test_survival_km_monotone(spark):
         .count()
     )
     assert sum(r.d_churned for r in rows) <= n_users
+
+
+def test_dsir_separates_target_language(spark):
+    """The estimator's defining behavior: English groups (the target)
+    score a positive mean log-weight, non-English groups negative, and
+    selected fractions track the sign."""
+    from cloud_data_sync_spark.operators.corpus import q_corpus_dsir
+
+    rows = q_corpus_dsir(spark, SF_DIR).collect()
+    assert rows
+    en = [r for r in rows if r.lang == "en"]
+    other = [r for r in rows if r.lang not in ("en", None)]
+    assert en and other
+    # weight docs equally within each side
+    en_mean = sum(r.avg_logw * r.n_docs for r in en) / sum(
+        r.n_docs for r in en
+    )
+    ot_mean = sum(r.avg_logw * r.n_docs for r in other) / sum(
+        r.n_docs for r in other
+    )
+    assert en_mean > 0 > ot_mean
+    en_sel = sum(r.sel_frac * r.n_docs for r in en) / sum(r.n_docs for r in en)
+    ot_sel = sum(r.sel_frac * r.n_docs for r in other) / sum(
+        r.n_docs for r in other
+    )
+    assert en_sel > ot_sel
+
+
+def test_bfs_matches_networkx_free_reference(spark):
+    """BFS distances equal a pure-Python multi-source BFS on the same
+    collected edge aggregate (25-node graph — collectable by design)."""
+    from collections import deque
+
+    from cloud_data_sync_spark.operators.ml import (
+        _BFS_ITERS,
+        q_graph_bfs,
+        trade_edges,
+    )
+    from cloud_data_sync_spark.tables import load_table
+
+    edges = [
+        (r.src, r.dst) for r in trade_edges(spark, SF_DIR).collect()
+    ]
+    nodes = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, SF_DIR, "nation").collect()
+    }
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {n: 0 for n in nodes if n % 7 == 0}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        if dist[u] >= _BFS_ITERS:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    want = sorted((nodes[n], d) for n, d in dist.items())
+    got = sorted(
+        (r.nation, r.dist) for r in q_graph_bfs(spark, SF_DIR).collect()
+    )
+    assert got == want

@@ -104,6 +104,9 @@ BNLJ_ALLOWED = {
     "q_survival_km",
     # 1-row (n, sum) totals pack feeding the Gini closed form
     "q_spend_gini",
+    # 1-row (target-total, raw-total) pack crossed onto the 256-row
+    # bucket frame before the log-ratio — constant at any corpus size
+    "q_corpus_dsir",
     # same substrate/pack as q_spend_gini (shared ranked-spend builder)
     "q_lorenz_curve",
     # q_bootstrap_ci left this list in r5: the hash-window rework computes
