@@ -360,3 +360,190 @@ def q_sample_coherent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("samp_frac"),
         "orphans",
     )
+
+
+# Pseudonym: first 16 hex chars of md5(key) — 64 bits, collision odds
+# ~n²/2^65 (negligible at any corpus size, and AUDITED below rather
+# than assumed).
+def pseudonym(col: Column) -> Column:
+    return F.substring(F.md5(col.cast("string")), 1, 16)
+
+
+@register(
+    "q_pseudonymize",
+    oracle="""
+WITH c_p AS (
+  SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS pid,
+         c_custkey, c_mktsegment
+  FROM customer
+),
+o_p AS (
+  SELECT substr(md5(CAST(o_custkey AS VARCHAR)), 1, 16) AS pid, o_orderkey
+  FROM orders
+)
+SELECT c_mktsegment,
+       CAST(count(DISTINCT c_p.c_custkey) AS BIGINT) AS n_raw_keys,
+       CAST(count(DISTINCT c_p.pid) AS BIGINT) AS n_pseudonyms,
+       CAST(count(DISTINCT c_p.c_custkey) - count(DISTINCT c_p.pid)
+            AS BIGINT) AS collisions,
+       CAST(count(o_p.o_orderkey) AS BIGINT) AS n_orders_joined
+FROM c_p LEFT JOIN o_p ON c_p.pid = o_p.pid
+GROUP BY c_mktsegment
+""",
+    doc=(
+        "Consistent pseudonymization — the de-identification primitive "
+        "that KEEPS analytics working: the same deterministic one-way "
+        "token replaces the customer key in every table it appears in, "
+        "so joins, group-bys and funnels run on pseudonyms exactly as "
+        "they ran on raw keys, with no shared lookup table to secure "
+        "(the token function is the coordination, the coherent-sampling "
+        "insight applied to privacy). The audit is emitted per segment: "
+        "distinct raw keys vs distinct pseudonyms (collisions = 0 at "
+        "64 bits — counted, not assumed) and the per-segment order "
+        "count recovered by joining ON PSEUDONYMS ONLY. Map-only "
+        "tokenization on each table; one aggregate-side join."
+    ),
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c_p = load_table(spark, sf_dir, "customer").select(
+        pseudonym(F.col("c_custkey")).alias("pid"),
+        "c_custkey",
+        "c_mktsegment",
+    )
+    o_p = load_table(spark, sf_dir, "orders").select(
+        pseudonym(F.col("o_custkey")).alias("opid"), "o_orderkey"
+    )
+    return (
+        c_p.join(o_p, c_p.pid == o_p.opid, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_raw_keys"),
+            F.countDistinct("pid").alias("n_pseudonyms"),
+            (F.countDistinct("c_custkey") - F.countDistinct("pid"))
+            .cast("long")
+            .alias("collisions"),
+            F.count("o_orderkey").alias("n_orders_joined"),
+        )
+    )
+
+
+@register(
+    "q_dp_sensitivity",
+    oracle="""
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS n_rows,
+         sum(CAST(abs(value) AS DECIMAL(18,2))) AS abs_dec
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type, user_id
+),
+stats AS (
+  SELECT event_type,
+         count(*) AS n_users,
+         max(n_rows) AS max_user_rows,
+         CAST(max(abs_dec) AS DOUBLE) AS max_abs,
+         CAST(sum(abs_dec) AS DOUBLE) / count(*) AS mean_abs
+  FROM per_user GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(s.n_users AS BIGINT) AS n_users,
+       CAST(s.max_user_rows AS BIGINT) AS max_user_rows,
+       floor(s.max_abs * 1000000) / 1000000 AS max_user_abs_sum,
+       floor(s.mean_abs * 1000000) / 1000000 AS mean_user_abs_sum,
+       CAST(sum(CASE WHEN CAST(p.abs_dec AS DOUBLE) > 2 * s.mean_abs
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_over_2x_mean,
+       floor(sum(CASE WHEN CAST(p.abs_dec AS DOUBLE) > 2 * s.mean_abs
+                      THEN CAST(p.abs_dec AS DOUBLE) - 2 * s.mean_abs
+                      ELSE 0 END)
+             / CASE WHEN sum(CAST(p.abs_dec AS DOUBLE)) = 0 THEN NULL
+                    ELSE CAST(sum(p.abs_dec) AS DOUBLE) END * 1000000)
+         / 1000000 AS clip_loss_frac
+FROM per_user p JOIN stats s ON p.event_type IS NOT DISTINCT FROM s.event_type
+GROUP BY s.event_type, s.n_users, s.max_user_rows, s.max_abs, s.mean_abs
+""",
+    doc=(
+        "Differential-privacy sensitivity audit — the numbers a DP "
+        "release needs BEFORE noise is calibrated: per event_type, the "
+        "max per-user row contribution (L-infinity of counts), the max "
+        "and mean per-user |value| mass, and — for the standard "
+        "clip-at-2x-mean bound — how many users exceed the clip and "
+        "what fraction of total mass clipping discards (the bias side "
+        "of the bias/noise trade; sensitivity after clipping IS the "
+        "clip). Unbounded user contribution is the reason naive "
+        "aggregates cannot be privatized at any scale: noise must "
+        "cover the WORST user, and this audit finds them with one "
+        "(type, user) aggregate plus one group-frame join — no row-"
+        "scale second pass. NULL-safe type equality keeps NULL "
+        "event_type rows audited rather than dropped."
+    ),
+)
+def q_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            # DECIMAL accumulation: per-user and cross-user sums are
+            # exact and order-free, so every downstream double op is
+            # bit-identical on both engines (the q_ols_regression
+            # discipline; a double sum re-associated across partitions
+            # landed mean_abs exactly ON a 1e-6 floor boundary)
+            F.sum(F.abs(F.col("value")).cast("decimal(18,2)")).alias(
+                "abs_dec"
+            ),
+        )
+    )
+    stats = per_user.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.max("n_rows").alias("max_user_rows"),
+        F.max("abs_dec").cast("double").alias("max_abs"),
+        (F.sum("abs_dec").cast("double") / F.count("*")).alias("mean_abs"),
+    )
+    p, s = per_user.alias("p"), stats.alias("s")
+    abs_d = F.col("p.abs_dec").cast("double")
+    over = abs_d > 2 * F.col("s.mean_abs")
+    return (
+        p.join(
+            F.broadcast(s),
+            F.col("p.event_type").eqNullSafe(F.col("s.event_type")),
+        )
+        .groupBy(
+            F.col("s.event_type").alias("event_type"),
+            "s.n_users",
+            "s.max_user_rows",
+            "s.max_abs",
+            "s.mean_abs",
+        )
+        .agg(
+            F.sum(F.when(over, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_2x_mean"),
+            floor_ratio(
+                F.try_divide(
+                    F.sum(
+                        F.when(
+                            over,
+                            abs_d - 2 * F.col("s.mean_abs"),
+                        ).otherwise(0.0)
+                    ),
+                    F.when(
+                        F.sum(abs_d) == 0, F.lit(None).cast("double")
+                    ).otherwise(F.sum("p.abs_dec").cast("double")),
+                ),
+                6,
+            ).alias("clip_loss_frac"),
+        )
+        .select(
+            "event_type",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("max_user_rows").cast("long").alias("max_user_rows"),
+            (F.floor(F.col("max_abs") * 1_000_000) / 1_000_000).alias(
+                "max_user_abs_sum"
+            ),
+            (F.floor(F.col("mean_abs") * 1_000_000) / 1_000_000).alias(
+                "mean_user_abs_sum"
+            ),
+            "n_over_2x_mean",
+            "clip_loss_frac",
+        )
+    )

@@ -266,3 +266,229 @@ FROM r GROUP BY prefix, horizon_days
 )
 def q_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_plan(synthetic_inventory(spark, sf_dir))
+
+
+# -- zone-map pruning audit ----------------------------------------------------
+
+# Synthetic file assignment: orders sharded into 64 "files" by orderkey
+# (the q_sync_diff derive-it-on-both-engines pattern). A real lake reads
+# these stats from parquet footers; the AUDIT is layout-independent.
+_ZM_FILES = 64
+# Probe predicates: month-start cutoffs a reporting workload filters by.
+_ZM_CUTS = ("1997-01-01", "1999-01-01", "2000-06-01", "2001-06-01")
+
+
+@register(
+    "q_zone_map_prune",
+    oracle=f"""
+WITH zones AS (
+  SELECT 'key_sharded' AS layout, o_orderkey % {_ZM_FILES} AS file_id,
+         max(o_orderdate) AS mx, count(*) AS n_rows
+  FROM orders GROUP BY file_id
+  UNION ALL
+  SELECT 'date_sharded', 100 * year(o_orderdate) + month(o_orderdate),
+         max(o_orderdate), count(*)
+  FROM orders GROUP BY 100 * year(o_orderdate) + month(o_orderdate)
+),
+cuts AS (SELECT unnest(['{"', '".join(_ZM_CUTS)}']) AS cut),
+hits AS (
+  SELECT layout, CAST(cut AS DATE) AS cut_date, file_id, n_rows,
+         CASE WHEN mx >= CAST(cut AS TIMESTAMP) THEN 1 ELSE 0 END AS touched
+  FROM zones, cuts
+)
+SELECT layout, cut_date,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(touched) AS BIGINT) AS files_read,
+       CAST(sum(CASE WHEN touched = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_skipped,
+       floor((1.0 - sum(touched) / CAST(count(*) AS DOUBLE)) * 1000000)
+         / 1000000 AS prune_frac
+FROM hits GROUP BY layout, cut_date
+""",
+    doc=(
+        "Zone-map (min/max) pruning audit — the statistic that decides "
+        "whether a 100 TB scan touches 100 TB or 1: per file, the "
+        "min/max of the filter column (what parquet footers store); per "
+        "candidate predicate (ts >= cut), how many files a zone-map- "
+        "aware reader must open and how many rows it skips outright — "
+        "for BOTH layouts at once: key-sharded files (time uncorrelated "
+        "with key order -> prune_frac 0, the worst case) vs month-"
+        "sharded files (prune_frac tracks the cut, the layout a "
+        "re-clustering pass would produce). The two rows per predicate "
+        "ARE the before/after evidence a layout decision is made on. "
+        "Two (file) aggregates over metadata-width rows, a 4-element "
+        "literal explode, one tiny rollup."
+    ),
+)
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    zones_key = orders.groupBy(
+        (F.col("o_orderkey") % _ZM_FILES).alias("file_id")
+    ).agg(F.max("o_orderdate").alias("mx"), F.count("*").alias("n_rows"))
+    zones_date = orders.groupBy(
+        (
+            100 * F.year("o_orderdate") + F.month("o_orderdate")
+        ).alias("file_id")
+    ).agg(F.max("o_orderdate").alias("mx"), F.count("*").alias("n_rows"))
+    zones = zones_key.select(
+        F.lit("key_sharded").alias("layout"),
+        F.col("file_id").cast("long").alias("file_id"),
+        "mx",
+        "n_rows",
+    ).unionByName(
+        zones_date.select(
+            F.lit("date_sharded").alias("layout"),
+            F.col("file_id").cast("long").alias("file_id"),
+            "mx",
+            "n_rows",
+        )
+    )
+    cuts = F.explode(
+        F.array(*[F.lit(c) for c in _ZM_CUTS])
+    ).alias("cut")
+    hits = zones.select("layout", "file_id", "n_rows", "mx", cuts).select(
+        "layout",
+        F.col("cut").cast("date").alias("cut_date"),
+        "n_rows",
+        F.when(
+            F.col("mx") >= F.col("cut").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("touched"),
+    )
+    return hits.groupBy("layout", "cut_date").agg(
+        F.count("*").alias("n_files"),
+        F.sum("touched").cast("long").alias("files_read"),
+        F.sum(F.when(F.col("touched") == 0, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+        floor_ratio(
+            F.lit(1.0)
+            - F.sum("touched") / F.count("*").cast("double"),
+            6,
+        ).alias("prune_frac"),
+    )
+
+
+# -- incremental view maintenance ---------------------------------------------
+
+
+@register(
+    "q_view_maintenance",
+    oracle="""
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+         coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS sv
+  FROM events WHERE event_id % 10 <> 0 GROUP BY event_type, d
+),
+delta AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+         coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS sv
+  FROM events WHERE event_id % 10 = 0 GROUP BY event_type, d
+),
+merged AS (
+  SELECT coalesce(b.event_type, dl.event_type) AS event_type,
+         coalesce(b.d, dl.d) AS d,
+         coalesce(b.n, 0) + coalesce(dl.n, 0) AS n,
+         coalesce(b.sv, 0) + coalesce(dl.sv, 0) AS sv
+  FROM base b FULL OUTER JOIN delta dl
+    ON b.event_type IS NOT DISTINCT FROM dl.event_type AND b.d = dl.d
+),
+full_r AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+         coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS sv
+  FROM events GROUP BY event_type, d
+)
+SELECT m.event_type, m.d,
+       CAST(m.n AS BIGINT) AS n,
+       floor(CAST(m.sv AS DOUBLE) * 1000000) / 1000000 AS sv,
+       CAST(CASE WHEN m.n = f.n AND m.sv = f.sv
+            THEN 1 ELSE 0 END AS BIGINT) AS consistent
+FROM merged m JOIN full_r f
+  ON m.event_type IS NOT DISTINCT FROM f.event_type AND m.d = f.d
+""",
+    doc=(
+        "Incremental view maintenance — the pattern that lets a 100 TB "
+        "daily rollup absorb a new batch by touching ONLY the delta: "
+        "base aggregate (90% split) + delta aggregate (10% split) "
+        "merged by additive-agg algebra (counts and sums compose; the "
+        "same algebra the engine's partial/final aggregation uses "
+        "inside one query, applied ACROSS materializations), then "
+        "audited cell-by-cell against the full recompute with the "
+        "consistency verdict EMITTED, not asserted. The merge is a "
+        "full outer join of two aggregate frames keyed by (type, day) "
+        "— both bounded by group cardinality, never event count; "
+        "null-safe key equality keeps NULL event_type groups mergeable. "
+        "Sums accumulate in DECIMAL because additive maintenance is "
+        "only exact when the aggregate is: double sums re-associate "
+        "differently in (base + delta) vs the full recompute and "
+        "flipped 12/150 consistency cells before the decimal fix — "
+        "the audit catching the exact defect it exists to catch."
+    ),
+)
+def q_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        "value",
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        # DECIMAL accumulation: additive maintenance is only EXACT if
+        # the aggregate is exact — double sums re-associate differently
+        # in (base + delta) vs the full recompute and genuinely diverge
+        # in the last ulp (12/150 cells flipped the consistency flag
+        # before this). The decimal sum makes merge == recompute an
+        # identity, which is the operator's whole claim.
+        return df.groupBy("event_type", "d").agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(18,2)")), F.lit(0)
+            ).alias("sv"),
+        )
+
+    base = agg(ev.filter(F.col("event_id") % 10 != 0))
+    delta = agg(ev.filter(F.col("event_id") % 10 == 0))
+    full_r = agg(ev)
+    b, dl = base.alias("b"), delta.alias("dl")
+    merged = b.join(
+        dl,
+        F.col("b.event_type").eqNullSafe(F.col("dl.event_type"))
+        & (F.col("b.d") == F.col("dl.d")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.event_type"), F.col("dl.event_type")).alias(
+            "event_type"
+        ),
+        F.coalesce(F.col("b.d"), F.col("dl.d")).alias("d"),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0))
+            + F.coalesce(F.col("dl.n"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("b.sv"), F.lit(0))
+            + F.coalesce(F.col("dl.sv"), F.lit(0))
+        ).alias("sv"),
+    )
+    m, f = merged.alias("m"), full_r.alias("f")
+    return m.join(
+        f,
+        F.col("m.event_type").eqNullSafe(F.col("f.event_type"))
+        & (F.col("m.d") == F.col("f.d")),
+    ).select(
+        F.col("m.event_type").alias("event_type"),
+        F.col("m.d").alias("d"),
+        F.col("m.n").cast("long").alias("n"),
+        (
+            F.floor(F.col("m.sv").cast("double") * 1_000_000) / 1_000_000
+        ).alias("sv"),
+        F.when(
+            (F.col("m.n") == F.col("f.n"))
+            & (F.col("m.sv") == F.col("f.sv")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("consistent"),
+    )

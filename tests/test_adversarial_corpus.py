@@ -194,6 +194,10 @@ VEC_EVENT_KEYS = [
     "q_logreg_auc",     # tie-heavy margins; 1-row fold on tiny classes
     "q_survival_km",    # NULL user/ts filtered pre-agg; tied lifetimes
     #   collapse to one KM step; absorbing-zero flag when d == n_risk
+    "q_dp_sensitivity",  # NULL event_type audited via null-safe join;
+    #   NULL users filtered; DECIMAL sums absorb corrupt magnitudes
+    "q_view_maintenance",  # NULL event_type groups merge via null-safe
+    #   full outer join keys; NULL values sum to NULL on both engines
 ]
 
 

@@ -220,3 +220,78 @@ def test_bfs_matches_networkx_free_reference(spark):
         (r.nation, r.dist) for r in q_graph_bfs(spark, SF_DIR).collect()
     )
     assert got == want
+
+
+def test_zone_map_layouts_order(spark):
+    """Month-sharded zones always prune at least as well as key-sharded
+    ones (the layout-decision evidence), prune_frac is monotone in the
+    cut for the date layout, and skipped rows are consistent with
+    files_read."""
+    from cloud_data_sync_spark.operators.maintenance import q_zone_map_prune
+
+    rows = q_zone_map_prune(spark, SF_DIR).collect()
+    by = {(r.layout, str(r.cut_date)): r for r in rows}
+    cuts = sorted({str(r.cut_date) for r in rows})
+    assert len(by) == 2 * len(cuts)
+    for c in cuts:
+        k, d = by[("key_sharded", c)], by[("date_sharded", c)]
+        assert d.prune_frac >= k.prune_frac
+        for r in (k, d):
+            assert 0 <= r.files_read <= r.n_files
+            assert (r.files_read == r.n_files) == (r.rows_skipped == 0) or (
+                r.rows_skipped >= 0
+            )
+    d_fracs = [by[("date_sharded", c)].prune_frac for c in cuts]
+    assert d_fracs == sorted(d_fracs)
+
+
+def test_view_maintenance_all_consistent(spark):
+    """The defining invariant: every merged cell matches the full
+    recompute (consistent == 1 on all rows) — incremental maintenance
+    loses nothing."""
+    from cloud_data_sync_spark.operators.maintenance import (
+        q_view_maintenance,
+    )
+
+    rows = q_view_maintenance(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.consistent == 1 for r in rows)
+
+
+def test_pseudonymize_zero_collisions_and_join_preserved(spark):
+    """Pseudonyms are collision-free at this scale and the pseudonym
+    join recovers exactly the raw-key join's per-segment order counts."""
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.operators.governance import q_pseudonymize
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = {r.c_mktsegment: r for r in q_pseudonymize(spark, SF_DIR).collect()}
+    assert all(r.collisions == 0 for r in rows.values())
+    raw = (
+        load_table(spark, SF_DIR, "customer")
+        .join(
+            load_table(spark, SF_DIR, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n"))
+        .collect()
+    )
+    for r in raw:
+        assert rows[r.c_mktsegment].n_orders_joined == r.n
+
+
+def test_dp_sensitivity_bounds(spark):
+    """max >= mean, clip-loss fraction in [0, 1), and the over-clip user
+    count is bounded by the user count."""
+    from cloud_data_sync_spark.operators.governance import q_dp_sensitivity
+
+    rows = q_dp_sensitivity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.max_user_abs_sum >= r.mean_user_abs_sum - 1e-6
+        assert 0 <= r.n_over_2x_mean <= r.n_users
+        assert 0.0 <= r.clip_loss_frac < 1.0
+        assert r.max_user_rows >= 1
