@@ -2978,3 +2978,107 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("matched"),
         F.round(F.coalesce("e", F.lit(0.0)), 4).alias("best_est"),
     )
+
+
+# -- winnowing fingerprints (MOSS) --------------------------------------------
+
+_WINNOW_W = 4  # window width in grams: guarantee = w + k - 1 = 6 tokens
+
+
+@register(
+    "q_dedup_winnow",
+    oracle="WITH "
+    + _AUG_SQL
+    + f""",
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM aug
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS gh,
+         greatest(len(t) - 2, 0) AS g
+  FROM toks, LATERAL unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+),
+wmin AS (
+  SELECT doc_id, g,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams WHERE pos <= g - {_WINNOW_W - 1}
+),
+fps AS (SELECT DISTINCT doc_id, g, fp FROM wmin),
+share AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM fps GROUP BY fp)
+SELECT f.doc_id,
+       CAST(any_value(f.g) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       floor(count(*) / CAST(any_value(f.g) - {_WINNOW_W - 1} AS DOUBLE)
+             * 1000000) / 1000000 AS fp_density,
+       CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_fp
+FROM fps f JOIN share s ON f.fp = s.fp
+GROUP BY f.doc_id
+""",
+    doc=(
+        "Winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS "
+        "algorithm): per doc, the minimum trigram hash of every "
+        "4-gram-wide sliding window, deduplicated — the fingerprint "
+        "selection scheme with a MATCH GUARANTEE (any shared run of "
+        "w + k - 1 = 6 tokens shares at least one fingerprint) that "
+        "uniform sampling schemes like 0 mod p lack, at expected "
+        "density 2/(w+1). Emits per doc: gram count, fingerprint "
+        "count, realized density, and how many of its fingerprints "
+        "appear in other docs (the plagiarism/copy signal over the "
+        "augmented corpus). Plan shape: the positional gram explode "
+        "rides per-doc partition windows (never a global sort), "
+        "fingerprints shuffle once keyed by hash for the sharing "
+        "count, and the per-doc rollup is one hash aggregate — the "
+        "same one-exchange discipline as the MinHash family, but "
+        "position-aware."
+    ),
+)
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = augmented_documents(spark, sf_dir)
+    take = "greatest(size(toks) - 2, 0)"
+    tri = (
+        f"zip_with(zip_with(slice(toks, 1, {take}), slice(toks, 2, {take}),"
+        " (a, b) -> concat(a, ' ', b)),"
+        f" slice(toks, 3, {take}), (p, c) -> concat(p, ' ', c))"
+    )
+    grams = (
+        docs.withColumn("toks", low_toks())
+        .select("doc_id", F.posexplode(F.expr(tri)).alias("pos", "gram"))
+        .select(
+            "doc_id",
+            "pos",
+            F.md5("gram").alias("gh"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("g"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    wmin = grams.filter(F.col("pos") <= F.col("g") - _WINNOW_W).select(
+        "doc_id", "g", F.min("gh").over(w).alias("fp")
+    )
+    fps = wmin.select("doc_id", "g", "fp").distinct()
+    share = fps.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        fps.join(share, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("g").cast("long").alias("n_grams"),
+            F.count("*").alias("n_fp"),
+            floor_ratio(
+                F.count("*")
+                / (F.any_value("g") - (_WINNOW_W - 1)).cast("double"),
+                6,
+            ).alias("fp_density"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_fp"),
+        )
+    )

@@ -1671,3 +1671,112 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# -- embedding drift monitor ---------------------------------------------------
+
+_DRIFT_TOP = 8  # per-dim rows emitted: the top-drifted dimensions
+
+
+@register(
+    "q_embedding_drift",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+flat AS (
+  SELECT label % 2 AS side, t.i AS dim, n.v[t.i] AS x
+  FROM n, LATERAL unnest(range(1, len(n.v) + 1)) AS t(i)
+),
+per_dim AS (
+  SELECT dim,
+         count(CASE WHEN side = 0 THEN 1 END) AS n_ref,
+         count(CASE WHEN side = 1 THEN 1 END) AS n_cand,
+         avg(CASE WHEN side = 0 THEN x END) AS m_ref,
+         avg(CASE WHEN side = 1 THEN x END) AS m_cand,
+         var_samp(CASE WHEN side = 0 THEN x END) AS v_ref,
+         var_samp(CASE WHEN side = 1 THEN x END) AS v_cand
+  FROM flat GROUP BY dim
+),
+scored AS (
+  SELECT dim, n_ref, n_cand, m_ref, m_cand,
+         abs(m_cand - m_ref)
+           / sqrt(((n_ref - 1) * v_ref + (n_cand - 1) * v_cand)
+                  / (n_ref + n_cand - 2))
+           AS z,
+         row_number() OVER (ORDER BY abs(m_cand - m_ref) DESC, dim) AS rn
+  FROM per_dim
+)
+SELECT CAST(dim - 1 AS BIGINT) AS dim,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       floor(m_ref * 1000000) / 1000000 AS mean_ref,
+       floor(m_cand * 1000000) / 1000000 AS mean_cand,
+       floor(z * 10000) / 10000 AS drift_z
+FROM scored WHERE rn <= {_DRIFT_TOP}
+""",
+    doc=(
+        "Embedding drift monitor — the vector twin of q_psi_drift: "
+        "split the corpus into reference and candidate populations "
+        "(label parity — a deployment passes two vintages), compute "
+        "per-DIMENSION means and pooled-variance effect sizes in one "
+        "conditional aggregate over the position-exploded vectors, and "
+        "emit the top-drifted dimensions ranked by mean shift. This is "
+        "how a feature store catches a silently retrained upstream "
+        "encoder before ANN recall collapses: per-dim statistics are "
+        "additive (mergeable across partitions and days), the exploded "
+        "stream map-side combines into a DIM-bounded frame (64 rows "
+        "here, never vector count), and the ranked window runs over "
+        "that frame. Top-k by (|shift|, dim) keeps the output bounded "
+        "and deterministic."
+    ),
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    flat = emb.select(
+        (F.col("label") % 2).alias("side"),
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    ref = F.when(F.col("side") == 0, F.col("x"))
+    cand = F.when(F.col("side") == 1, F.col("x"))
+    per_dim = flat.groupBy("dim").agg(
+        F.count(ref).alias("n_ref"),
+        F.count(cand).alias("n_cand"),
+        F.avg(ref).alias("m_ref"),
+        F.avg(cand).alias("m_cand"),
+        F.var_samp(ref).alias("v_ref"),
+        F.var_samp(cand).alias("v_cand"),
+    )
+    z = F.abs(F.col("m_cand") - F.col("m_ref")) / F.sqrt(
+        (
+            (F.col("n_ref") - 1) * F.col("v_ref")
+            + (F.col("n_cand") - 1) * F.col("v_cand")
+        )
+        / (F.col("n_ref") + F.col("n_cand") - 2)
+    )
+    scored = per_dim.select(
+        "dim",
+        "n_ref",
+        "n_cand",
+        "m_ref",
+        "m_cand",
+        z.alias("z"),
+    ).orderBy(
+        F.desc(F.abs(F.col("m_cand") - F.col("m_ref"))), F.asc("dim")
+    ).limit(_DRIFT_TOP)
+    return scored.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        (F.floor(F.col("m_ref") * 1_000_000) / 1_000_000).alias("mean_ref"),
+        (F.floor(F.col("m_cand") * 1_000_000) / 1_000_000).alias(
+            "mean_cand"
+        ),
+        (F.floor(F.col("z") * 10_000) / 10_000).alias("drift_z"),
+    )

@@ -295,3 +295,41 @@ def test_dp_sensitivity_bounds(spark):
         assert 0 <= r.n_over_2x_mean <= r.n_users
         assert 0.0 <= r.clip_loss_frac < 1.0
         assert r.max_user_rows >= 1
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing invariants: density in (0, 1]; near the 2/(w+1)
+    expectation on prose docs; exact copies in the augmented corpus
+    share ALL their fingerprints with their originals."""
+    from cloud_data_sync_spark.operators.dedup import q_dedup_winnow
+
+    rows = {r.doc_id: r for r in q_dedup_winnow(spark, SF_DIR).collect()}
+    assert rows
+    dens = [r.fp_density for r in rows.values() if r.n_grams >= 50]
+    assert dens
+    avg_d = sum(dens) / len(dens)
+    assert 0.2 < avg_d < 0.6  # expected 2/(w+1) = 0.4
+    for did, r in rows.items():
+        assert 0 < r.n_fp <= r.n_grams
+        if 2_000_000 <= did < 3_000_000 and (did - 2_000_000) in rows:
+            # exact copy: every fingerprint is shared
+            assert r.n_shared_fp == r.n_fp
+
+
+def test_embedding_drift_ranked_and_bounded(spark):
+    """Output is the top-8 dims by mean shift, z >= 0, populations
+    cover the corpus split."""
+    from cloud_data_sync_spark.operators.similarity import (
+        q_embedding_drift,
+    )
+
+    rows = q_embedding_drift(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    shifts = [abs(r.mean_cand - r.mean_ref) for r in rows]
+    assert shifts == sorted(shifts, reverse=True) or max(
+        a - b for a, b in zip(shifts, shifts[1:])
+    ) > -1e-6  # floored emissions may tie
+    for r in rows:
+        assert r.drift_z >= 0
+        assert r.n_ref > 0 and r.n_cand > 0
+        assert 0 <= r.dim < 64
