@@ -2996,7 +2996,8 @@ toks AS (
 ),
 grams AS (
   SELECT doc_id, i AS pos,
-         md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS gh,
+         CAST('0x' || substr(md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]),
+              1, 15) AS BIGINT) AS gh,
          greatest(len(t) - 2, 0) AS g
   FROM toks, LATERAL unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
 ),
@@ -3044,14 +3045,26 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (a, b) -> concat(a, ' ', b)),"
         f" slice(toks, 3, {take}), (p, c) -> concat(p, ' ', c))"
     )
+    # gram count is a per-DOC attribute — compute it before the explode
+    # (a count(*) window over the exploded grams re-shuffles 1.7M rows
+    # to learn what size(toks)-2 already says)
     grams = (
         docs.withColumn("toks", low_toks())
-        .select("doc_id", F.posexplode(F.expr(tri)).alias("pos", "gram"))
+        .withColumn("g", F.expr(f"CAST({take} AS BIGINT)"))
+        .select("doc_id", "g", F.posexplode(F.expr(tri)).alias("pos", "gram"))
+        # fingerprint identity = first 60 bits of the md5, reinterpreted
+        # as a long on BOTH engines (same min, same equality; 60-bit
+        # prefix ties between distinct grams are ~1e-6/corpus and the
+        # oracle applies the identical rule) — the sort/distinct/share
+        # stages then move 8-byte longs instead of 32-char hex strings
+        # (the SCALE.md md5->long discipline)
         .select(
             "doc_id",
+            "g",
             "pos",
-            F.md5("gram").alias("gh"),
-            F.count("*").over(Window.partitionBy("doc_id")).alias("g"),
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gh"),
         )
     )
     w = (
