@@ -3579,3 +3579,130 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("surv"),
     )
+
+
+# Strict-order funnel stages, matched by FIRST qualifying timestamp:
+# each stage must happen strictly after the user's matched previous
+# stage (q_funnel counts users who did both in any order window;
+# q_funnel_time measures the A->B gap; this is the k-stage ordered
+# variant every product-analytics engine ships as windowFunnel).
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "q_funnel_steps",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t
+  FROM events
+  WHERE event_type = '{_FUNNEL_STAGES[0]}' AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{_FUNNEL_STAGES[1]}' AND epoch_us(e.ts) > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{_FUNNEL_STAGES[2]}' AND epoch_us(e.ts) > s2.t
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS step, '{_FUNNEL_STAGES[0]}' AS stage,
+         (SELECT count(*) FROM s1) AS n
+  UNION ALL SELECT 2, '{_FUNNEL_STAGES[1]}', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, '{_FUNNEL_STAGES[2]}', (SELECT count(*) FROM s3)
+)
+SELECT CAST(step AS BIGINT) AS step, stage,
+       CAST(n AS BIGINT) AS n_reached,
+       floor(n / CAST((SELECT n FROM counts WHERE step = 1) AS DOUBLE)
+             * 1000000) / 1000000 AS frac_of_start,
+       floor(n / CAST((SELECT max(CASE WHEN c2.step = counts.step - 1
+                                       THEN c2.n END) FROM counts c2)
+                      AS DOUBLE) * 1000000) / 1000000 AS frac_of_prev
+FROM counts
+""",
+    doc=(
+        "Strict-order k-stage funnel (view -> click -> purchase), each "
+        "stage matched by the FIRST timestamp strictly after the user's "
+        "matched previous stage — the windowFunnel/sequenceMatch shape "
+        "product-analytics engines ship, which q_funnel (order-free "
+        "pair) and q_funnel_time (A->B gap) do not cover: a user who "
+        "clicks before ever viewing does NOT advance. One filtered "
+        "(user) aggregate per stage, chained by broadcast-joinable "
+        "per-user frames (each at most user-cardinality, shrinking per "
+        "stage); no correlated subquery and no row-scale second pass. "
+        "frac_of_prev for step 1 is NULL by construction (no previous "
+        "stage), emitted as such on both engines."
+    ),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def stage(
+        etype: str, prev: DataFrame | None
+    ) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select(
+            "user_id", tus.alias("tu")
+        )
+        if prev is not None:
+            p = prev.select(
+                F.col("user_id").alias("pu"), F.col("t").alias("pt")
+            )
+            e = e.join(
+                F.broadcast(p), e.user_id == F.col("pu")
+            ).filter(F.col("tu") > F.col("pt"))
+        return e.groupBy("user_id").agg(F.min("tu").alias("t"))
+
+    s1 = stage(_FUNNEL_STAGES[0], None)
+    s2 = stage(_FUNNEL_STAGES[1], s1)
+    s3 = stage(_FUNNEL_STAGES[2], s2)
+    rows = [
+        s.agg(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_reached"),
+        )
+        for i, (name, s) in enumerate(
+            zip(_FUNNEL_STAGES, (s1, s2, s3))
+        )
+    ]
+    from functools import reduce as _reduce
+
+    counts = _reduce(DataFrame.unionByName, rows)
+    start = counts.filter(F.col("step") == 1).select(
+        F.col("n_reached").alias("n_start")
+    )
+    prev = counts.select(
+        (F.col("step") + 1).alias("pstep"),
+        F.col("n_reached").alias("n_prev"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(start))
+        .join(F.broadcast(prev), F.col("step") == F.col("pstep"), "left")
+        .select(
+            "step",
+            "stage",
+            "n_reached",
+            floor_ratio(
+                F.try_divide(
+                    F.col("n_reached").cast("double"),
+                    F.col("n_start").cast("double"),
+                ),
+                6,
+            ).alias("frac_of_start"),
+            floor_ratio(
+                F.try_divide(
+                    F.col("n_reached").cast("double"),
+                    F.col("n_prev").cast("double"),
+                ),
+                6,
+            ).alias("frac_of_prev"),
+        )
+    )

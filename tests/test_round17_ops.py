@@ -333,3 +333,33 @@ def test_embedding_drift_ranked_and_bounded(spark):
         assert r.drift_z >= 0
         assert r.n_ref > 0 and r.n_cand > 0
         assert 0 <= r.dim < 64
+
+
+def test_funnel_steps_strict_order(spark):
+    """Strict funnel invariants: step counts non-increasing, fractions
+    consistent, and step-2 never exceeds the order-free (view, click)
+    pair count (strictness can only lose users)."""
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.operators.analytics import q_funnel_steps
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = sorted(
+        q_funnel_steps(spark, SF_DIR).collect(), key=lambda r: r.step
+    )
+    assert [r.stage for r in rows] == ["view", "click", "purchase"]
+    ns = [r.n_reached for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert rows[0].frac_of_start == 1.0
+    assert rows[0].frac_of_prev is None
+    for r in rows[1:]:
+        assert 0.0 <= r.frac_of_prev <= 1.0
+    pair = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("k"))
+        .filter(F.col("k") == 2)
+        .count()
+    )
+    assert rows[1].n_reached <= pair

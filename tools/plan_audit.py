@@ -98,6 +98,8 @@ BNLJ_ALLOWED = {
     # 1-row state-count pack seeding the uniform pi0 (the pagerank
     # (1-d)/N shape); every iteration joins a states-bounded aggregate
     "q_markov_stationary",
+    # 1-row step-1 count pack crossed onto the 3-row stage-count frame
+    "q_funnel_steps",
     # 1-row corpus-frontier pack (max last-event ts) over per-user rows
     # + 1-row user-count pack over the hour rollup — both single-row
     # scalar packs, constant at any corpus size
