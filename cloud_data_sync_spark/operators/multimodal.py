@@ -406,3 +406,173 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("canonical_id"),
         F.count("*").over(w).alias("group_size"),
     )
+
+
+# -- Hamming near-dup over the 64-bit dHash -----------------------------------
+
+_PH_BITS = 64
+_PH_BANDS = 4  # 4 x 16-bit bands: pigeonhole-complete for hamming <= 3
+_PH_T = 2  # emitted pair threshold
+
+
+@register(
+    "q_phash_neardup",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000,
+         substr(text, 1, 4) || 'Q' || substr(text, 6)
+  FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 6
+),
+sig AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS blen,
+         list_transform(range(0, {_PH_BITS + 1}),
+           i -> CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE ord(substr(text,
+                  CAST(greatest(least(1 + i * greatest(
+                         octet_length(encode(text)) // {_PH_BITS + 1}, 1),
+                       octet_length(encode(text))), 1) AS INTEGER), 1))
+                END) AS s
+  FROM aug
+),
+bands AS (
+  SELECT doc_id, b.k,
+         list_sum(list_transform(range(0, 16),
+           j -> CASE WHEN s[16 * b.k + j + 1] > s[16 * b.k + j + 2]
+                THEN 1 << (15 - j) ELSE 0 END)) AS bv
+  FROM sig, LATERAL unnest(range(0, {_PH_BANDS})) AS b(k)
+),
+doc_bands AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 0 THEN bv END) AS b0,
+         max(CASE WHEN k = 1 THEN bv END) AS b1,
+         max(CASE WHEN k = 2 THEN bv END) AS b2,
+         max(CASE WHEN k = 3 THEN bv END) AS b3
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.k = y.k AND x.bv = y.bv
+   AND x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT c.a, c.b,
+         bit_count(CAST(xor(da.b0, db.b0) AS BIGINT))
+         + bit_count(CAST(xor(da.b1, db.b1) AS BIGINT))
+         + bit_count(CAST(xor(da.b2, db.b2) AS BIGINT))
+         + bit_count(CAST(xor(da.b3, db.b3) AS BIGINT)) AS hamming
+  FROM cand c
+  JOIN doc_bands da ON da.doc_id = c.a
+  JOIN doc_bands db ON db.doc_id = c.b
+)
+SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {_PH_T}
+""",
+    doc=(
+        "Hamming near-dup over the 64-bit dHash — the image-dedup "
+        "standard (pHash banding), here over the byte-stream dHash so "
+        "the oracle can replay it; with codec libs the samples become "
+        "luminance pixels and NOTHING else changes. LSH in Hamming "
+        "space: the 64 gradient bits split into 4 16-bit band values; "
+        "any pair within hamming 3 shares an intact band (pigeonhole), "
+        "so candidates come from ONE band-value equi-join — never an "
+        "all-pairs scan — and are verified exactly with "
+        "bit_count(xor(band, band)) sums over 16-bit ints. The corpus "
+        "is augmented with one-byte-overwrite jittered twins "
+        "(same length -> same stride -> at most one sample moves -> "
+        "hamming <= 2), the case byte-exact dedup (q_multimodal_dedup) "
+        "misses by construction and this operator exists to catch. "
+        "Fingerprinting is map-only; the band exchange carries "
+        "(band, 16-bit value) pairs; verification touches only "
+        "candidate pairs."
+    ),
+)
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    jitter = (
+        docs.filter(
+            (F.col("doc_id") % 11 == 0) & (F.length("text") >= 6)
+        )
+        .select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.concat(
+                F.expr("substr(text, 1, 4)"),
+                F.lit("Q"),
+                F.expr("substr(text, 6)"),
+            ).alias("text"),
+        )
+    )
+    aug = docs.unionByName(jitter)
+    n = _PH_BITS + 1
+    # blen/stride hoisted to COLUMNS before the transform: an expression
+    # inlined into the lambda re-evaluates per element (the
+    # _with_shingles lesson — 65 encode(text) calls per row, and this
+    # plan is consumed three times below)
+    pre = aug.selectExpr(
+        "doc_id",
+        "text",
+        "octet_length(encode(text, 'UTF-8')) AS blen",
+        f"greatest(CAST(octet_length(encode(text, 'UTF-8')) / {n}"
+        " AS BIGINT), 1) AS stride",
+    )
+    sig = pre.selectExpr(
+        "doc_id",
+        f"""transform(sequence(0, {_PH_BITS}),
+             i -> CASE WHEN blen = 0 THEN 0
+                  ELSE ascii(substr(text,
+                    CAST(greatest(least(1 + i * stride, blen), 1)
+                      AS INT), 1))
+                  END) AS s""",
+    )
+    band_exprs = [
+        f"""aggregate(sequence(0, 15),
+             0L,
+             (acc, j) -> acc + CASE
+               WHEN element_at(s, 16 * {k} + CAST(j AS INT) + 1)
+                    > element_at(s, 16 * {k} + CAST(j AS INT) + 2)
+               THEN shiftleft(1L, 15 - CAST(j AS INT)) ELSE 0L END)
+           AS b{k}"""
+        for k in range(_PH_BANDS)
+    ]
+    from cloud_data_sync_spark.tables import materialize
+
+    # the band table is consumed three times (band explode + both pair
+    # verify sides); truncate its lineage so the hash chain runs once
+    doc_bands = materialize(
+        sig.selectExpr("doc_id", *band_exprs),
+        eager=False,
+        tag="phash-bands",
+    )
+    bands = doc_bands.selectExpr(
+        "doc_id",
+        f"explode(arrays_zip(sequence(0, {_PH_BANDS - 1}), "
+        f"array({', '.join('b' + str(k) for k in range(_PH_BANDS))}))) AS z",
+    ).selectExpr("doc_id", "z['0'] AS k", "z['1'] AS bv")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    da, db = doc_bands.alias("da"), doc_bands.alias("db")
+    hamming = sum(
+        F.bit_count(
+            F.expr(f"da.b{k} ^ db.b{k}")
+        )
+        for k in range(_PH_BANDS)
+    )
+    pairs = (
+        cand.join(da, F.col("a") == F.col("da.doc_id"))
+        .join(db, F.col("b") == F.col("db.doc_id"))
+        .select("a", "b", hamming.cast("long").alias("hamming"))
+    )
+    return pairs.filter(F.col("hamming") <= _PH_T)

@@ -74,6 +74,9 @@ KEYS = [
     "q_corpus_dsir",           # NULL text drops from the token stream on
     #   both engines; empty docs contribute one ''-token; NULL lang
     #   groups ride the raw side only
+    "q_phash_neardup",         # empty/NULL text -> all-zero dHash on both
+    #   engines (blen=0 guard); unicode byte/char offsets exercised by
+    #   the one-byte-overwrite jitter twins
 ]
 
 

@@ -363,3 +363,36 @@ def test_funnel_steps_strict_order(spark):
         .count()
     )
     assert rows[1].n_reached <= pair
+
+
+def test_phash_neardup_catches_jitter_not_bytes(spark):
+    """The operator's reason to exist: one-byte-overwrite twins (same
+    length, same stride) are found within hamming <= 2, and every exact
+    byte-identical pair scores hamming 0."""
+    from cloud_data_sync_spark.operators.multimodal import q_phash_neardup
+    from cloud_data_sync_spark.tables import load_table
+
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in q_phash_neardup(spark, SF_DIR).collect()
+    }
+    assert pairs
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    jittered = [
+        d for d, t in docs.items() if d % 11 == 0 and len(t or "") >= 6
+    ]
+    assert jittered
+    found = sum(1 for d in jittered if (d, d + 4_000_000) in pairs)
+    # the overwritten byte can land ON a sampled position and flip >2
+    # bits for a handful of docs; the overwhelming majority must match
+    assert found >= 0.8 * len(jittered)
+    for (a, b), h in pairs.items():
+        if b == a + 4_000_000 and a in docs and docs[a] is not None:
+            jt = docs[a][:4] + "Q" + docs[a][5:]
+            if jt == docs[a]:
+                assert h == 0
