@@ -3706,3 +3706,93 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_of_prev"),
         )
     )
+
+
+@register(
+    "q_attribution_linear",
+    oracle="""
+WITH touches AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tt
+  FROM events
+  WHERE event_type <> 'purchase' AND user_id IS NOT NULL
+),
+purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS pt,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND value IS NOT NULL
+),
+credits AS (
+  SELECT p.event_id, p.cents, t.event_type,
+         count(*) OVER (PARTITION BY p.event_id) AS cnt
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.tt < p.pt AND t.tt >= p.pt - 604800000000
+),
+split AS (
+  SELECT event_type,
+         (cents * 1000000) // cnt AS ucents
+  FROM credits
+)
+SELECT event_type AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       floor(sum(ucents) / 100000000.0 * 10000) / 10000
+         AS attributed_value
+FROM split GROUP BY event_type
+""",
+    doc=(
+        "Linear (equal-credit) multi-touch attribution — the "
+        "complement of q_attribution's last-touch: each purchase "
+        "splits its value EQUALLY across every touch by the same user "
+        "in the preceding 7 days. The credit explosion is inherently a "
+        "per-user interval join (purchases x their window's touches), "
+        "so the join is user-keyed equi + time-range predicate — "
+        "per-user pair volume is bounded by user activity, never "
+        "corpus-wide, the q_join_range discipline. Money splits in "
+        "EXACT integer micro-cents ((cents * 1e6) // n_touches, the "
+        "q_rfm_segments integer-cents pattern): equal-credit shares of "
+        "2-decimal values are decimal-lattice numbers where float "
+        "re-association flips floor cells, and integer division is "
+        "associative where double division is not."
+    ),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"),
+        F.col("event_type").alias("touch_type"),
+        tus.alias("tt"),
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        tus.alias("pt"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    credits = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("tu"))
+        & (F.col("tt") < F.col("pt"))
+        & (F.col("tt") >= F.col("pt") - F.lit(604_800_000_000)),
+    ).select(
+        "event_id",
+        "cents",
+        "touch_type",
+        F.count("*").over(Window.partitionBy("event_id")).alias("cnt"),
+    )
+    split = credits.select(
+        "touch_type",
+        F.expr("(cents * 1000000) div cnt").alias("ucents"),
+    )
+    return split.groupBy("touch_type").agg(
+        F.count("*").alias("n_credits"),
+        (
+            F.floor(F.sum("ucents") / 100_000_000.0 * 10_000) / 10_000
+        ).alias("attributed_value"),
+    )

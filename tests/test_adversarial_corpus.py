@@ -201,6 +201,10 @@ VEC_EVENT_KEYS = [
     #   NULL users filtered; DECIMAL sums absorb corrupt magnitudes
     "q_view_maintenance",  # NULL event_type groups merge via null-safe
     #   full outer join keys; NULL values sum to NULL on both engines
+    "q_attribution_linear",  # NULL user/value purchases excluded on both
+    #   engines; corrupt timestamps ride the exact integer-cents path
+    "q_funnel_steps",   # NULL users excluded; stages chained on strict
+    #   epoch-us inequalities survive tied timestamps identically
 ]
 
 

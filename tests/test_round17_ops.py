@@ -396,3 +396,42 @@ def test_phash_neardup_catches_jitter_not_bytes(spark):
             jt = docs[a][:4] + "Q" + docs[a][5:]
             if jt == docs[a]:
                 assert h == 0
+
+
+def test_attribution_linear_conserves_value(spark):
+    """Credit conservation: total attributed value equals the total
+    purchase value of purchases that HAVE >= 1 touch in window (up to
+    integer-division remainder, bounded by 1e-4 per credit)."""
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.operators.analytics import (
+        q_attribution_linear,
+    )
+    from cloud_data_sync_spark.tables import load_table
+
+    rows = q_attribution_linear(spark, SF_DIR).collect()
+    assert rows
+    total_attr = sum(r.attributed_value for r in rows)
+    n_credits = sum(r.n_credits for r in rows)
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"), tus.alias("tt")
+    )
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", "user_id", tus.alias("pt"), "value")
+    covered = (
+        p.join(
+            t,
+            (F.col("user_id") == F.col("tu"))
+            & (F.col("tt") < F.col("pt"))
+            & (F.col("tt") >= F.col("pt") - F.lit(604_800_000_000)),
+            "left_semi",
+        )
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(total_attr - covered) < 1e-4 * n_credits + 1e-2
