@@ -3796,3 +3796,89 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("ucents") / 100_000_000.0 * 10_000) / 10_000
         ).alias("attributed_value"),
     )
+
+
+@register(
+    "q_hdr_percentiles",
+    oracle="""
+WITH pos AS (
+  SELECT event_type, value FROM events WHERE value > 0
+),
+bucketed AS (
+  SELECT event_type,
+         CAST(floor(ln(value) / ln(2) + 0.000000001) AS BIGINT) AS b
+  FROM pos
+),
+hist AS (
+  SELECT event_type, b, count(*) AS c FROM bucketed GROUP BY event_type, b
+),
+cum AS (
+  SELECT event_type, b, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_pos,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       power(2.0, min(CASE WHEN cc >= 0.50 * n THEN b END) + 1) AS p50_ub,
+       power(2.0, min(CASE WHEN cc >= 0.95 * n THEN b END) + 1) AS p95_ub,
+       power(2.0, min(CASE WHEN cc >= 0.99 * n THEN b END) + 1) AS p99_ub
+FROM cum GROUP BY event_type
+""",
+    doc=(
+        "Mergeable log2-bucket percentile histogram (the HdrHistogram/"
+        "DDSketch idea): per event_type, counts per power-of-two value "
+        "bucket and the bucket upper bounds that cover p50/p95/p99 — "
+        "bounded relative error by construction (factor-2 buckets; "
+        "production uses finer log bases, same algebra). Why it is THE "
+        "percentile at 100 TB: bucket counts are INTEGERS and ADD — "
+        "mergeable across partitions, hours and clusters with no "
+        "resort, where exact percentiles need a global rank pass "
+        "(q_agg_percentiles) and GK sketches (q_agg_approx_quantiles) "
+        "merge lossily. One hash aggregate over events; the cumulative "
+        "window runs on the per-type bucket rollup (<=64 buckets per "
+        "type). The ln/ln(2) bucket index is epsilon-shifted before "
+        "floor: dollar values hit EXACT powers of two (64.00) where "
+        "the engines' ln round-trips straddle the integer boundary — "
+        "the q_survival_km lattice trap, same fix."
+    ),
+)
+def q_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    b = F.floor(
+        F.log(F.col("value")) / F.log(F.lit(2.0)) + F.lit(1e-9)
+    ).cast("long")
+    hist = pos.groupBy("event_type", b.alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "b",
+        "c",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    ub = lambda q: F.pow(  # noqa: E731
+        F.lit(2.0),
+        F.min(
+            F.when(F.col("cc") >= q * F.col("n"), F.col("b"))
+        )
+        + 1,
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_pos"),
+        F.count("*").alias("n_buckets"),
+        F.max("c").cast("long").alias("max_bucket"),
+        ub(0.50).alias("p50_ub"),
+        ub(0.95).alias("p95_ub"),
+        ub(0.99).alias("p99_ub"),
+    )

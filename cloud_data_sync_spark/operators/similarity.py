@@ -1780,3 +1780,93 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(F.col("z") * 10_000) / 10_000).alias("drift_z"),
     )
+
+
+# -- radius (threshold) search -------------------------------------------------
+
+_RANGE_TAU = 0.25
+
+
+@register(
+    "q_sim_range",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         round(list_sum(list_transform(range(1, len(q.v) + 1),
+               i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM n q JOIN n c ON q.vec_id % {QUERY_MOD} = 0 AND q.vec_id < {QUERY_CAP}
+                    AND q.vec_id <> c.vec_id
+),
+best AS (
+  SELECT query_id, vec_id AS best_id, cos_sim AS best_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM pairs
+),
+counts AS (
+  SELECT query_id,
+         sum(CASE WHEN cos_sim >= {_RANGE_TAU} THEN 1 ELSE 0 END) AS n_matches
+  FROM pairs GROUP BY query_id
+)
+SELECT c.query_id,
+       CAST(c.n_matches AS BIGINT) AS n_matches,
+       b.best_id, b.best_cos
+FROM counts c JOIN best b ON b.query_id = c.query_id AND b.rn = 1
+""",
+    doc=(
+        "Radius (threshold) search — the OTHER standard vector query "
+        "next to top-k: per query, how many corpus vectors lie within "
+        "cosine >= tau, plus the single best match (deterministic "
+        "tie-break by id). Same plan spine as q_sim_topk: the bounded "
+        "query set broadcasts against ONE corpus pass, the per-query "
+        "reduction is a conditional count + a rank-1 window over "
+        "query-partitioned pairs. Radius semantics matter for dedup-"
+        "style deployments (SemDeDup thresholds, not fixed k): the "
+        "match count is unbounded per query, so the COUNT is the "
+        "emitted product and the row set stays |queries|-bounded."
+    ),
+    plan=lambda spark, sf_dir: _range_search_build(spark, sf_dir),
+)
+def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _range_search_build(spark, sf_dir)
+
+
+def _range_search_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = vecs.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("best_id"),
+            F.col("cos_sim").alias("best_cos"),
+        )
+    )
+    counts = pairs.groupBy("query_id").agg(
+        F.sum(F.when(F.col("cos_sim") >= _RANGE_TAU, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches")
+    )
+    return counts.join(best, "query_id").select(
+        "query_id", "n_matches", "best_id", "best_cos"
+    )

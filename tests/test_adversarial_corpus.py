@@ -77,6 +77,9 @@ KEYS = [
     "q_phash_neardup",         # empty/NULL text -> all-zero dHash on both
     #   engines (blen=0 guard); unicode byte/char offsets exercised by
     #   the one-byte-overwrite jitter twins
+    "q_langid_chargram",       # NULL/empty/1-char docs excluded by the
+    #   same predicate on both engines; tiny profiles from degenerate
+    #   train splits keep the argmax deterministic
 ]
 
 
@@ -195,6 +198,10 @@ VEC_EVENT_KEYS = [
     "q_sim_ivf_sweep",  # layout write + sweep over a degenerate index
     "q_sim_index_stats",  # cell stats when most vectors are excluded
     "q_logreg_auc",     # tie-heavy margins; 1-row fold on tiny classes
+    "q_hdr_percentiles",  # value <= 0 and NULL filtered identically;
+    #   huge/tiny magnitudes land in extreme log2 buckets, not overflow
+    "q_sim_range",      # NULL/zero-norm embeddings excluded by the
+    #   shared _vectors substrate on both engines
     "q_survival_km",    # NULL user/ts filtered pre-agg; tied lifetimes
     #   collapse to one KM step; absorbing-zero flag when d == n_risk
     "q_dp_sensitivity",  # NULL event_type audited via null-safe join;

@@ -138,6 +138,9 @@ BNLJ_ALLOWED = {
     "q_logreg_probe",
     "q_fuzzy_match",
     "q_sim_topk",
+    # same capped-query broadcast x one-corpus-pass spine as q_sim_topk
+    # (radius threshold instead of rank cutoff)
+    "q_sim_range",
     "q_sim_ivf",
     # composes both whitelisted ANN pipelines (topk's capped-query
     # broadcast + ivf's seed pack) — same provably-small broadcast sides
