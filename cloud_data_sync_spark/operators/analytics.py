@@ -3882,3 +3882,187 @@ def q_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ub(0.95).alias("p95_ub"),
         ub(0.99).alias("p99_ub"),
     )
+
+
+@register(
+    "q_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, sum(value) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, d, v,
+         date_diff('day', (SELECT min(d) FROM daily), d) AS t
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type, (b.v - a.v) / (b.t - a.t) AS slope
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.t < b.t
+),
+med AS (
+  SELECT event_type, count(*) AS n_pairs,
+         quantile_cont(slope, 0.5) AS ts_slope
+  FROM slopes GROUP BY event_type
+),
+icepts AS (
+  SELECT i.event_type, i.v - m.ts_slope * i.t AS icept
+  FROM idx i JOIN med m ON i.event_type = m.event_type
+)
+SELECT i.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(m.n_pairs) AS BIGINT) AS n_pairs,
+       floor(max(m.ts_slope) * 1000000) / 1000000 AS ts_slope,
+       floor(quantile_cont(i.icept, 0.5) * 1000000) / 1000000
+         AS ts_intercept
+FROM icepts i JOIN med m ON i.event_type = m.event_type
+GROUP BY i.event_type
+""",
+    doc=(
+        "Theil-Sen robust trend per event_type — the median of all "
+        "pairwise day-slopes plus the median intercept: resistant to "
+        "the outlier days that drag q_ols_regression's least-squares "
+        "fit (50% breakdown point vs 0%). The pairwise stage is the "
+        "textbook scale trap AVOIDED structurally: slopes are computed "
+        "on the per-(type, day) rollup substrate — a frame bounded by "
+        "the observation window (~30 rows/type -> ~435 pairs/type), "
+        "never on events — so the quadratic lives where quadratic is "
+        "free and the row-scale work stays one hash aggregate. The "
+        "exact median runs per type over that bounded pair frame."
+    ),
+    plan=lambda spark, sf_dir: _theil_sen_pipeline(
+        spark, sf_dir, _daily_events_build(spark, sf_dir)
+    ),
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _theil_sen_pipeline(spark, sf_dir, daily_events(spark, sf_dir))
+
+
+def _theil_sen_pipeline(
+    spark: SparkSession, sf_dir: str, daily: DataFrame
+) -> DataFrame:
+    d0 = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        "v",
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("t"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.v") - F.col("a.v"))
+            / (F.col("b.t") - F.col("a.t")).cast("double")
+        ).alias("slope"),
+    )
+    med = slopes.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5D)").alias("ts_slope"),
+    )
+    icepts = idx.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "ts_slope",
+        (F.col("v") - F.col("ts_slope") * F.col("t")).alias("icept"),
+    )
+    return icepts.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        (F.floor(F.max("ts_slope") * 1_000_000) / 1_000_000).alias(
+            "ts_slope"
+        ),
+        (
+            F.floor(F.expr("percentile(icept, 0.5D)") * 1_000_000)
+            / 1_000_000
+        ).alias("ts_intercept"),
+    )
+
+
+@register(
+    "q_anomaly_seasonal",
+    oracle="""
+WITH base AS (
+  SELECT event_type, hour(ts) AS h, value
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+prof AS (
+  SELECT event_type, h, avg(value) AS mu, stddev_samp(value) AS sd,
+         count(*) AS n
+  FROM base GROUP BY event_type, h
+),
+flagged AS (
+  SELECT b.event_type,
+         CASE WHEN p.sd > 0 AND abs(b.value - p.mu) > 3 * p.sd
+              THEN 1 ELSE 0 END AS hit,
+         CASE WHEN p.sd > 0 THEN abs(b.value - p.mu) / p.sd END AS z
+  FROM base b JOIN prof p
+    ON b.event_type IS NOT DISTINCT FROM p.event_type AND b.h = p.h
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(hit) AS BIGINT) AS n_flagged,
+       floor(sum(hit) / CAST(count(*) AS DOUBLE) * 1000000) / 1000000
+         AS flag_frac,
+       floor(max(z) * 10000) / 10000 AS max_z
+FROM flagged GROUP BY event_type
+""",
+    doc=(
+        "Seasonally-adjusted anomaly detection — the production form "
+        "of q_anomaly_zscore: values score against their OWN "
+        "(event_type, hour-of-day) profile, so a nightly-low metric is "
+        "not 'anomalous' every night and a spike at 3am is not hidden "
+        "by the daily mean (conditioning on the seasonal stratum is "
+        "what monitors actually deploy). Two passes over events: one "
+        "(type, hour) moment aggregate (24 x types rows, broadcast "
+        "back) and one scoring pass with the per-type rollup — no "
+        "window over row-scale data, profile join is broadcast. "
+        "NULL-safe type equality keeps NULL event_type rows scored."
+    ),
+)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type", F.hour("ts").alias("h"), "value"
+        )
+    )
+    prof = base.groupBy("event_type", "h").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    b, p = base.alias("b"), prof.alias("p")
+    joined = b.join(
+        F.broadcast(p),
+        F.col("b.event_type").eqNullSafe(F.col("p.event_type"))
+        & (F.col("b.h") == F.col("p.h")),
+    )
+    hit = F.when(
+        (F.col("sd") > 0)
+        & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd")),
+        1,
+    ).otherwise(0)
+    z = F.when(
+        F.col("sd") > 0, F.abs(F.col("value") - F.col("mu")) / F.col("sd")
+    )
+    return (
+        joined.select(
+            F.col("b.event_type").alias("event_type"),
+            hit.alias("hit"),
+            z.alias("z"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("hit").cast("long").alias("n_flagged"),
+            floor_ratio(
+                F.sum("hit") / F.count("*").cast("double"), 6
+            ).alias("flag_frac"),
+            (F.floor(F.max("z") * 10_000) / 10_000).alias("max_z"),
+        )
+    )

@@ -198,6 +198,10 @@ VEC_EVENT_KEYS = [
     "q_sim_ivf_sweep",  # layout write + sweep over a degenerate index
     "q_sim_index_stats",  # cell stats when most vectors are excluded
     "q_logreg_auc",     # tie-heavy margins; 1-row fold on tiny classes
+    "q_theil_sen",      # NULL values vanish from the daily sum the same
+    #   way on both engines; single-day types yield no pairs
+    "q_anomaly_seasonal",  # NULL value/ts filtered; zero-variance hours
+    #   flag nothing (sd > 0 guard) instead of dividing by zero
     "q_hdr_percentiles",  # value <= 0 and NULL filtered identically;
     #   huge/tiny magnitudes land in extreme log2 buckets, not overflow
     "q_sim_range",      # NULL/zero-norm embeddings excluded by the

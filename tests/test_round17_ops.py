@@ -527,3 +527,46 @@ def test_sim_range_consistent_with_topk(spark):
     for r in q_sim_range(spark, SF_DIR).collect():
         assert (r.best_id, r.best_cos) == best[r.query_id]
         assert r.n_matches >= 0
+
+
+def test_theil_sen_robust_to_outlier_day(spark):
+    """Structural sanity on the corpus + the robustness property on a
+    constructed series: one wild outlier day must not move the Theil-Sen
+    slope (it WOULD move the OLS slope)."""
+    from cloud_data_sync_spark.operators.analytics import (
+        _theil_sen_pipeline,
+        q_theil_sen,
+    )
+
+    rows = q_theil_sen(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    data = [
+        ("m", base + datetime.timedelta(days=i), float(10 + 2 * i))
+        for i in range(12)
+    ]
+    data[5] = ("m", data[5][1], 1e6)  # wild outlier day
+    daily = spark.createDataFrame(
+        data, "event_type string, d date, v double"
+    )
+    got = _theil_sen_pipeline(spark, SF_DIR, daily).collect()[0]
+    assert abs(got.ts_slope - 2.0) < 0.2
+
+
+def test_anomaly_seasonal_bounds(spark):
+    """Flag fraction bounded well under the 3-sigma tail x safety factor;
+    z stats coherent."""
+    from cloud_data_sync_spark.operators.analytics import q_anomaly_seasonal
+
+    rows = q_anomaly_seasonal(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.flag_frac < 0.1
+        assert r.n_flagged <= r.n_events
+        if r.n_flagged > 0:
+            assert r.max_z > 3.0

@@ -100,6 +100,9 @@ BNLJ_ALLOWED = {
     "q_markov_stationary",
     # 1-row step-1 count pack crossed onto the 3-row stage-count frame
     "q_funnel_steps",
+    # 1-row min-date pack crossed onto the (type x day)-bounded rollup
+    # before day indexing — constant at any corpus size
+    "q_theil_sen",
     # 1-row corpus-frontier pack (max last-event ts) over per-user rows
     # + 1-row user-count pack over the hour rollup — both single-row
     # scalar packs, constant at any corpus size
