@@ -1054,3 +1054,170 @@ def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sel_frac"),
     )
+
+
+# -- Heaps' law: vocabulary growth --------------------------------------------
+
+_HEAPS_POINTS = 10
+
+
+@register(
+    "q_heaps_law",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+  FROM toks, LATERAL unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+),
+first_seen AS (
+  SELECT g, min(doc_id) AS fs FROM grams GROUP BY g
+),
+mx AS (SELECT max(doc_id) AS m FROM grams),
+cuts AS (
+  SELECT k, CAST(floor(mx.m / pow(2.0, {_HEAPS_POINTS} - k)) AS BIGINT) AS c
+  FROM mx, LATERAL unnest(range(1, {_HEAPS_POINTS} + 1)) AS u(k)
+),
+pts AS (
+  SELECT c.k,
+         (SELECT count(DISTINCT doc_id) FROM grams WHERE doc_id <= c.c)
+           AS n_docs,
+         (SELECT count(*) FROM first_seen WHERE fs <= c.c) AS vocab
+  FROM cuts c
+),
+ln_pts AS (
+  SELECT ln(CAST(n_docs AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+  FROM pts WHERE n_docs > 0 AND vocab > 0
+),
+fit AS (
+  SELECT count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM ln_pts
+)
+SELECT CAST(np AS BIGINT) AS n_points,
+       floor((np * sxy - sx * sy) / (np * sxx - sx * sx) * 1000000)
+         / 1000000 AS beta,
+       floor((exp((sy - (np * sxy - sx * sy) / (np * sxx - sx * sx) * sx)
+                  / np) - 0.000000001) * 10000) / 10000 AS k_coef,
+       floor(pow(np * sxy - sx * sy, 2)
+             / ((np * sxx - sx * sx) * (np * syy - sy * sy))
+             * 1000000) / 1000000 AS r2
+FROM fit
+""",
+    doc=(
+        "Heaps'-law fit over the word-TRIGRAM vocabulary — the "
+        "growth exponent V(n) = K n^b that sizes tokenizer/n-gram-LM "
+        "table budgets before a corpus is scaled (expected new-vocab "
+        "volume at 100x the data is K(100n)^b, a number a pipeline "
+        "wants BEFORE paying for the crawl). Trigrams, not unigrams, "
+        "deliberately: this corpus's unigram vocabulary saturates at "
+        "31 words by doc 5 (a degenerate flat line — itself a finding "
+        "q_vocab exposes), while the trigram space keeps growing "
+        "through the full corpus, which is the regime the law "
+        "describes. Checkpoints are LOG-spaced (m/2^9 .. m) so the "
+        "fit sees the growth region, not ten saturated points. Plan: "
+        "one first-seen hash aggregate (first occurrence is an "
+        "aggregate, not a scan-order property), checkpoint counts "
+        "against the broadcast 10-row cut pack, closed-form log-log "
+        "OLS on <= 10 points. The k_coef floor is epsilon-shifted: "
+        "exp of mean-ln of exact integers lands ON decimal lattice "
+        "points (31.0 did)."
+    ),
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = toks_documents(spark, sf_dir)
+    take = "greatest(size(toks) - 2, 0)"
+    tri = (
+        f"zip_with(zip_with(slice(toks, 1, {take}), slice(toks, 2, {take}),"
+        " (a, b) -> concat(a, ' ', b)),"
+        f" slice(toks, 3, {take}), (p, c) -> concat(p, ' ', c))"
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(tri)).alias("g")
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("fs"))
+    mx = grams.agg(F.max("doc_id").alias("m"))
+    cuts = mx.select(
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _HEAPS_POINTS + 1)])
+        ).alias("k"),
+        "m",
+    ).select(
+        "k",
+        F.floor(
+            F.col("m") / F.pow(F.lit(2.0), _HEAPS_POINTS - F.col("k"))
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    docs_per_cut = (
+        grams.select("doc_id")
+        .distinct()
+        .crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") <= F.col("c"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    vocab_per_cut = (
+        first_seen.crossJoin(F.broadcast(cuts))
+        .filter(F.col("fs") <= F.col("c"))
+        .groupBy("k")
+        .agg(F.count("*").alias("vocab"))
+    )
+    pts = docs_per_cut.join(vocab_per_cut, "k").filter(
+        (F.col("n_docs") > 0) & (F.col("vocab") > 0)
+    )
+    ln_pts = pts.select(
+        F.log(F.col("n_docs").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    fit = ln_pts.agg(
+        F.count("*").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (
+        F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return fit.select(
+        F.col("np").cast("long").alias("n_points"),
+        (F.floor(slope * 1_000_000) / 1_000_000).alias("beta"),
+        (
+            F.floor(
+                (
+                    F.exp(
+                        (F.col("sy") - slope * F.col("sx")) / F.col("np")
+                    )
+                    - F.lit(1e-9)
+                )
+                * 10_000
+            )
+            / 10_000
+        ).alias("k_coef"),
+        (
+            F.floor(
+                F.pow(
+                    F.col("np") * F.col("sxy")
+                    - F.col("sx") * F.col("sy"),
+                    2,
+                )
+                / (
+                    (
+                        F.col("np") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    )
+                    * (
+                        F.col("np") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    )
+                )
+                * 1_000_000
+            )
+            / 1_000_000
+        ).alias("r2"),
+    )

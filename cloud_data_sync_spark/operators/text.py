@@ -2102,3 +2102,98 @@ def chargram_langid(documents: DataFrame) -> DataFrame:
             6,
         ).alias("acc"),
     )
+
+
+# -- readability scoring -------------------------------------------------------
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         greatest(len(string_split_regex(text, '[.!?]')) - 1, 1)
+           AS n_sents,
+         greatest(len(regexp_extract_all(lower(text),
+           '[aeiouy]+')), 1) AS n_syl
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+scored AS (
+  SELECT lang, n_words,
+         206.835 - 1.015 * (n_words / CAST(n_sents AS DOUBLE))
+                 - 84.6 * (n_syl / CAST(n_words AS DOUBLE)) AS flesch
+  FROM feats WHERE n_words > 0
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(avg(flesch) * 10000) / 10000 AS avg_flesch,
+       floor(min(flesch) * 10000) / 10000 AS min_flesch,
+       floor(max(flesch) * 10000) / 10000 AS max_flesch,
+       CAST(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hard
+FROM scored GROUP BY lang
+""",
+    doc=(
+        "Flesch reading-ease scoring per language — the readability "
+        "band filter quality pipelines run next to Gopher rules: "
+        "206.835 - 1.015(words/sentence) - 84.6(syllables/word), with "
+        "the standard cheap proxies (sentence = [.!?] split, syllable "
+        "= vowel group) that make the formula computable as pure "
+        "string ops. Everything is one map-side projection (regex "
+        "split/extract counts — no explode, no token rows materialize) "
+        "plus one bounded (lang) rollup; at 100 TB the score is a "
+        "per-doc column you compute during ingest for free. Guards: "
+        "sentence/syllable counts clamp to >= 1 so empty-ish docs "
+        "divide safely on both engines."
+    ),
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.length(F.trim(F.col("text"))) > 0)
+        )
+        .select(
+            "lang",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "n_words"
+            ),
+            F.greatest(
+                F.size(F.split(F.col("text"), r"[.!?]")) - 1, F.lit(1)
+            ).alias("n_sents"),
+            F.greatest(
+                F.size(
+                    F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+                ),
+                F.lit(1),
+            ).alias("n_syl"),
+        )
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words") / F.col("n_sents").cast("double"))
+        - 84.6 * (F.col("n_syl") / F.col("n_words").cast("double"))
+    )
+    return (
+        feats.filter(F.col("n_words") > 0)
+        .select("lang", F.col("n_words"), flesch.alias("flesch"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.floor(F.avg("flesch") * 10_000) / 10_000).alias(
+                "avg_flesch"
+            ),
+            (F.floor(F.min("flesch") * 10_000) / 10_000).alias(
+                "min_flesch"
+            ),
+            (F.floor(F.max("flesch") * 10_000) / 10_000).alias(
+                "max_flesch"
+            ),
+            F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hard"),
+        )
+    )

@@ -77,6 +77,10 @@ KEYS = [
     "q_phash_neardup",         # empty/NULL text -> all-zero dHash on both
     #   engines (blen=0 guard); unicode byte/char offsets exercised by
     #   the one-byte-overwrite jitter twins
+    "q_text_readability",      # NULL/empty docs excluded; clamped
+    #   sentence/syllable floors keep division safe on both engines
+    "q_heaps_law",             # degenerate docs add no trigrams on either
+    #   engine; the fit runs on whatever checkpoints survive
     "q_langid_chargram",       # NULL/empty/1-char docs excluded by the
     #   same predicate on both engines; tiny profiles from degenerate
     #   train splits keep the argmax deterministic

@@ -570,3 +570,28 @@ def test_anomaly_seasonal_bounds(spark):
         assert r.n_flagged <= r.n_events
         if r.n_flagged > 0:
             assert r.max_z > 3.0
+
+
+def test_heaps_law_fit_quality(spark):
+    """The trigram vocabulary genuinely grows: a positive sub-linear
+    exponent with a high-quality log-log fit."""
+    from cloud_data_sync_spark.operators.corpus import q_heaps_law
+
+    # at sf0.001 the trigram space is still pre-saturation (beta -> 1);
+    # sf0.1 measures the textbook 0.66. Both are the law working.
+    r = q_heaps_law(spark, SF_DIR).collect()[0]
+    assert r.n_points >= 8
+    assert 0.1 < r.beta < 1.1
+    assert r.k_coef > 0
+    assert r.r2 > 0.8
+
+
+def test_readability_scores_sane(spark):
+    """Flesch scores land in the plausible band and min <= avg <= max."""
+    from cloud_data_sync_spark.operators.text import q_text_readability
+
+    rows = q_text_readability(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert -200 < r.min_flesch <= r.avg_flesch <= r.max_flesch <= 207
+        assert 0 <= r.n_hard <= r.n_docs

@@ -112,6 +112,9 @@ BNLJ_ALLOWED = {
     # 1-row (target-total, raw-total) pack crossed onto the 256-row
     # bucket frame before the log-ratio — constant at any corpus size
     "q_corpus_dsir",
+    # 10-row checkpoint pack (from the 1-row max-doc pack) crossed onto
+    # the distinct-doc / first-seen frames — constant at any corpus size
+    "q_heaps_law",
     # same substrate/pack as q_spend_gini (shared ranked-spend builder)
     "q_lorenz_curve",
     # q_bootstrap_ci left this list in r5: the hash-window rework computes
