@@ -4066,3 +4066,73 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.max("z") * 10_000) / 10_000).alias("max_z"),
         )
     )
+
+
+@register(
+    "q_user_stickiness",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+wau AS (
+  SELECT CAST(date_trunc('week', d) AS DATE) AS wk,
+         count(DISTINCT user_id) AS wau
+  FROM du GROUP BY wk
+)
+SELECT w.wk,
+       CAST(w.wau AS BIGINT) AS wau,
+       CAST(count(*) AS BIGINT) AS n_days,
+       floor(avg(CAST(a.dau AS DOUBLE)) * 10000) / 10000 AS avg_dau,
+       floor(avg(CAST(a.dau AS DOUBLE)) / w.wau * 1000000) / 1000000
+         AS stickiness
+FROM dau a JOIN wau w ON CAST(date_trunc('week', a.d) AS DATE) = w.wk
+GROUP BY w.wk, w.wau
+""",
+    doc=(
+        "DAU/WAU stickiness per week — the engagement ratio every "
+        "growth team tracks (how much of the weekly audience shows up "
+        "daily). One (day, user) distinct reduction feeds BOTH "
+        "frequencies: daily actives as a count over it, weekly "
+        "actives as a distinct over it — the expensive distinct runs "
+        "once at day-user grain and everything above is bounded by "
+        "the calendar. avg(DAU)/WAU == 1/7 of the textbook "
+        "sum(DAU)/WAU form, chosen because it stays comparable for "
+        "partial boundary weeks."
+    ),
+)
+def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    wk = F.date_trunc("week", F.col("d")).cast("date").alias("wk")
+    wau = du.select(wk, "user_id").groupBy("wk").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.select(wk, "dau")
+        .join(F.broadcast(wau), "wk")
+        .groupBy("wk", "wau")
+        .agg(
+            F.count("*").alias("n_days"),
+            (
+                F.floor(F.avg(F.col("dau").cast("double")) * 10_000)
+                / 10_000
+            ).alias("avg_dau"),
+            floor_ratio(
+                F.avg(F.col("dau").cast("double")) / F.col("wau"), 6
+            ).alias("stickiness"),
+        )
+        .select(
+            "wk",
+            F.col("wau").cast("long").alias("wau"),
+            "n_days",
+            "avg_dau",
+            "stickiness",
+        )
+    )

@@ -3095,3 +3095,108 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_shared_fp"),
         )
     )
+
+
+# -- dedup token-inflation report ---------------------------------------------
+
+
+@register(
+    "q_dup_inflation",
+    oracle="WITH "
+    + _AUG_SQL
+    + """,
+orig AS (
+  SELECT doc_id AS odoc, source FROM documents
+),
+toks AS (
+  SELECT a.doc_id, a.doc_id % 1000000 AS orig_id,
+         len(string_split_regex(trim(lower(a.text)), '\\s+')) AS n_toks,
+         md5(lower(trim(a.text))) AS eh,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(lower(a.text)), '\\s+'))), ' ')) AS th
+  FROM aug a
+),
+marked AS (
+  SELECT t.*, o.source,
+         CASE WHEN t.doc_id = min(t.doc_id) OVER (PARTITION BY t.eh)
+              THEN 1 ELSE 0 END AS keep_exact,
+         CASE WHEN t.doc_id = min(t.doc_id) OVER (PARTITION BY t.th)
+              THEN 1 ELSE 0 END AS keep_tokenset
+  FROM toks t JOIN orig o ON t.orig_id = o.odoc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+       CAST(sum(keep_exact * n_toks) AS BIGINT) AS tokens_after_exact,
+       CAST(sum(keep_tokenset * n_toks) AS BIGINT)
+         AS tokens_after_tokenset,
+       floor((sum(n_toks) / CAST(sum(keep_exact * n_toks) AS DOUBLE) - 1)
+             * 1000000) / 1000000 AS exact_inflation,
+       floor((sum(n_toks) / CAST(sum(keep_tokenset * n_toks) AS DOUBLE)
+              - 1) * 1000000) / 1000000 AS tokenset_inflation
+FROM marked GROUP BY source
+""",
+    doc=(
+        "Dedup token-inflation report — the number that prices a dedup "
+        "pass: per source, how many TRAINING TOKENS the corpus carries "
+        "vs what survives exact dedup and token-set dedup, expressed "
+        "as inflation (tokens paid per token kept, minus one). Token "
+        "count, not doc count, because training cost and memorization "
+        "risk scale with tokens — a corpus can be 2% duplicate docs "
+        "but 20% duplicate tokens if the copies are long. Two "
+        "canonicalization tiers ride the SAME scan as two hash "
+        "windows (exact content hash; order-insensitive token-set "
+        "hash), so the report costs one corpus pass + two "
+        "hash-partition exchanges; survivors are min-doc_id per "
+        "group, the q_dedup_exact rule."
+    ),
+)
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks_col = low_toks()
+    aug = augmented_documents(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 1_000_000).alias("orig_id"),
+        F.size(toks_col).alias("n_toks"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("eh"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(toks_col)), " "
+            )
+        ).alias("th"),
+    )
+    orig = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("odoc"), "source"
+    )
+    we = Window.partitionBy("eh")
+    wt = Window.partitionBy("th")
+    marked = (
+        aug.join(F.broadcast(orig), aug.orig_id == F.col("odoc"))
+        .select(
+            "source",
+            "n_toks",
+            F.when(
+                F.col("doc_id") == F.min("doc_id").over(we), 1
+            )
+            .otherwise(0)
+            .alias("keep_exact"),
+            F.when(
+                F.col("doc_id") == F.min("doc_id").over(wt), 1
+            )
+            .otherwise(0)
+            .alias("keep_tokenset"),
+        )
+    )
+    te = F.sum(F.col("keep_exact") * F.col("n_toks"))
+    tt = F.sum(F.col("keep_tokenset") * F.col("n_toks"))
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("tokens_total"),
+        te.cast("long").alias("tokens_after_exact"),
+        tt.cast("long").alias("tokens_after_tokenset"),
+        floor_ratio(
+            F.sum("n_toks") / te.cast("double") - 1, 6
+        ).alias("exact_inflation"),
+        floor_ratio(
+            F.sum("n_toks") / tt.cast("double") - 1, 6
+        ).alias("tokenset_inflation"),
+    )

@@ -77,6 +77,8 @@ KEYS = [
     "q_phash_neardup",         # empty/NULL text -> all-zero dHash on both
     #   engines (blen=0 guard); unicode byte/char offsets exercised by
     #   the one-byte-overwrite jitter twins
+    "q_dup_inflation",         # NULL text hashes as md5(NULL)->NULL group
+    #   on both engines; empty docs carry their ''-token counts through
     "q_text_readability",      # NULL/empty docs excluded; clamped
     #   sentence/syllable floors keep division safe on both engines
     "q_heaps_law",             # degenerate docs add no trigrams on either
@@ -202,6 +204,7 @@ VEC_EVENT_KEYS = [
     "q_sim_ivf_sweep",  # layout write + sweep over a degenerate index
     "q_sim_index_stats",  # cell stats when most vectors are excluded
     "q_logreg_auc",     # tie-heavy margins; 1-row fold on tiny classes
+    "q_user_stickiness",  # NULL user/ts rows excluded identically
     "q_theil_sen",      # NULL values vanish from the daily sum the same
     #   way on both engines; single-day types yield no pairs
     "q_anomaly_seasonal",  # NULL value/ts filtered; zero-variance hours

@@ -595,3 +595,29 @@ def test_readability_scores_sane(spark):
     for r in rows:
         assert -200 < r.min_flesch <= r.avg_flesch <= r.max_flesch <= 207
         assert 0 <= r.n_hard <= r.n_docs
+
+
+def test_dup_inflation_hierarchy(spark):
+    """Token conservation + tier ordering: tokenset dedup removes at
+    least what exact dedup removes (reorderings are a superset match),
+    and inflation is positive on the augmented corpus by construction."""
+    from cloud_data_sync_spark.operators.dedup import q_dup_inflation
+
+    rows = q_dup_inflation(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.tokens_after_tokenset <= r.tokens_after_exact
+        assert r.tokens_after_exact <= r.tokens_total
+        assert r.tokenset_inflation >= r.exact_inflation >= 0.0
+
+
+def test_stickiness_bounds(spark):
+    """avg DAU never exceeds WAU; stickiness in (0, 1]."""
+    from cloud_data_sync_spark.operators.analytics import q_user_stickiness
+
+    rows = q_user_stickiness(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.stickiness <= 1.0
+        assert r.avg_dau <= r.wau
+        assert 1 <= r.n_days <= 7
