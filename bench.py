@@ -72,6 +72,41 @@ def build_inline_line(
     return out
 
 
+def wait_for_idle(
+    threshold: float,
+    max_wait_sec: float,
+    poll_sec: float = 30.0,
+    load_fn=lambda: os.getloadavg()[0],
+    sleep_fn=time.sleep,
+    on_wait=lambda load, waited: print(
+        f"bench: load_avg {load:.2f} > gate — waited {waited:.0f}s, retrying",
+        file=sys.stderr,
+    ),
+) -> tuple[float, float, bool]:
+    """Refuse to measure on a loaded box: poll the 1-minute load average
+    until it drops below ``threshold`` or ``max_wait_sec`` elapses.
+
+    Same-code bench totals have swung 63→91 s purely with shared-host
+    load (r4/r5/r7/r8 each needed a box-window adjudication narrative);
+    this turns that narrative into a mechanical gate (r8 verdict item
+    1). Must run BEFORE any Spark work — our own warm-up pushes the
+    1-minute load to ~ncpus, so a post-warm-up reading measures us, not
+    the box. Returns (final_load, waited_sec, gate_ok). If the box never
+    idles within ``max_wait_sec`` the caller proceeds anyway — the
+    driver still needs an artifact — but the recorded ``load_gate_ok:
+    false`` marks the artifact as load-contaminated by construction.
+    Injectable clock/load for tests.
+    """
+    waited = 0.0
+    load = load_fn()
+    while load > threshold and waited < max_wait_sec:
+        on_wait(load, waited)
+        sleep_fn(poll_sec)
+        waited += poll_sec
+        load = load_fn()
+    return load, waited, load <= threshold
+
+
 def sweep_timings(
     names: list[str],
     run_one,
@@ -136,6 +171,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # load gate FIRST (before the session starts doing work — see
+    # wait_for_idle); conservative threshold, bounded wait
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.5"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "1800"))
+    load_start, load_waited, load_gate_ok = wait_for_idle(gate, max_wait)
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -204,6 +245,16 @@ def main() -> None:
                     # cross-round comparisons need this alongside the
                     # sweep totals (r7 verdict item 7)
                     "load_avg": [round(x, 2) for x in os.getloadavg()],
+                    # the load gate (r8 verdict item 1): 1-min load at
+                    # measurement START (pre-Spark), how long the gate
+                    # waited for the box to idle, the threshold, and
+                    # whether the gate was satisfied — gate_ok false
+                    # marks the artifact load-contaminated by
+                    # construction (max-wait exhausted on a busy box)
+                    "load_avg_start": round(load_start, 2),
+                    "load_gate": gate,
+                    "load_gate_waited_sec": round(load_waited, 1),
+                    "load_gate_ok": load_gate_ok,
                 },
                 f,
                 indent=1,

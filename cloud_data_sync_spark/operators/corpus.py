@@ -1119,8 +1119,11 @@ FROM fit
         "describes. Checkpoints are LOG-spaced (m/2^9 .. m) so the "
         "fit sees the growth region, not ten saturated points. Plan: "
         "one first-seen hash aggregate (first occurrence is an "
-        "aggregate, not a scan-order property), checkpoint counts "
-        "against the broadcast 10-row cut pack, closed-form log-log "
+        "aggregate, not a scan-order property), then ALL ten "
+        "checkpoint counts in one conditional aggregate per frame "
+        "(sum(when(first_seen <= cut_k)) columns, cuts derived inline "
+        "from the broadcast 1-row max pack — a single pass, no fanout "
+        "of the corpus-scale trigram frame), closed-form log-log "
         "OLS on <= 10 points. The k_coef floor is epsilon-shifted: "
         "exp of mean-ln of exact integers lands ON decimal lattice "
         "points (31.0 did)."
@@ -1139,35 +1142,48 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("fs"))
     mx = grams.agg(F.max("doc_id").alias("m"))
-    cuts = mx.select(
-        F.explode(
-            F.array(*[F.lit(k) for k in range(1, _HEAPS_POINTS + 1)])
-        ).alias("k"),
-        "m",
-    ).select(
-        "k",
-        F.floor(
-            F.col("m") / F.pow(F.lit(2.0), _HEAPS_POINTS - F.col("k"))
+
+    # All 10 checkpoint counts in ONE conditional aggregate per frame:
+    # sum(when(col <= cut_k, 1)) columns with the cut derived inline from
+    # the broadcast 1-row max pack. The previous shape crossJoined the
+    # corpus-scale first_seen frame (and the distinct-doc frame) against
+    # a 10-row cut table — map-side, but a 10x fanout of a frame that is
+    # itself corpus-scale at 100 TB; this is a single pass (r8 verdict
+    # item 3).
+    def _cut(k: int):
+        return F.floor(
+            F.col("m") / F.pow(F.lit(2.0), _HEAPS_POINTS - k)
+        ).cast("long")
+
+    def _cut_counts(df: DataFrame, value_col: str, prefix: str) -> DataFrame:
+        return df.crossJoin(F.broadcast(mx)).agg(
+            *[
+                F.sum(
+                    F.when(F.col(value_col) <= _cut(k), 1).otherwise(0)
+                ).alias(f"{prefix}{k}")
+                for k in range(1, _HEAPS_POINTS + 1)
+            ]
         )
-        .cast("long")
-        .alias("c"),
-    )
-    docs_per_cut = (
-        grams.select("doc_id")
-        .distinct()
-        .crossJoin(F.broadcast(cuts))
-        .filter(F.col("doc_id") <= F.col("c"))
-        .groupBy("k")
-        .agg(F.count("*").alias("n_docs"))
-    )
-    vocab_per_cut = (
-        first_seen.crossJoin(F.broadcast(cuts))
-        .filter(F.col("fs") <= F.col("c"))
-        .groupBy("k")
-        .agg(F.count("*").alias("vocab"))
-    )
-    pts = docs_per_cut.join(vocab_per_cut, "k").filter(
-        (F.col("n_docs") > 0) & (F.col("vocab") > 0)
+
+    vocab_row = _cut_counts(first_seen, "fs", "v")
+    docs_row = _cut_counts(grams.select("doc_id").distinct(), "doc_id", "d")
+    pts = (
+        docs_row.crossJoin(F.broadcast(vocab_row))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"d{k}").alias("n_docs"),
+                            F.col(f"v{k}").alias("vocab"),
+                        )
+                        for k in range(1, _HEAPS_POINTS + 1)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.n_docs", "p.vocab")
+        .filter((F.col("n_docs") > 0) & (F.col("vocab") > 0))
     )
     ln_pts = pts.select(
         F.log(F.col("n_docs").cast("double")).alias("x"),

@@ -55,19 +55,28 @@ def augment_docs(docs: DataFrame) -> DataFrame:
     """The augmentation itself over any (doc_id, text) frame — shared by
     the batch corpus and the streaming crawl source (streaming/crawl.py),
     so the two inputs cannot drift; every branch is a per-row projection,
-    valid on batch and streaming DataFrames alike."""
+    valid on batch and streaming DataFrames alike.
+
+    Any columns beyond (doc_id, text) are CARRIED THROUGH every branch
+    unchanged — consumers that need original-row attributes (e.g.
+    q_dup_inflation's per-source report) pass them in here instead of
+    re-deriving the original doc_id by modulo arithmetic, which silently
+    mis-attributes rows once original ids reach the 1M branch offset."""
+    carry = [c for c in docs.columns if c not in ("doc_id", "text")]
     exact = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", *carry
     )
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra trailing tokens appended")).alias("text"),
+        *carry,
     )
     reorder = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 3000000).alias("doc_id"),
         F.array_join(F.array_sort(F.split(F.trim(F.col("text")), r"\s+")), " ").alias(
             "text"
         ),
+        *carry,
     )
     return docs.unionByName(exact).unionByName(near).unionByName(reorder)
 
@@ -3102,14 +3111,21 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dup_inflation",
-    oracle="WITH "
-    + _AUG_SQL
-    + """,
-orig AS (
-  SELECT doc_id AS odoc, source FROM documents
+    oracle="""WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text, source FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing tokens appended', source
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' '),
+         source
+  FROM documents WHERE doc_id % 9 = 0
 ),
 toks AS (
-  SELECT a.doc_id, a.doc_id % 1000000 AS orig_id,
+  SELECT a.doc_id, a.source,
          len(string_split_regex(trim(lower(a.text)), '\\s+')) AS n_toks,
          md5(lower(trim(a.text))) AS eh,
          md5(array_to_string(list_sort(list_distinct(
@@ -3117,12 +3133,12 @@ toks AS (
   FROM aug a
 ),
 marked AS (
-  SELECT t.*, o.source,
+  SELECT t.*,
          CASE WHEN t.doc_id = min(t.doc_id) OVER (PARTITION BY t.eh)
               THEN 1 ELSE 0 END AS keep_exact,
          CASE WHEN t.doc_id = min(t.doc_id) OVER (PARTITION BY t.th)
               THEN 1 ELSE 0 END AS keep_tokenset
-  FROM toks t JOIN orig o ON t.orig_id = o.odoc
+  FROM toks t
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -3153,9 +3169,19 @@ FROM marked GROUP BY source
 )
 def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_col = low_toks()
-    aug = augmented_documents(spark, sf_dir).select(
+    # source CARRIED through the augmentation branches (augment_docs
+    # passes non-(doc_id, text) columns through every projection) — no
+    # join back to the original table and, critically, no doc_id %
+    # 1_000_000 recovery, which silently mis-attributes sources the
+    # moment original doc_ids reach the augmentation's 1M id offset at
+    # larger scale factors (r8 ADVICE).
+    aug = augment_docs(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+    ).select(
         "doc_id",
-        (F.col("doc_id") % 1_000_000).alias("orig_id"),
+        "source",
         F.size(toks_col).alias("n_toks"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("eh"),
         F.md5(
@@ -3164,27 +3190,21 @@ def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("th"),
     )
-    orig = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("odoc"), "source"
-    )
     we = Window.partitionBy("eh")
     wt = Window.partitionBy("th")
-    marked = (
-        aug.join(F.broadcast(orig), aug.orig_id == F.col("odoc"))
-        .select(
-            "source",
-            "n_toks",
-            F.when(
-                F.col("doc_id") == F.min("doc_id").over(we), 1
-            )
-            .otherwise(0)
-            .alias("keep_exact"),
-            F.when(
-                F.col("doc_id") == F.min("doc_id").over(wt), 1
-            )
-            .otherwise(0)
-            .alias("keep_tokenset"),
+    marked = aug.select(
+        "source",
+        "n_toks",
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(we), 1
         )
+        .otherwise(0)
+        .alias("keep_exact"),
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(wt), 1
+        )
+        .otherwise(0)
+        .alias("keep_tokenset"),
     )
     te = F.sum(F.col("keep_exact") * F.col("n_toks"))
     tt = F.sum(F.col("keep_tokenset") * F.col("n_toks"))

@@ -1578,9 +1578,13 @@ WHERE d.dist < {_BFS_UNREACHED}
         "(the q_pagerank static-DAG pattern — no driver loop, no "
         "recursion): each round is one equi-join of the frontier "
         "against the edge aggregate plus a min-relaxation hash "
-        "aggregate, so at billions of edges each hop costs exactly one "
-        "co-partitioned join+agg shuffle pair and the unreached "
-        "sentinel keeps every node's row width constant. The edge "
+        "aggregate. The edge and distance frames carry explicit "
+        "broadcast hints ONLY because this graph is constant-size (25 "
+        "nation nodes — a broadcast is free and kills the per-hop "
+        "exchange); at billions of edges those hints come off and "
+        "each hop becomes one co-partitioned join+agg shuffle pair "
+        "(AQE picks the strategy), with the unreached sentinel "
+        "keeping every node's row width constant. The edge "
         "derivation rides the shared trade_edges substrate; the oracle "
         "unrolls the identical relaxation in SQL CTEs."
     ),

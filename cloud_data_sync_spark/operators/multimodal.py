@@ -420,6 +420,7 @@ _PH_T = 2  # emitted pair threshold
     oracle=f"""
 WITH aug AS (
   SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
   UNION ALL
   SELECT doc_id + 4000000,
          substr(text, 1, 4) || 'Q' || substr(text, 6)
@@ -490,7 +491,20 @@ FROM pairs WHERE hamming <= {_PH_T}
     ),
 )
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL/empty docs are dropped UP FRONT (mirrored in the oracle's aug
+    # CTE): every such doc hashes to the identical all-zero band vector,
+    # so leaving them in degenerates the band equi-join to O(n^2)
+    # candidate pairs inside that one class — and emits them all as
+    # hamming-0 "near-dups". Degenerate payloads belong to the exact
+    # byte-dedup path (q_multimodal_dedup), not Hamming LSH.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.octet_length(F.encode("text", "UTF-8")) > 0)
+        )
+    )
     jitter = (
         docs.filter(
             (F.col("doc_id") % 11 == 0) & (F.length("text") >= 6)

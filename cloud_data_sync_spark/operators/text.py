@@ -2050,7 +2050,13 @@ def chargram_langid(documents: DataFrame) -> DataFrame:
             ).alias("h"),
         )
     )
-    grams = docs.select(
+    # length(h) >= 2 re-checked AFTER lowering: the pre-lower guard is on
+    # length(trim(text)), and Java lowercasing can change string length
+    # for rare Unicode (e.g. İ -> i̇), so h can reach length 1 here —
+    # where Spark's sequence(1, 0) yields a DESCENDING [1, 0] (spurious
+    # bigrams, incl. a substr at pos 0) while DuckDB's range(1, 1) is
+    # empty. The filter makes the empty case explicit on both engines.
+    grams = docs.filter(F.length("h") >= 2).select(
         "doc_id",
         "lang",
         "split",

@@ -74,9 +74,10 @@ KEYS = [
     "q_corpus_dsir",           # NULL text drops from the token stream on
     #   both engines; empty docs contribute one ''-token; NULL lang
     #   groups ride the raw side only
-    "q_phash_neardup",         # empty/NULL text -> all-zero dHash on both
-    #   engines (blen=0 guard); unicode byte/char offsets exercised by
-    #   the one-byte-overwrite jitter twins
+    "q_phash_neardup",         # empty/NULL text dropped up front on both
+    #   engines (all-zero band class would degenerate the band join to
+    #   O(n^2)); unicode byte/char offsets exercised by the
+    #   one-byte-overwrite jitter twins
     "q_dup_inflation",         # NULL text hashes as md5(NULL)->NULL group
     #   on both engines; empty docs carry their ''-token counts through
     "q_text_readability",      # NULL/empty docs excluded; clamped

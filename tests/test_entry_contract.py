@@ -148,3 +148,49 @@ def test_sweep_timings_succeed_then_throw_is_failed():
     # sweep-1 success must NOT survive a sweep-2 throw
     assert timings == {"q_x": -1.0}
     assert total == 0.0
+
+
+def test_wait_for_idle_passes_immediately_on_idle_box():
+    from bench import wait_for_idle
+
+    slept = []
+    load, waited, ok = wait_for_idle(
+        1.5,
+        300,
+        load_fn=lambda: 0.4,
+        sleep_fn=slept.append,
+        on_wait=lambda l, w: None,
+    )
+    assert ok and waited == 0.0 and load == 0.4 and slept == []
+
+
+def test_wait_for_idle_polls_until_box_idles():
+    from bench import wait_for_idle
+
+    loads = iter([3.0, 2.2, 0.9])
+    load, waited, ok = wait_for_idle(
+        1.5,
+        300,
+        poll_sec=30,
+        load_fn=lambda: next(loads),
+        sleep_fn=lambda s: None,
+        on_wait=lambda l, w: None,
+    )
+    # two waits burned before the third reading clears the gate
+    assert ok and waited == 60.0 and load == 0.9
+
+
+def test_wait_for_idle_gives_up_after_max_wait_and_flags_it():
+    from bench import wait_for_idle
+
+    load, waited, ok = wait_for_idle(
+        1.5,
+        90,
+        poll_sec=30,
+        load_fn=lambda: 4.0,
+        sleep_fn=lambda s: None,
+        on_wait=lambda l, w: None,
+    )
+    # a box that never idles still returns (the driver needs SOME
+    # artifact) but gate_ok=False marks it load-contaminated
+    assert not ok and waited == 90.0 and load == 4.0
