@@ -2568,6 +2568,186 @@ def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.crossJoin(F.broadcast(pack))
 
 
+@register(
+    "q_dedup_suffix_groups",
+    oracle=f"""
+WITH wk AS (
+  SELECT d.doc_id, CAST(g.pos AS BIGINT) AS pos,
+         substring(d.text, g.pos, {_SUB_CHUNK}) AS wkey
+  FROM documents d,
+       LATERAL unnest(generate_series(
+         1, greatest(length(d.text) - {_SUB_CHUNK - _SUB_STEP}, 1),
+         {_SUB_STEP})) AS g(pos)
+  WHERE d.text IS NOT NULL AND length(d.text) > 0
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY wkey
+                            ORDER BY doc_id, pos) AS rn
+  FROM wk
+),
+cut AS (SELECT doc_id, pos FROM ranked WHERE rn >= 2),
+runs AS (
+  SELECT doc_id, pos,
+         pos - {_SUB_STEP} * row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS grp
+  FROM cut
+),
+tot AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total
+  FROM documents
+),
+extents AS (
+  SELECT r.doc_id,
+         least(max(r.pos) + {_SUB_CHUNK - 1}, any_value(t.n_chars_total))
+           - min(r.pos) + 1 AS extent_chars
+  FROM runs r JOIN tot t ON t.doc_id = r.doc_id
+  GROUP BY r.doc_id, r.grp
+),
+per_doc AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_cut_extents,
+         CAST(max(e.extent_chars) AS BIGINT) AS max_extent_chars,
+         CAST(any_value(t.n_chars_total) AS BIGINT) AS n_chars_total,
+         CAST(sum(e.extent_chars) AS BIGINT) AS n_chars_cut,
+         CAST(any_value(t.n_chars_total) - sum(e.extent_chars) AS BIGINT)
+           AS n_chars_retained,
+         floor((any_value(t.n_chars_total) - sum(e.extent_chars))
+               / CAST(any_value(t.n_chars_total) AS DOUBLE)
+               * 1000000) / 1000000 AS retained_frac
+  FROM extents e JOIN tot t ON t.doc_id = e.doc_id
+  GROUP BY e.doc_id
+),
+pack AS (
+  SELECT floor(((SELECT sum(n_chars_total) FROM tot)
+                - coalesce((SELECT sum(n_chars_cut) FROM per_doc), 0))
+               / CAST((SELECT sum(n_chars_total) FROM tot) AS DOUBLE)
+               * 1000000) / 1000000 AS corpus_retained_frac
+)
+SELECT doc_id, n_cut_extents, max_extent_chars, n_chars_total,
+       n_chars_cut, n_chars_retained, retained_frac, corpus_retained_frac
+FROM per_doc, pack
+""",
+    doc=(
+        "EXACT substring dedup at suffix-group granularity — the "
+        "keep-one-copy form of Lee et al.'s ExactSubstr ('Deduplicating "
+        "Training Data Makes Language Models Better'), completing the "
+        "dedup ladder exact -> token-set -> MinHash -> PPJoin -> "
+        "winnow -> suffix: identical fixed-width CONTENT windows "
+        "({c}-char, {s}-char stride) form suffix groups; the FIRST "
+        "occurrence in global (doc_id, pos) order is the canonical "
+        "survivor and every later occurrence — cross-doc or within-doc "
+        "— is cut; cut positions chain (gaps-and-islands) into maximal "
+        "duplicate extents, and each affected document reports extent "
+        "count, longest extent, chars cut, and retention, plus the "
+        "corpus retention rate. This is DEDUP semantics (one copy "
+        "survives), vs q_dedup_span_scrub's SCRUB semantics (every "
+        "copy of a cross-doc span removed) — the two bracket a cut "
+        "policy decision real pipelines make. Scale shape: the "
+        "classical formulation is a global lexicographic suffix sort "
+        "with adjacent-run detection; on Spark the suffix-group "
+        "exchange HASH-partitions the window content instead of "
+        "range-partitioning it — identical data movement (all window "
+        "content through one exchange, as strings, never full text), "
+        "strictly better balance (no lexicographic hotspots — "
+        "boilerplate-heavy corpora cluster badly under range "
+        "partitioning), and canonical-pick + group-size ride ONE "
+        "partitioned window over that exchange. Downstream is the "
+        "shared per-doc chaining shape: one doc_id window + two "
+        "bounded aggregates; the corpus rate is a 1-row broadcast "
+        "pack. Tail windows clamp at document end, so extents never "
+        "overcount past the text."
+    ).format(c=_SUB_CHUNK, s=_SUB_STEP),
+)
+def q_dedup_suffix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # NULL and zero-length docs are dropped: an empty doc's single tail
+    # window is '' — a degenerate suffix group that cuts 0 chars but
+    # skews the wkey window partition (every empty doc lands in it)
+    wk = (
+        _spread(docs)
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("text") - (_SUB_CHUNK - _SUB_STEP),
+                        F.lit(1),
+                    ),
+                    F.lit(_SUB_STEP),
+                )
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"substring(text, pos, {_SUB_CHUNK})").alias("wkey"),
+        )
+    )
+    wg = Window.partitionBy("wkey").orderBy("doc_id", "pos")
+    cut = (
+        wk.select(
+            "doc_id", "pos", F.row_number().over(wg).alias("rn")
+        )
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    runs = cut.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - _SUB_STEP * F.row_number().over(by_pos)).alias("grp"),
+    )
+    tot = docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars_total")
+    )
+    extents = (
+        runs.join(tot, "doc_id")
+        .groupBy("doc_id", "grp")
+        .agg(
+            (
+                F.least(
+                    F.max("pos") + (_SUB_CHUNK - 1),
+                    F.any_value("n_chars_total"),
+                )
+                - F.min("pos")
+                + 1
+            ).alias("extent_chars"),
+            F.any_value("n_chars_total").alias("n_chars_total"),
+        )
+    )
+    retained = F.any_value("n_chars_total") - F.sum("extent_chars")
+    per_doc = extents.groupBy("doc_id").agg(
+        F.count("*").alias("n_cut_extents"),
+        F.max("extent_chars").cast("long").alias("max_extent_chars"),
+        F.any_value("n_chars_total").cast("long").alias("n_chars_total"),
+        F.sum("extent_chars").cast("long").alias("n_chars_cut"),
+        retained.cast("long").alias("n_chars_retained"),
+        floor_ratio(
+            F.try_divide(
+                retained.cast("double"), F.any_value("n_chars_total")
+            ),
+            6,
+        ).alias("retained_frac"),
+    )
+    corpus_tot = tot.agg(F.sum("n_chars_total").alias("ct"))
+    corpus_cut = per_doc.agg(
+        F.coalesce(F.sum("n_chars_cut"), F.lit(0)).alias("cc")
+    )
+    pack = corpus_tot.crossJoin(F.broadcast(corpus_cut)).select(
+        floor_ratio(
+            F.try_divide(
+                (F.col("ct") - F.col("cc")).cast("double"), F.col("ct")
+            ),
+            6,
+        ).alias("corpus_retained_frac")
+    )
+    return per_doc.crossJoin(F.broadcast(pack))
+
+
 _SEG_BLOCK, _SEG_MIN_TOKS = 10, 5
 
 

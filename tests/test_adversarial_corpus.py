@@ -64,6 +64,10 @@ KEYS = [
     "q_dedup_span_scrub",      # EMPTY doc: 0-length total -> NULL frac
     #   (try_divide; plain '/' is a job-killing ANSI DIVIDE_BY_ZERO)
     "q_dedup_substring_spans",  # empty-string chunks share md5('') runs
+    "q_dedup_suffix_groups",   # NULL/empty docs dropped up front on both
+    #   engines (the '' tail window is a degenerate suffix group);
+    #   whitespace-only and single-char docs form real content groups
+    #   whose extents clamp at doc end
     "q_split_assign",          # cluster-aware sides on a degenerate graph
     "q_dedup_band_sweep",      # bounded pair sample may be tiny/empty ->
     #   try_divide recall; every layout predicate over degenerate sigs

@@ -1,0 +1,100 @@
+"""Round-18 operators: exact substring dedup at suffix-group granularity
+(q_dedup_suffix_groups) — invariants beyond the oracle hash match."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from cloud_data_sync_spark.session import get_spark
+
+    return get_spark("test-round18")
+
+
+@pytest.fixture(scope="module")
+def suffix_rows(spark):
+    from cloud_data_sync_spark.operators.dedup import q_dedup_suffix_groups
+
+    return q_dedup_suffix_groups(spark, SF_DIR).collect()
+
+
+def test_suffix_groups_per_doc_arithmetic(suffix_rows):
+    """cut + retained = total; fractions consistent; extents bounded."""
+    assert suffix_rows, "sf0.001 corpus has duplicate windows by construction"
+    for r in suffix_rows:
+        assert r.n_cut_extents >= 1
+        assert 0 <= r.n_chars_cut <= r.n_chars_total
+        assert r.n_chars_cut + r.n_chars_retained == r.n_chars_total
+        assert r.max_extent_chars <= r.n_chars_cut
+        # extents are clamped at doc end, so no extent exceeds the doc
+        assert r.max_extent_chars <= r.n_chars_total
+        assert 0.0 <= r.retained_frac <= 1.0
+
+
+def test_suffix_groups_keep_one_copy_semantics(spark):
+    """DEDUP (keep one copy), not SCRUB (cut all): for every duplicate
+    window group, exactly the first (doc_id, pos) occurrence survives —
+    so total cut positions = total occurrences - number of groups."""
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.operators.dedup import _SUB_CHUNK, _SUB_STEP
+    from cloud_data_sync_spark.tables import load_table
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("text") - (_SUB_CHUNK - _SUB_STEP), F.lit(1)
+                    ),
+                    F.lit(_SUB_STEP),
+                )
+            ).alias("pos"),
+            "text",
+        )
+        .select("doc_id", "pos", F.expr(f"substring(text, pos, {_SUB_CHUNK})").alias("wkey"))
+    )
+    grp = docs.groupBy("wkey").agg(F.count("*").alias("n"))
+    dup = grp.filter(F.col("n") >= 2).agg(
+        F.sum(F.col("n") - 1).alias("cut_positions")
+    ).collect()[0]
+
+    # recount cut positions through the operator's own ranking
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("wkey").orderBy("doc_id", "pos")
+    ranked_cut = (
+        docs.select(F.row_number().over(wg).alias("rn"))
+        .filter(F.col("rn") >= 2)
+        .count()
+    )
+    assert ranked_cut == dup.cut_positions
+
+
+def test_suffix_groups_corpus_rate_matches_per_doc_sums(spark, suffix_rows):
+    """The broadcast 1-row corpus pack equals the recomputed rate over
+    ALL docs (unaffected docs contribute total chars, zero cut)."""
+    from pyspark.sql import functions as F
+
+    from cloud_data_sync_spark.tables import load_table
+
+    total = (
+        load_table(spark, SF_DIR, "documents")
+        .agg(F.sum(F.length("text")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    cut = sum(r.n_chars_cut for r in suffix_rows)
+    import math
+
+    want = math.floor((total - cut) / total * 1_000_000) / 1_000_000
+    rates = {r.corpus_retained_frac for r in suffix_rows}
+    assert rates == {want}

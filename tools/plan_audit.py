@@ -175,6 +175,7 @@ BNLJ_ALLOWED = {
     # over the per-doc result — constant size at any corpus scale
     "q_dedup_sentence_scrub",
     "q_dedup_span_scrub",
+    "q_dedup_suffix_groups",
     # the geometry sweep's pair join is a nested loop over the BOUNDED
     # audit sample (base-id-capped, constant at any corpus size — the
     # q_sim_topk bounded-set rule); every layout is decided in that one
