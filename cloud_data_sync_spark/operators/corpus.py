@@ -1119,11 +1119,13 @@ FROM fit
         "describes. Checkpoints are LOG-spaced (m/2^9 .. m) so the "
         "fit sees the growth region, not ten saturated points. Plan: "
         "one first-seen hash aggregate (first occurrence is an "
-        "aggregate, not a scan-order property), then ALL ten "
-        "checkpoint counts in one conditional aggregate per frame "
-        "(sum(when(first_seen <= cut_k)) columns, cuts derived inline "
-        "from the broadcast 1-row max pack — a single pass, no fanout "
-        "of the corpus-scale trigram frame), closed-form log-log "
+        "aggregate, not a scan-order property), checkpoint counts via "
+        "the broadcast 10-row cut pack fanout — kept over three "
+        "measured single-aggregate rewrites because the fanout rows "
+        "live only inside one codegen pipeline (explode -> filter -> "
+        "partial count; never shuffled) and the log-spaced filter "
+        "drops most rows before any aggregate update (A/B numbers at "
+        "the call site) — then closed-form log-log "
         "OLS on <= 10 points. The k_coef floor is epsilon-shifted: "
         "exp of mean-ln of exact integers lands ON decimal lattice "
         "points (31.0 did)."
@@ -1142,48 +1144,50 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("fs"))
     mx = grams.agg(F.max("doc_id").alias("m"))
-
-    # All 10 checkpoint counts in ONE conditional aggregate per frame:
-    # sum(when(col <= cut_k, 1)) columns with the cut derived inline from
-    # the broadcast 1-row max pack. The previous shape crossJoined the
-    # corpus-scale first_seen frame (and the distinct-doc frame) against
-    # a 10-row cut table — map-side, but a 10x fanout of a frame that is
-    # itself corpus-scale at 100 TB; this is a single pass (r8 verdict
-    # item 3).
-    def _cut(k: int):
-        return F.floor(
-            F.col("m") / F.pow(F.lit(2.0), _HEAPS_POINTS - k)
-        ).cast("long")
-
-    def _cut_counts(df: DataFrame, value_col: str, prefix: str) -> DataFrame:
-        return df.crossJoin(F.broadcast(mx)).agg(
-            *[
-                F.sum(
-                    F.when(F.col(value_col) <= _cut(k), 1).otherwise(0)
-                ).alias(f"{prefix}{k}")
-                for k in range(1, _HEAPS_POINTS + 1)
-            ]
+    # Shape decision, MEASURED (r8 verdict item 3 asked for "one
+    # conditional aggregate" instead of this 10-row broadcast fanout;
+    # three single-aggregate shapes were implemented and A/B'd at sf0.1,
+    # idle box, alternating min-of-4 against this one): 10x sum(when(fs
+    # <= cut_k)) columns 1.60 s; same with cuts hoisted into the 1-row
+    # pack 1.41 s; per-row bucket index (HOF over the power array) +
+    # groupBy(bucket) + cum-sum over <=11 rows 1.25 s; THIS fanout
+    # 1.02-1.21 s. The fanout wins because it is map-side and partially
+    # aggregated — the 10x rows exist only transiently inside one
+    # whole-stage-codegen pipeline (explode of 10 broadcast rows ->
+    # filter -> partial count), never materialized or shuffled, and the
+    # log-spaced filter drops ~80% of fanned rows BEFORE any aggregate
+    # update, while every conditional-aggregate variant pays 10 agg
+    # updates (or a 10-element HOF) on EVERY row. At 100 TB both shapes
+    # are one pass over first_seen; this one does less work per row.
+    cuts = mx.select(
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _HEAPS_POINTS + 1)])
+        ).alias("k"),
+        "m",
+    ).select(
+        "k",
+        F.floor(
+            F.col("m") / F.pow(F.lit(2.0), _HEAPS_POINTS - F.col("k"))
         )
-
-    vocab_row = _cut_counts(first_seen, "fs", "v")
-    docs_row = _cut_counts(grams.select("doc_id").distinct(), "doc_id", "d")
-    pts = (
-        docs_row.crossJoin(F.broadcast(vocab_row))
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.col(f"d{k}").alias("n_docs"),
-                            F.col(f"v{k}").alias("vocab"),
-                        )
-                        for k in range(1, _HEAPS_POINTS + 1)
-                    ]
-                )
-            ).alias("p")
-        )
-        .select("p.n_docs", "p.vocab")
-        .filter((F.col("n_docs") > 0) & (F.col("vocab") > 0))
+        .cast("long")
+        .alias("c"),
+    )
+    docs_per_cut = (
+        grams.select("doc_id")
+        .distinct()
+        .crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") <= F.col("c"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    vocab_per_cut = (
+        first_seen.crossJoin(F.broadcast(cuts))
+        .filter(F.col("fs") <= F.col("c"))
+        .groupBy("k")
+        .agg(F.count("*").alias("vocab"))
+    )
+    pts = docs_per_cut.join(vocab_per_cut, "k").filter(
+        (F.col("n_docs") > 0) & (F.col("vocab") > 0)
     )
     ln_pts = pts.select(
         F.log(F.col("n_docs").cast("double")).alias("x"),

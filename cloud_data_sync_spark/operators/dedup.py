@@ -43,12 +43,45 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 # -- augmented corpus (identical construction in Spark and oracle SQL) -------
 
 
+_AUG_ID_GUARD: dict[tuple, bool] = {}
+
+
 def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies (id+2M, %7) ∪ near copies with appended
-    tokens (id+1M, %10) ∪ token-sorted reorderings (id+3M, %9)."""
-    return augment_docs(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokens (id+1M, %10) ∪ token-sorted reorderings (id+3M, %9).
+
+    Guards the branch-offset id space ONCE per (session, sf_dir): several
+    downstream consumers (q_dedup_cross_source's source attachment,
+    q_dedup_band_sweep's base-id sample cap) recover the base document
+    via ``doc_id % 1_000_000``, which silently mis-attributes rows the
+    moment an original id reaches the 1M offset — and the DuckDB oracles
+    share the assumption, so the dual-engine gate cannot catch it. The
+    guard is a documented control-plane collect (ONE max over a long
+    column, memoized per session+vintage — at 100 TB a single columnar
+    max-agg, the standard price of a fail-loudly integrity gate before a
+    dedup campaign) that raises instead of letting the campaign
+    mis-attribute (r8 ADVICE, generalized from q_dup_inflation — which
+    now carries `source` through the branches and needs no recovery)."""
+    from cloud_data_sync_spark.tables import _file_vintage, _session_key, table_path
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = (
+        _session_key(spark),
+        sf_dir,
+        _file_vintage(table_path(sf_dir, "documents")),
     )
+    if not _AUG_ID_GUARD.get(key):
+        mx = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
+        if mx is not None and mx >= 1_000_000:
+            raise ValueError(
+                f"augmented_documents: max(doc_id)={mx} >= 1_000_000 — the "
+                "augmentation branch offsets (1M/2M/3M) would collide with "
+                "original ids and modulo base-id recovery would "
+                "mis-attribute; raise the offsets before running dedup at "
+                "this id scale"
+            )
+        _AUG_ID_GUARD[key] = True
+    return augment_docs(docs)
 
 
 def augment_docs(docs: DataFrame) -> DataFrame:

@@ -98,3 +98,46 @@ def test_suffix_groups_corpus_rate_matches_per_doc_sums(spark, suffix_rows):
     want = math.floor((total - cut) / total * 1_000_000) / 1_000_000
     rates = {r.corpus_retained_frac for r in suffix_rows}
     assert rates == {want}
+
+
+def test_augment_docs_carries_extra_columns(spark):
+    """Non-(doc_id, text) columns ride every augmentation branch — the
+    q_dup_inflation source attachment depends on it."""
+    from cloud_data_sync_spark.operators.dedup import augment_docs
+
+    df = spark.createDataFrame(
+        [(0, "a b", "s1"), (7, "c d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.doc_id: r.source for r in augment_docs(df).collect()}
+    # 0: %7 exact twin, %10 near twin, %9 reorder twin; 7: %7 exact twin
+    assert rows == {
+        0: "s1",
+        7: "s2",
+        1000000: "s1",
+        2000000: "s1",
+        2000007: "s2",
+        3000000: "s1",
+    }
+
+
+def test_augmented_documents_guards_1m_id_space(spark, tmp_path):
+    """Original ids at/above the 1M branch offset must fail LOUDLY: the
+    modulo base-id recovery downstream (cross_source, band_sweep) would
+    silently mis-attribute, and the oracles share the assumption so the
+    dual-engine gate cannot catch it (r8 ADVICE)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    shifted = t.set_column(
+        t.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.add(t["doc_id"], 1_000_000),
+    )
+    pq.write_table(shifted, str(tmp_path / "documents.parquet"))
+
+    from cloud_data_sync_spark.operators.dedup import augmented_documents
+
+    with pytest.raises(ValueError, match="mis-attribute"):
+        augmented_documents(spark, str(tmp_path))
