@@ -114,7 +114,8 @@ def sweep_timings(
     on_error=lambda name, exc: print(
         f"bench: {name} failed: {exc}", file=sys.stderr
     ),
-) -> tuple[dict[str, float], float]:
+    load_fn=lambda: os.getloadavg()[0],
+) -> tuple[dict[str, float], float, list[float], list[float]]:
     """Min-of-N per query, taken as N SEPARATE full sweeps over the query
     list (pass 1 times everything, then pass 2 re-times everything)
     rather than back-to-back repeats: the box is shared, and a sustained
@@ -136,11 +137,16 @@ def sweep_timings(
     samples, not just the min: cross-round comparisons can then separate
     a real regression (both sweeps up) from box contention (one sweep
     poisoned) without re-running anything (r5 advice — bench totals
-    swing ±20-40% with shared-host load).
+    swing ±20-40% with shared-host load). The 1-min load at each sweep
+    START is returned alongside (r9): with the start gate green, an
+    asymmetric sweep pair plus its load stamps names WHICH sweep was
+    poisoned as recorded fact instead of reconstruction.
     """
     samples: dict[str, list[float]] = {}
     failed: set[str] = set()
+    sweep_loads: list[float] = []
     for _ in range(passes):
+        sweep_loads.append(round(load_fn(), 2))
         for name in names:
             if name in failed:
                 continue
@@ -164,7 +170,7 @@ def sweep_timings(
     sweep_totals = [
         round(sum(samples[n][i] for n in complete), 3) for i in range(passes)
     ]
-    return timings, total, sweep_totals
+    return timings, total, sweep_totals, sweep_loads
 
 
 def main() -> None:
@@ -219,7 +225,9 @@ def main() -> None:
         ).save()
         return time.perf_counter() - t0
 
-    timings, total, sweep_totals = sweep_timings(sorted(all_queries()), _run_one)
+    timings, total, sweep_totals, sweep_loads = sweep_timings(
+        sorted(all_queries()), _run_one
+    )
 
     # Full per-query map goes to BENCH_FULL.json (the one-line stdout
     # contract is read from a bounded tail buffer — observed 2000 chars in
@@ -239,6 +247,9 @@ def main() -> None:
                     # completed every sweep): value is the min-of-sweeps
                     # total; these expose how much box noise the min hid
                     "sweep_totals": sweep_totals,
+                    # 1-min load at each timed sweep's START: names the
+                    # poisoned sweep when the pair is asymmetric
+                    "sweep_loads": sweep_loads,
                     # shared-host load at run end (1/5/15-min averages):
                     # the machine-readable noise context — same-code
                     # totals have swung 63-89 s purely with box load, so

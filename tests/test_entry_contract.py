@@ -96,9 +96,16 @@ def test_sweep_timings_min_across_separated_sweeps():
     from bench import sweep_timings
 
     walls = {"q_a": iter([3.0, 1.0]), "q_b": iter([0.5, 0.7])}
-    timings, total, sweep_totals = sweep_timings(
-        ["q_a", "q_b"], lambda n: next(walls[n]), on_error=lambda n, e: None
+    loads = iter([0.3, 0.5])
+    timings, total, sweep_totals, sweep_loads = sweep_timings(
+        ["q_a", "q_b"],
+        lambda n: next(walls[n]),
+        on_error=lambda n, e: None,
+        load_fn=lambda: next(loads),
     )
+    # each sweep's start load is stamped so an asymmetric pair names
+    # the poisoned sweep
+    assert sweep_loads == [0.3, 0.5]
     # min is taken per query ACROSS sweeps (q_a's spike-poisoned first
     # sample is discarded by its clean second-sweep sample)
     assert timings == {"q_a": 1.0, "q_b": 0.5}
@@ -119,7 +126,7 @@ def test_sweep_timings_failure_pins_sentinel_and_skips_remaining_sweeps():
             raise RuntimeError("boom")
         return 0.1
 
-    timings, total, sweep_totals = sweep_timings(
+    timings, total, sweep_totals, _ = sweep_timings(
         ["q_bad", "q_ok"], run_one, on_error=lambda n, e: None
     )
     # failed queries are excluded from BOTH sweep totals, not just the min
@@ -144,7 +151,9 @@ def test_sweep_timings_succeed_then_throw_is_failed():
             raise RuntimeError("flake on sweep 2")
         return 2.5
 
-    timings, total, _ = sweep_timings(["q_x"], run_one, on_error=lambda n, e: None)
+    timings, total, _, _ = sweep_timings(
+        ["q_x"], run_one, on_error=lambda n, e: None
+    )
     # sweep-1 success must NOT survive a sweep-2 throw
     assert timings == {"q_x": -1.0}
     assert total == 0.0
