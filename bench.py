@@ -179,9 +179,14 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     # load gate FIRST (before the session starts doing work — see
-    # wait_for_idle); conservative threshold, bounded wait
+    # wait_for_idle); conservative threshold. Default max wait is 10
+    # minutes, not longer: the full run itself takes ~15 min and an
+    # unattended harness may cap total wall — a gate_ok=false artifact
+    # (self-documented as load-contaminated) beats NO artifact from a
+    # timeout. Interactive runs override via env (the r9 close used
+    # GATE=0.8 WAIT=3600 to insist on a deep-idle window).
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.5"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "1800"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
     load_start, load_waited, load_gate_ok = wait_for_idle(gate, max_wait)
 
     spark = get_spark("bench")
