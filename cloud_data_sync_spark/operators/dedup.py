@@ -46,42 +46,53 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 _AUG_ID_GUARD: dict[tuple, bool] = {}
 
 
-def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ exact copies (id+2M, %7) ∪ near copies with appended
-    tokens (id+1M, %10) ∪ token-sorted reorderings (id+3M, %9).
+def guard_augment_id_space(spark: SparkSession, sf_dir: str) -> None:
+    """Fail LOUDLY if original doc_ids reach the 1M augmentation offset.
 
-    Guards the branch-offset id space ONCE per (session, sf_dir): several
-    downstream consumers (q_dedup_cross_source's source attachment,
-    q_dedup_band_sweep's base-id sample cap) recover the base document
-    via ``doc_id % 1_000_000``, which silently mis-attributes rows the
-    moment an original id reaches the 1M offset — and the DuckDB oracles
-    share the assumption, so the dual-engine gate cannot catch it. The
-    guard is a documented control-plane collect (ONE max over a long
-    column, memoized per session+vintage — at 100 TB a single columnar
-    max-agg, the standard price of a fail-loudly integrity gate before a
-    dedup campaign) that raises instead of letting the campaign
-    mis-attribute (r8 ADVICE, generalized from q_dup_inflation — which
-    now carries `source` through the branches and needs no recovery)."""
+    Several consumers of the augmented corpus classify or recover rows
+    through the deterministic branch offsets — q_dedup_cross_source and
+    q_dedup_band_sweep via ``doc_id % 1_000_000``, the streaming crawl
+    (streaming/crawl.py) via ``doc_id >= 1_000_000`` batch membership —
+    and every one silently mis-attributes the moment an original id
+    collides with the offset space; the DuckDB oracles share the
+    assumption, so the dual-engine gate cannot catch it. This is a
+    documented control-plane collect (ONE max over a long column,
+    memoized per session+vintage — at 100 TB a single columnar max-agg,
+    the standard price of a fail-loudly integrity gate before a dedup
+    campaign) that raises instead of letting the campaign mis-attribute
+    (r8 ADVICE, generalized from q_dup_inflation — which now carries
+    `source` through the branches and needs no recovery)."""
     from cloud_data_sync_spark.tables import _file_vintage, _session_key, table_path
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     key = (
         _session_key(spark),
         sf_dir,
         _file_vintage(table_path(sf_dir, "documents")),
     )
-    if not _AUG_ID_GUARD.get(key):
-        mx = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
-        if mx is not None and mx >= 1_000_000:
-            raise ValueError(
-                f"augmented_documents: max(doc_id)={mx} >= 1_000_000 — the "
-                "augmentation branch offsets (1M/2M/3M) would collide with "
-                "original ids and modulo base-id recovery would "
-                "mis-attribute; raise the offsets before running dedup at "
-                "this id scale"
-            )
-        _AUG_ID_GUARD[key] = True
-    return augment_docs(docs)
+    if _AUG_ID_GUARD.get(key):
+        return
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
+    if mx is not None and mx >= 1_000_000:
+        raise ValueError(
+            f"augment id-space guard: max(doc_id)={mx} >= 1_000_000 — the "
+            "augmentation branch offsets (1M/2M/3M) would collide with "
+            "original ids; offset-based base-id recovery and crawl-batch "
+            "membership would mis-attribute. Raise the offsets before "
+            "running dedup at this id scale"
+        )
+    _AUG_ID_GUARD[key] = True
+
+
+def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (id+2M, %7) ∪ near copies with appended
+    tokens (id+1M, %10) ∪ token-sorted reorderings (id+3M, %9).
+    Guarded by :func:`guard_augment_id_space` (offset-collision check,
+    once per session+vintage)."""
+    guard_augment_id_space(spark, sf_dir)
+    return augment_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
 
 def augment_docs(docs: DataFrame) -> DataFrame:
@@ -114,20 +125,30 @@ def augment_docs(docs: DataFrame) -> DataFrame:
     return docs.unionByName(exact).unionByName(near).unionByName(reorder)
 
 
-_AUG_SQL = """
+def _aug_sql(extra_cols: str = "") -> str:
+    """The oracle-side augmentation CTE — ONE definition of the 4-branch
+    construction (offsets, the appended-tokens literal, the reorder
+    expression) so Spark's augment_docs and every oracle stay in sync
+    from a single place. ``extra_cols`` (e.g. ``", source"``) projects
+    original-row columns through every branch, mirroring augment_docs'
+    column carry-through."""
+    return f"""
 aug AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text{extra_cols} FROM documents
   UNION ALL
-  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+  SELECT doc_id + 2000000, text{extra_cols} FROM documents WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id + 1000000, text || ' extra trailing tokens appended'
+  SELECT doc_id + 1000000, text || ' extra trailing tokens appended'{extra_cols}
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
   SELECT doc_id + 3000000,
-         array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' ')
+         array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' '){extra_cols}
   FROM documents WHERE doc_id % 9 = 0
 )
 """
+
+
+_AUG_SQL = _aug_sql()
 
 
 # -- exact + token-set dedup -------------------------------------------------
@@ -3324,19 +3345,9 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dup_inflation",
-    oracle="""WITH aug AS (
-  SELECT doc_id, text, source FROM documents
-  UNION ALL
-  SELECT doc_id + 2000000, text, source FROM documents WHERE doc_id % 7 = 0
-  UNION ALL
-  SELECT doc_id + 1000000, text || ' extra trailing tokens appended', source
-  FROM documents WHERE doc_id % 10 = 0
-  UNION ALL
-  SELECT doc_id + 3000000,
-         array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' '),
-         source
-  FROM documents WHERE doc_id % 9 = 0
-),
+    oracle="WITH "
+    + _aug_sql(", source")
+    + """,
 toks AS (
   SELECT a.doc_id, a.source,
          len(string_split_regex(trim(lower(a.text)), '\\s+')) AS n_toks,

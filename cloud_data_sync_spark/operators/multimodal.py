@@ -430,12 +430,10 @@ sig AS (
   SELECT doc_id,
          octet_length(encode(text)) AS blen,
          list_transform(range(0, {_PH_BITS + 1}),
-           i -> CASE WHEN octet_length(encode(text)) = 0 THEN 0
-                ELSE ord(substr(text,
+           i -> ord(substr(text,
                   CAST(greatest(least(1 + i * greatest(
                          octet_length(encode(text)) // {_PH_BITS + 1}, 1),
-                       octet_length(encode(text))), 1) AS INTEGER), 1))
-                END) AS s
+                       octet_length(encode(text))), 1) AS INTEGER), 1))) AS s
   FROM aug
 ),
 bands AS (
@@ -531,14 +529,16 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"greatest(CAST(octet_length(encode(text, 'UTF-8')) / {n}"
         " AS BIGINT), 1) AS stride",
     )
+    # no blen=0 branch: the up-front NULL/empty filter guarantees every
+    # aug row has bytes (the jitter branch requires length >= 6), so a
+    # degenerate-payload path here would be dead code contradicting the
+    # filter's contract
     sig = pre.selectExpr(
         "doc_id",
         f"""transform(sequence(0, {_PH_BITS}),
-             i -> CASE WHEN blen = 0 THEN 0
-                  ELSE ascii(substr(text,
+             i -> ascii(substr(text,
                     CAST(greatest(least(1 + i * stride, blen), 1)
-                      AS INT), 1))
-                  END) AS s""",
+                      AS INT), 1))) AS s""",
     )
     band_exprs = [
         f"""aggregate(sequence(0, 15),

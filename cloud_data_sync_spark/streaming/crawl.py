@@ -176,7 +176,15 @@ def _crawl_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     no-data batch would be a pure state-store round (no_data_batch=False);
     16 partitions for Python-stateful Arrow parallelism. Cached per
     (session, DOCUMENTS vintage)."""
+    from cloud_data_sync_spark.operators.dedup import guard_augment_id_space
     from cloud_data_sync_spark.streaming.runner import drained_family
+
+    # same fail-loudly offset-collision gate as the batch dedup family:
+    # the crawl verdict classifies batch membership by doc_id >= 1M, so
+    # an original id in the offset space would silently mis-classify on
+    # both engines (checked on the batch table BEFORE any stream builds —
+    # streaming frames can't run the control-plane max)
+    guard_augment_id_space(spark, sf_dir)
 
     def pairs() -> DataFrame:
         return streaming_candidate_pairs(

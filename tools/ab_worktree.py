@@ -59,11 +59,24 @@ print("ABJSON " + json.dumps(out))
 
 
 def _time_tree(root: str, sf: str, n: int, names: list[str]) -> dict:
+    # cwd AND PYTHONPATH pinned to the tree under test: the driver-side
+    # sys.path.insert in _RUNNER is not enough — Spark's Python workers
+    # resolve cloudpickled-by-reference modules (pandas UDFs,
+    # mapInPandas bodies) from the worker's own path, which inherits
+    # PYTHONPATH/cwd. Without the pin, the ref side's workers would
+    # silently import HEAD's UDF code and the A/B would compare HEAD
+    # against itself for any UDF-bearing key.
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     proc = subprocess.run(
         [sys.executable, "-c", _RUNNER, root, sf, str(n), *names],
         capture_output=True,
         text=True,
         check=False,
+        cwd=root,
+        env=env,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("ABJSON "):
