@@ -656,11 +656,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         + 1
     ) / F.lit(4294967296.0)
+    # try_divide: a zero-weight (empty) doc has no sampling mass — ANSI
+    # mode would otherwise KILL the job on ln(u)/0, while DuckDB's double
+    # division by zero is NULL natively; NULL keys sort last under both
+    # engines' k DESC, so weightless docs lose the reservoir competition
+    # identically on both sides
     keyed = docs.select(
         "doc_id",
         "source",
         "n_chars",
-        (F.log(u) / F.col("n_chars")).alias("k"),
+        F.try_divide(F.log(u), F.col("n_chars")).alias("k"),
     )
     return (
         keyed.orderBy(F.desc("k"), "doc_id")

@@ -735,7 +735,7 @@ WITH toks AS (
 ),
 bk AS (
   SELECT doc_id,
-         list_transform(t,
+         list_transform(coalesce(t, CAST([] AS VARCHAR[])),
            s -> CAST('0x' || substr(md5(s), 1, 6) AS BIGINT) % {_FH_BUCKETS}
          ) AS b
   FROM toks
@@ -783,8 +783,12 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 when the second reference pins it (the _with_shingles lesson,
     # plus its reference-count fine print). n_tokens doubles as the
     # feature vector's L1 norm, so the extra column is not a dummy.
+    # NULL toks (NULL-text doc) coalesce to an EMPTY array on both
+    # engines: without it the per-bucket counts become [NULL x 16] whose
+    # string rendering diverges (Spark array_join SKIPS null elements ->
+    # ''; DuckDB renders NULL) — a NULL doc is an explicit zero vector
     bk = F.transform(
-        F.col("toks"),
+        F.coalesce(F.col("toks"), F.array().cast("array<string>")),
         lambda t: F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("long")
         % _FH_BUCKETS,
     )

@@ -91,6 +91,66 @@ KEYS = [
     "q_langid_chargram",       # NULL/empty/1-char docs excluded by the
     #   same predicate on both engines; tiny profiles from degenerate
     #   train splits keep the argmax deterministic
+    # -- r9 full-coverage sweep: EVERY remaining documents-reading oracle
+    #    key, enrolled after a one-shot probe of all 52 against this
+    #    corpus. The probe caught two real defects before enrollment:
+    #    q_weighted_sample died on ANSI ln(u)/0 for zero-char docs (now
+    #    try_divide; DuckDB's double /0 is NULL natively so NULL keys
+    #    sort last identically), and q_feature_hash rendered NULL-toks
+    #    docs as '' on Spark (array_join skips null elements) vs NULL on
+    #    DuckDB (now both coalesce to an explicit zero vector).
+    "q_approx_topk",
+    "q_bm25",
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_corpus_curation",
+    "q_curation_funnel",
+    "q_data_mixture",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_containment",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dedup_lsh_recall",
+    "q_dedup_minhash_calibration",
+    "q_dedup_minhash_incremental",
+    "q_dedup_minhash_sweep",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_prefix_filter",
+    "q_dedup_sentence",
+    "q_dedup_simhash",
+    "q_dedup_substring",
+    "q_dedup_winnow",
+    "q_doc_chunk",
+    "q_doc_pack",
+    "q_feature_hash",
+    "q_group_top_p",
+    "q_hll_pair_overlap",
+    "q_inverted_index",
+    "q_lang_confusion",
+    "q_lang_id",
+    "q_mixture_sample",
+    "q_mixture_temperature",
+    "q_multimodal_dedup",
+    "q_multimodal_meta",
+    "q_multimodal_phash",
+    "q_neyman_alloc",
+    "q_ngram_dup_mass",
+    "q_ngram_lm",
+    "q_perplexity_buckets",
+    "q_sample_hash",
+    "q_shard_layout",
+    "q_sketch_cms",
+    "q_source_overlap",
+    "q_term_pmi",
+    "q_text_entropy",
+    "q_text_term_freq",
+    "q_tfidf",
+    "q_token_bpe",
+    "q_vocab",
+    "q_vocab_coverage",
+    "q_weighted_sample",
+    "q_zipf_fit",
 ]
 
 
