@@ -509,11 +509,21 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("est_users") - F.col("exact_users"))
         <= F.lit(0.05) * F.col("exact_users")
     )
+    # null-safe join keys (the q_view_maintenance rule): a NULL
+    # event_type group exists on BOTH sides but an equi-join's NULL !=
+    # NULL silently drops it from the report — the oracle's single
+    # GROUP BY has no such seam
+    w = F.broadcast(weekly_est).alias("w")
+    e = exact.alias("e")
     return (
-        exact.join(F.broadcast(weekly_est), ["event_type", "week"])
+        e.join(
+            w,
+            F.col("e.event_type").eqNullSafe(F.col("w.event_type"))
+            & F.col("e.week").eqNullSafe(F.col("w.week")),
+        )
         .select(
-            "event_type",
-            "week",
+            F.col("e.event_type").alias("event_type"),
+            F.col("e.week").alias("week"),
             "exact_users",
             ok.alias("within_tolerance"),
         )

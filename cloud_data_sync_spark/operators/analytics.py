@@ -861,9 +861,9 @@ SELECT n_a, n_b,
        round(pow(v_a / n_a + v_b / n_b, 2)
              / (pow(v_a / n_a, 2) / (n_a - 1)
                 + pow(v_b / n_b, 2) / (n_b - 1)), 1) AS df_welch,
-       CAST(CASE WHEN abs(round((m_a - m_b)
-                  / sqrt(v_a / n_a + v_b / n_b), 3)) > 1.96
-            THEN 1 ELSE 0 END AS BIGINT) AS significant
+       CAST(abs(round((m_a - m_b)
+                / sqrt(v_a / n_a + v_b / n_b), 3)) > 1.96
+            AS BIGINT) AS significant
 FROM s
 """,
     doc=(
@@ -878,7 +878,10 @@ FROM s
         "the one-row aggregate). Welch-Satterthwaite df included. The "
         "significance flag compares the ROUNDED t-statistic on both "
         "engines, so variance ulp noise (different partial-merge orders) "
-        "cannot flip the decision."
+        "cannot flip the decision; an UNDEFINED test (an arm with <2 "
+        "observations has NULL sample variance) yields a NULL flag on "
+        "both engines — not 0, which would be a 'not significant' claim "
+        "the data cannot support."
     ),
 )
 def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1572,18 +1575,25 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
         ],
     )
+    # try_divide on every data-dependent denominator: an empty arm
+    # (n1/n0 = 0) or a zero-variance covariate makes these 0/0 — a
+    # job-killing ANSI error on vanilla Spark 4, NULL natively on
+    # DuckDB, so NULL is the cross-engine answer (adversarial suite)
     fit = pool.selectExpr(
-        "*", "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta"
+        "*",
+        "try_divide(n * sxy - sx * sy, n * sxx - sx * sx) AS theta",
     )
     return fit.selectExpr(
         "CAST(n1 AS BIGINT) AS n_treat",
         "CAST(n0 AS BIGINT) AS n_ctrl",
-        "floor((sy1 / n1 - sy0 / n0) * 10000) / 10000 AS diff_raw",
-        "floor(((sy1 / n1 - theta * (sx1 / n1))"
-        " - (sy0 / n0 - theta * (sx0 / n0))) * 10000) / 10000 AS diff_cuped",
+        "floor((try_divide(sy1, n1) - try_divide(sy0, n0)) * 10000)"
+        " / 10000 AS diff_raw",
+        "floor(((try_divide(sy1, n1) - theta * try_divide(sx1, n1))"
+        " - (try_divide(sy0, n0) - theta * try_divide(sx0, n0)))"
+        " * 10000) / 10000 AS diff_cuped",
         "floor(theta * 10000) / 10000 AS theta",
-        "floor((n * sxy - sx * sy) * (n * sxy - sx * sy)"
-        " / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 10000) / 10000"
+        "floor(try_divide((n * sxy - sx * sy) * (n * sxy - sx * sy),"
+        " (n * sxx - sx * sx) * (n * syy - sy * sy)) * 10000) / 10000"
         " AS var_reduction",
     )
 
@@ -2063,9 +2073,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(whole).alias("n1"),
         F.sum("c0").over(whole).alias("n0"),
     )
+    # try_divide: a one-sided split (every user hashed into one arm —
+    # guaranteed when few users survive the degenerate-events filter)
+    # zeroes n1 or n0; plain '/' is a job-killing ANSI error while
+    # DuckDB's double /0 is NULL — NULL KS stat and NULL flag on both
     diff = F.abs(
-        F.col("cum1").cast("double") / F.col("n1")
-        - F.col("cum0").cast("double") / F.col("n0")
+        F.try_divide(F.col("cum1").cast("double"), F.col("n1"))
+        - F.try_divide(F.col("cum0").cast("double"), F.col("n0"))
     )
     scored = walked.select(
         "event_type",
@@ -2078,8 +2092,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rk"),
     )
     crit = F.lit(_KS_COEF) * F.sqrt(
-        (F.col("n1") + F.col("n0"))
-        / (F.col("n1").cast("double") * F.col("n0"))
+        F.try_divide(
+            F.col("n1") + F.col("n0"),
+            F.col("n1").cast("double") * F.col("n0"),
+        )
     )
     return (
         scored.filter(F.col("rk") == 1)
@@ -2298,7 +2314,7 @@ WITH marked AS (
   SELECT value,
          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
               AS BIGINT) % 2 AS arm
-  FROM events
+  FROM events WHERE abs(value) <= 1000000000 OR value IS NULL
 ),
 s AS (
   SELECT
@@ -2340,7 +2356,15 @@ FROM s
     ).format(lift=_POWER_TARGET_LIFT),
 )
 def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    marked = load_table(spark, sf_dir, "events").select(
+    # validity bound |value| <= 1e9 (mirrored in the oracle; NULL values
+    # stay — they count toward n but not the variance): one corrupt
+    # 1e12 observation inflates the variance estimate ~1e23 and the
+    # recommended sample size to ~1e27 — a nonsense readout whose huge-
+    # magnitude arithmetic also exposes cross-engine var_samp ulp
+    # (different partial-merge orders). The q_decay_leaderboard bound.
+    marked = load_table(spark, sf_dir, "events").filter(
+        (F.abs("value") <= 1_000_000_000) | F.col("value").isNull()
+    ).select(
         "value",
         (
             F.conv(
@@ -2471,7 +2495,10 @@ def _metric_corr_report(daily_nv: DataFrame) -> DataFrame:
         "type_a",
         "type_b",
         "n_days",
-        floor_ratio(num / den, 6).alias("corr"),
+        # try_divide: a zero-variance series (den = 0 — a single shared
+        # day, or a constant daily count) has undefined correlation;
+        # ANSI '/' kills the job, DuckDB's double /0 is NULL natively
+        floor_ratio(F.try_divide(num, den), 6).alias("corr"),
     ).orderBy("type_a", "type_b")
 
 
@@ -2609,8 +2636,10 @@ def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.agg(
         F.count("s").alias("n_entered"),
         F.count(lag).alias("n_converted"),
+        # try_divide: zero funnel entries (count(s) = 0) is an ANSI
+        # job-killer on plain '/'; DuckDB's double /0 is NULL natively
         floor_ratio(
-            F.count(lag).cast("double") / F.count("s"), 6
+            F.try_divide(F.count(lag).cast("double"), F.count("s")), 6
         ).alias("conv_rate"),
         F.round(F.percentile(lag, F.lit(0.5)) / hours, 4).alias("p50_hours"),
         F.round(F.percentile(lag, F.lit(0.9)) / hours, 4).alias("p90_hours"),
@@ -3040,13 +3069,14 @@ _DECAY_TOPK = 10
     "q_decay_leaderboard",
     oracle=f"""
 WITH scored AS (
-  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item_k,
+  SELECT CASE WHEN json_valid(props)
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS item_k,
          CAST(round(value * 1000000) AS BIGINT)
            * (1 << ({_DECAY_MAX_WEEKS} - least(greatest(
                   CAST(date_diff('day', CAST(ts AS DATE),
                        DATE '{_DECAY_ANCHOR}') AS BIGINT) // 7, 0),
                 {_DECAY_MAX_WEEKS}))) AS w_micro
-  FROM events WHERE props IS NOT NULL
+  FROM events WHERE props IS NOT NULL AND abs(value) <= 1000000000
 )
 SELECT item_k, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(w_micro) AS BIGINT) AS decayed_micro
@@ -3077,9 +3107,15 @@ LIMIT {_DECAY_TOPK}
     ).format(k=_DECAY_TOPK, w=_DECAY_MAX_WEEKS),
 )
 def q_decay_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # validity bound |value| <= 1e9 (mirrored in the oracle): the exact
+    # integer-micro path multiplies by a 2^4 weight, so a corrupt
+    # magnitude (1e12 observed in the adversarial events) overflows the
+    # BIGINT — a job-killing ANSI ARITHMETIC_OVERFLOW. A billion units
+    # in ONE event is corrupt by contract for a leaderboard (it would
+    # also dominate the ranking, which is worse than dropping it).
     scored = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("props").isNotNull())
+        .filter(F.col("props").isNotNull() & (F.abs("value") <= 1_000_000_000))
         .selectExpr(
             "CAST(get_json_object(props, '$.k') AS BIGINT) AS item_k",
             "CAST(round(value * 1000000) AS BIGINT)"
@@ -3173,8 +3209,11 @@ def _seasonality_report(daily_nv: DataFrame) -> DataFrame:
     return stats.selectExpr(
         "event_type",
         "n AS n_days",
-        "floor((s_within - CAST(s AS DOUBLE) * s / n)"
-        " / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        # try_divide: a zero-variance daily series (every day's count
+        # identical — one observed day suffices) zeroes the total sum of
+        # squares; ANSI '/' is a job-killer, DuckDB's double /0 is NULL
+        "floor(try_divide(s_within - CAST(s AS DOUBLE) * s / n,"
+        " CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
         " * 1000000) / 1000000 AS seasonal_r2",
     ).orderBy("event_type")
 
@@ -3305,19 +3344,23 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c1y",
         "c2y",
         "cyy",
-        "CAST(c1y * c22 - c2y * c12 AS DOUBLE)"
-        " / CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS b1m",
-        "CAST(c2y * c11 - c1y * c12 AS DOUBLE)"
-        " / CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS b2m",
+        # try_divide: a singular normal matrix (all of a type's events in
+        # ONE hour/isodow cell — guaranteed with a handful of degenerate
+        # events) zeroes the determinant; ANSI '/' kills the job,
+        # DuckDB's double /0 is NULL natively — NULL betas on both
+        "try_divide(CAST(c1y * c22 - c2y * c12 AS DOUBLE),"
+        " CAST(c11 * c22 - c12 * c12 AS DOUBLE)) AS b1m",
+        "try_divide(CAST(c2y * c11 - c1y * c12 AS DOUBLE),"
+        " CAST(c11 * c22 - c12 * c12 AS DOUBLE)) AS b2m",
     )
     return beta.selectExpr(
         "event_type",
         "CAST(n AS BIGINT) AS n_events",
-        "floor((CAST(sy AS DOUBLE) - b1m * s1 - b2m * s2)"
-        " / n / 1000000 * 1000000) / 1000000 AS intercept",
+        "floor(try_divide(CAST(sy AS DOUBLE) - b1m * s1 - b2m * s2, n)"
+        " / 1000000 * 1000000) / 1000000 AS intercept",
         "floor(b1m / 1000000 * 1000000000) / 1000000000 AS beta_hour",
         "floor(b2m / 1000000 * 1000000000) / 1000000000 AS beta_isodow",
-        "floor((b1m * c1y + b2m * c2y) / CAST(cyy AS DOUBLE)"
+        "floor(try_divide(b1m * c1y + b2m * c2y, CAST(cyy AS DOUBLE))"
         " * 1000000) / 1000000 AS r2",
     ).orderBy("event_type")
 

@@ -1712,8 +1712,10 @@ scored AS (
 SELECT CAST(dim - 1 AS BIGINT) AS dim,
        CAST(n_ref AS BIGINT) AS n_ref,
        CAST(n_cand AS BIGINT) AS n_cand,
-       floor(m_ref * 1000000) / 1000000 AS mean_ref,
-       floor(m_cand * 1000000) / 1000000 AS mean_cand,
+       CASE WHEN abs(m_ref * 1000000) < 9007199254740992
+            THEN floor(m_ref * 1000000) / 1000000 END AS mean_ref,
+       CASE WHEN abs(m_cand * 1000000) < 9007199254740992
+            THEN floor(m_cand * 1000000) / 1000000 END AS mean_cand,
        floor(z * 10000) / 10000 AS drift_z
 FROM scored WHERE rn <= {_DRIFT_TOP}
 """,
@@ -1770,14 +1772,23 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         F.desc(F.abs(F.col("m_cand") - F.col("m_ref"))), F.asc("dim")
     ).limit(_DRIFT_TOP)
+    # floor() returns LONG in Spark and silently clamps past 2^63 while
+    # DuckDB's floor stays double — corrupt 1e30-magnitude embeddings
+    # diverge the engines. Gate the quantization behind the float-exact
+    # integer range (2^53) and emit NULL beyond it on BOTH engines (the
+    # q_random_projection clamp rule).
+    def _safe_floor(col, p: int):
+        scaled = col * p
+        return F.when(
+            F.abs(scaled) < F.lit(9007199254740992), F.floor(scaled) / p
+        )
+
     return scored.select(
         F.col("dim").cast("long").alias("dim"),
         F.col("n_ref").cast("long").alias("n_ref"),
         F.col("n_cand").cast("long").alias("n_cand"),
-        (F.floor(F.col("m_ref") * 1_000_000) / 1_000_000).alias("mean_ref"),
-        (F.floor(F.col("m_cand") * 1_000_000) / 1_000_000).alias(
-            "mean_cand"
-        ),
+        _safe_floor(F.col("m_ref"), 1_000_000).alias("mean_ref"),
+        _safe_floor(F.col("m_cand"), 1_000_000).alias("mean_cand"),
         (F.floor(F.col("z") * 10_000) / 10_000).alias("drift_z"),
     )
 

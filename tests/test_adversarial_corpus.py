@@ -288,6 +288,76 @@ VEC_EVENT_KEYS = [
     #   engines; corrupt timestamps ride the exact integer-cents path
     "q_funnel_steps",   # NULL users excluded; stages chained on strict
     #   epoch-us inequalities survive tied timestamps identically
+    # -- r9 full-coverage sweep: EVERY remaining embeddings/events-reading
+    #    oracle key, enrolled after a one-shot probe of all 53 against
+    #    this corpus. The probe caught ELEVEN real defects first — seven
+    #    ANSI job-killers (q_ab_cuped empty-arm + zero-variance theta,
+    #    q_funnel_time zero-entry conv_rate, q_ks_drift one-sided split,
+    #    q_metric_corr zero-variance series, q_ols_regression singular
+    #    normal matrix, q_seasonality_strength zero total variance — all
+    #    now try_divide; q_decay_leaderboard BIGINT overflow from a 1e12
+    #    value in the exact-micro path — now a |value| <= 1e9 validity
+    #    bound) and four divergences (q_ab_welch oracle said 0 where an
+    #    undefined test must say NULL; q_power_analysis var_samp ulp at
+    #    corrupt magnitudes — same validity bound; q_embedding_drift
+    #    Spark floor()->LONG clamp at 1e30 means — the 2^53 gate;
+    #    q_sketch_rollup equi-join dropping the NULL-event_type group —
+    #    null-safe keys). q_decay_leaderboard's oracle also needed
+    #    json_valid() (DuckDB json_extract ERRORS on malformed props
+    #    where Spark's get_json_object is NULL).
+    "q_ab_cuped",
+    "q_ab_welch",
+    "q_acf",
+    "q_anomaly_zscore",
+    "q_array_map_funcs",
+    "q_attribution",
+    "q_cohort_ltv",
+    "q_cusum_changepoint",
+    "q_decay_leaderboard",
+    "q_embedding_compactness",
+    "q_embedding_drift",
+    "q_event_paths",
+    "q_event_transitions",
+    "q_funnel_time",
+    "q_join_asof",
+    "q_join_asof_tolerance",
+    "q_join_range",
+    "q_join_skew_salted",
+    "q_ks_drift",
+    "q_late_events",
+    "q_logreg_calibration",
+    "q_map_funcs",
+    "q_markov_stationary",
+    "q_metric_corr",
+    "q_ols_regression",
+    "q_power_analysis",
+    "q_psi_drift",
+    "q_resample_gapfill",
+    "q_retention",
+    "q_scd2",
+    "q_seasonal_forecast",
+    "q_seasonality_strength",
+    "q_semdedup_sweep",
+    "q_session_lag_gap",
+    "q_session_window_batch",
+    "q_sim_ivf_pq",
+    "q_sim_ivf_pq_recall",
+    "q_sim_ivf_recall",
+    "q_sketch_rollup",
+    "q_srm_check",
+    "q_stream_dedup_keys",
+    "q_stream_enrich",
+    "q_stream_join",
+    "q_stream_left_join",
+    "q_stream_session_native",
+    "q_stream_sliding",
+    "q_stream_stateful_dedup",
+    "q_stream_tumbling",
+    "q_stream_upsert",
+    "q_temporal_join",
+    "q_vector_quantize",
+    "q_vector_stats",
+    "q_winsorize",
 ]
 
 
