@@ -443,19 +443,28 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_BLOOM_D):
         test = F.col(f"_b{i}").isNotNull()
         bloom_pass = test if bloom_pass is None else (bloom_pass & test)
+    # coalesce(sum, 0): pass/true tallies over ZERO orders are 0 (the
+    # oracle's count(*) subqueries), not Spark's NULL sum-of-empty
     agg = flagged.agg(
         F.count("*").alias("n_orders"),
-        F.sum(bloom_pass.cast("long")).alias("n_passed"),
-        F.sum(F.col("_true_key").isNotNull().cast("long")).alias("n_true"),
+        F.coalesce(F.sum(bloom_pass.cast("long")), F.lit(0)).alias(
+            "n_passed"
+        ),
+        F.coalesce(
+            F.sum(F.col("_true_key").isNotNull().cast("long")), F.lit(0)
+        ).alias("n_true"),
     )
     return (
         agg.select(
             "n_orders",
             "n_passed",
             "n_true",
+            # try_divide: zero orders -> NULL fp rate on both engines
             floor_ratio(
-                (F.col("n_passed") - F.col("n_true")).cast("double")
-                / F.col("n_orders"),
+                F.try_divide(
+                    (F.col("n_passed") - F.col("n_true")).cast("double"),
+                    F.col("n_orders"),
+                ),
                 6,
             ).alias("fp_rate"),
         )

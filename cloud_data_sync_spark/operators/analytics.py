@@ -2204,14 +2204,18 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orphan"))
     )
     packed = base.crossJoin(F.broadcast(orphans))
+    # try_divide: an EMPTY orders table (n = 0) must yield NULL metrics
+    # and NULL pass flags — an expectations suite over no rows has no
+    # evidence either way; plain '/' is an ANSI job-killer while
+    # DuckDB's double /0 is NULL natively (empty-input probe, r9)
     checks = packed.selectExpr(
         """stack(6,
-           'completeness_custkey', CAST(n_cust AS DOUBLE) / n, 0.99D,
-           'uniqueness_orderkey', CAST(n_keys AS DOUBLE) / n, 1.0D,
-           'positive_totalprice', CAST(n_pos AS DOUBLE) / n, 1.0D,
-           'accepted_status_values', CAST(n_status AS DOUBLE) / n, 1.0D,
-           'orderdate_in_range', CAST(n_dates AS DOUBLE) / n, 1.0D,
-           'referential_custkey', 1.0D - CAST(n_orphan AS DOUBLE) / n, 1.0D
+           'completeness_custkey', try_divide(CAST(n_cust AS DOUBLE), n), 0.99D,
+           'uniqueness_orderkey', try_divide(CAST(n_keys AS DOUBLE), n), 1.0D,
+           'positive_totalprice', try_divide(CAST(n_pos AS DOUBLE), n), 1.0D,
+           'accepted_status_values', try_divide(CAST(n_status AS DOUBLE), n), 1.0D,
+           'orderdate_in_range', try_divide(CAST(n_dates AS DOUBLE), n), 1.0D,
+           'referential_custkey', 1.0D - try_divide(CAST(n_orphan AS DOUBLE), n), 1.0D
         ) AS (check_name, metric, threshold)"""
     )
     return checks.select(
@@ -2964,8 +2968,11 @@ def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spend_gini_report(ranked: DataFrame) -> DataFrame:
+    # coalesce(max(n), 0): over an EMPTY ranked table max() is NULL
+    # while the oracle's count-derived n is 0 — zero customers, not an
+    # unknown number of them (empty-input probe, r9)
     agg = ranked.agg(
-        F.expr("max(n) AS n"),
+        F.expr("coalesce(max(n), 0) AS n"),
         F.expr("max(sx) AS sx"),
         F.expr("sum(CAST(i AS DECIMAL(38, 0)) * x) AS six"),
         F.expr("sum(CASE WHEN i > n - n div 10 THEN x ELSE 0 END) AS topx"),

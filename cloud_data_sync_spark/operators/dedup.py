@@ -1624,8 +1624,13 @@ def q_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_pairs").alias("n_pairs"),
         F.col("s.n_dropped").alias("n_dropped"),
         "n_vecs",
+        # try_divide: zero vectors (empty embeddings) is an ANSI
+        # job-killer on plain '/', NULL natively on DuckDB
         floor_ratio(
-            F.col("s.n_dropped").cast("double") / F.col("n_vecs"), 6
+            F.try_divide(
+                F.col("s.n_dropped").cast("double"), F.col("n_vecs")
+            ),
+            6,
         ).alias("drop_frac"),
     )
 
@@ -2299,9 +2304,13 @@ def q_dedup_minhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("r.n_pairs", F.lit(0)).alias("n_pairs"),
             F.coalesce("r.n_docs_in_pairs", F.lit(0)).alias("n_docs_in_pairs"),
             "n_docs_corpus",
+            # try_divide: an EMPTY corpus zeroes the denominator — ANSI
+            # job-killer on plain '/', NULL natively on DuckDB
             floor_ratio(
-                F.coalesce("r.n_docs_in_pairs", F.lit(0)).cast("double")
-                / F.col("n_docs_corpus"),
+                F.try_divide(
+                    F.coalesce("r.n_docs_in_pairs", F.lit(0)).cast("double"),
+                    F.col("n_docs_corpus"),
+                ),
                 6,
             ).alias("affected_frac"),
         )

@@ -156,9 +156,12 @@ def _affected_one_scan(
     joined = fact.join(
         F.broadcast(marked), fact_key == F.col(key_col), "left"
     )
+    # outer coalesce: an EMPTY fact table makes sum() NULL where the
+    # oracle's count(*) subquery says 0 — a blast radius over nothing
+    # is zero rows, not unknown (empty-input probe, r9)
     return joined.agg(
         F.lit(tbl).alias("tbl"),
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0))
         .cast("long")
         .alias("n_affected"),
         F.count("*").alias("n_total"),
@@ -321,12 +324,17 @@ def q_sample_coherent(spark: SparkSession, sf_dir: str) -> DataFrame:
         o_s.join(F.broadcast(c_s), o_s.o_custkey == c_s.c_custkey, "left_anti")
         .agg(F.count("*").alias("orphans"))
     )
+    # coalesce(sum, 0): over an EMPTY table Spark's sum is NULL where
+    # the oracle's count(*) subquery says 0 (empty-input probe, r9)
     c_row = (
         load_table(spark, sf_dir, "customer")
         .agg(
             F.lit("customer").alias("tbl"),
-            F.sum(
-                F.when(bucket16(F.col("c_custkey")) < t, 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(bucket16(F.col("c_custkey")) < t, 1).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("n_sampled"),
@@ -337,8 +345,11 @@ def q_sample_coherent(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_row = (
         orders.agg(
             F.lit("orders").alias("tbl"),
-            F.sum(
-                F.when(bucket16(F.col("o_custkey")) < t, 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(bucket16(F.col("o_custkey")) < t, 1).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("n_sampled"),

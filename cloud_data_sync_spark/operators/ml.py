@@ -310,6 +310,14 @@ def _pagerank_pipeline(
 
     nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
     n_nodes = nodes.count()  # 25 — dimension-table sized, a driver count is fine
+    if n_nodes == 0:
+        # empty graph: zero rows out (the oracle's CTE chain is empty
+        # too) — without the guard the DRIVER dies on 1.0/0 before any
+        # job runs (empty-input probe, r9)
+        return nodes.select(
+            F.col("n_name").alias("nation"),
+            F.lit(0.0).cast("double").alias("pagerank"),
+        )
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(_PR_ITERS):
         contribs = (

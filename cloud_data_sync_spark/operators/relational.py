@@ -205,9 +205,17 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
     doc="Grouping sets via ROLLUP with grouping_id disambiguating NULL groups.",
 )
 def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+    # ROLLUP(a, b) = GROUPING SETS ((a,b), (a), ()); the () grand-total
+    # row is restored via an explicit ungrouped aggregate union — the
+    # q_grouping_sets rule: Spark's keyed Expand aggregate drops it on
+    # empty input where SQL semantics emit it (empty-input probe, r9)
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -215,6 +223,14 @@ def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
     )
+    total = li.agg(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(3).cast("long").alias("gid"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+    return sets.unionByName(total)
 
 
 # -- windows / top-k ---------------------------------------------------------
@@ -890,9 +906,18 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    # The global () set is computed as an EXPLICIT ungrouped aggregate
+    # and unioned in, not passed to groupingSets: SQL semantics (and
+    # DuckDB/Postgres) emit the grand-total row even over EMPTY input —
+    # a global aggregate always yields one row — but Spark expands
+    # grouping sets into Expand + one hash aggregate keyed on
+    # (cols, gid), and a KEYED aggregate over empty input emits nothing,
+    # silently losing the () row (empty-input probe, r9). The union
+    # restores standard semantics on both empty and non-empty input;
+    # gid=3 is GROUPING(l_returnflag, l_linestatus) for the global set.
+    sets = (
         li.groupingSets(
-            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"]],
             "l_returnflag",
             "l_linestatus",
         )
@@ -903,6 +928,14 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     )
+    total = li.agg(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(3).cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    return sets.unionByName(total)
 
 
 def _interval_events(ev: DataFrame, mod: int, id_alias: str) -> DataFrame:
@@ -1224,17 +1257,26 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         first_touch("view"), first_touch("click"), first_touch("purchase")
     )
+    # coalesce(sum, 0): over ZERO users Spark's sum is NULL while the
+    # oracle's count(*) FILTER is 0 — a stage count over empty input is
+    # zero, not unknown (empty-input probe, r9)
     counts = per_user.agg(
         F.count("t_view").alias("viewed"),
-        F.sum(
-            F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).cast("long").alias("clicked_after_view"),
-        F.sum(
-            F.when(
-                (F.col("t_view") < F.col("t_click"))
-                & (F.col("t_click") < F.col("t_purchase")),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("t_view") < F.col("t_click"))
+                    & (F.col("t_click") < F.col("t_purchase")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).cast("long").alias("purchased_after_click"),
     )
     return counts.unpivot(
