@@ -1083,8 +1083,12 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.expr(f"CAST(sum(w{r}) AS DOUBLE) AS c{r}"))
     agg = weighted.agg(*aggs)
     # left-assoc " + ".join mirrors the oracle literally, so both
-    # engines sum the 32 means in the same order
-    means = [f"(s{r} / c{r})" for r in range(1, _BOOT_R + 1)]
+    # engines sum the 32 means in the same order. try_divide: a tiny
+    # input can draw an all-zero Poisson weight column (c{r} = 0) — a
+    # job-killing ANSI error on plain '/' while the oracle's DuckDB /0
+    # is NULL; when c{r} > 0 try_divide is the identical double divide,
+    # so the summation order argument is unchanged.
+    means = [f"try_divide(s{r}, c{r})" for r in range(1, _BOOT_R + 1)]
     mbar = "(" + " + ".join(means) + f") / {float(_BOOT_R)!r}"
     stats = agg.selectExpr("*", f"({mbar}) AS mbar")
     ss = " + ".join(f"({m} - mbar) * ({m} - mbar)" for m in means)

@@ -1031,15 +1031,23 @@ def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "b",
+            # try_divide: a corpus with ZERO target-matching tokens (nt =
+            # 0 — one stray doc suffices) or zero tokens at all is an
+            # ANSI job-killer on plain '/'; DuckDB's /0 is NULL, NULL
+            # propagates through log() on both engines — the importance
+            # model is undefined without a target sample
             (
                 F.log(
-                    _DSIR_LAMBDA
-                    * F.coalesce(F.col("tc"), F.lit(0))
-                    / F.col("nt")
+                    F.try_divide(
+                        _DSIR_LAMBDA * F.coalesce(F.col("tc"), F.lit(0)),
+                        F.col("nt"),
+                    )
                     + (1.0 - _DSIR_LAMBDA) / _DSIR_BUCKETS
                 )
                 - F.log(
-                    _DSIR_LAMBDA * F.col("rc") / F.col("nr")
+                    F.try_divide(
+                        _DSIR_LAMBDA * F.col("rc"), F.col("nr")
+                    )
                     + (1.0 - _DSIR_LAMBDA) / _DSIR_BUCKETS
                 )
             ).alias("lr"),
@@ -1206,9 +1214,14 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    slope = (
-        F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    # try_divide throughout the OLS readout: a 1-point (or single-doc)
+    # corpus zeroes the x-variance and np can be 0 outright — job-killing
+    # ANSI errors on plain '/' while DuckDB's double /0 is NULL natively
+    # (the fit is undefined; NULL is the cross-engine answer)
+    slope = F.try_divide(
+        F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
     return fit.select(
         F.col("np").cast("long").alias("n_points"),
         (F.floor(slope * 1_000_000) / 1_000_000).alias("beta"),
@@ -1216,7 +1229,9 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 (
                     F.exp(
-                        (F.col("sy") - slope * F.col("sx")) / F.col("np")
+                        F.try_divide(
+                            F.col("sy") - slope * F.col("sx"), F.col("np")
+                        )
                     )
                     - F.lit(1e-9)
                 )
@@ -1226,12 +1241,12 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k_coef"),
         (
             F.floor(
-                F.pow(
-                    F.col("np") * F.col("sxy")
-                    - F.col("sx") * F.col("sy"),
-                    2,
-                )
-                / (
+                F.try_divide(
+                    F.pow(
+                        F.col("np") * F.col("sxy")
+                        - F.col("sx") * F.col("sy"),
+                        2,
+                    ),
                     (
                         F.col("np") * F.col("sxx")
                         - F.col("sx") * F.col("sx")
@@ -1239,7 +1254,7 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (
                         F.col("np") * F.col("syy")
                         - F.col("sy") * F.col("sy")
-                    )
+                    ),
                 )
                 * 1_000_000
             )

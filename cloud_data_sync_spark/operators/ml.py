@@ -960,7 +960,11 @@ def q_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda c: c["cand"],
         )
     )
-    return scored.select(
+    # no trained classes -> no predictions: the 1-row broadcast pack
+    # always exists (collect_list over an empty train split is []), so
+    # without this filter a test row would emit pred=NULL where the
+    # oracle's CROSS JOIN models correctly yields zero rows
+    return scored.filter(F.size("cands") > 0).select(
         "vec_id",
         "label",
         pred.alias("pred"),
@@ -1412,9 +1416,15 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cat",
             "fold",
             "n_rows",
+            # try_divide: a category whose ONLY rows sit in this fold has
+            # no out-of-fold observations — the leave-one-out denominator
+            # is 0, a job-killing ANSI error on plain '/' while DuckDB's
+            # double /0 is NULL (no evidence -> NULL encoding)
             floor_ratio(
-                (F.sum("s").over(w) - F.col("s"))
-                / (F.sum("n_rows").over(w) - F.col("n_rows")),
+                F.try_divide(
+                    F.sum("s").over(w) - F.col("s"),
+                    F.sum("n_rows").over(w) - F.col("n_rows"),
+                ),
                 4,
             ).alias("encoded"),
         )

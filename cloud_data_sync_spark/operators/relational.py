@@ -637,12 +637,17 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+    # coalesce the COUNT cells: Spark's pivot leaves an absent
+    # (group, pivot-value) cell NULL even for count aggregates, while
+    # count(*) FILTER semantics (the oracle, and SQL) say 0 — a count of
+    # nothing is zero. The sum cells stay NULL (sum over no rows IS
+    # NULL on both engines).
     return out.select(
         "l_returnflag",
         F.col("F_qty").alias("qty_F"),
         F.col("O_qty").alias("qty_O"),
-        F.col("F_n").alias("n_F"),
-        F.col("O_n").alias("n_O"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_F"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_O"),
     )
 
 
