@@ -205,30 +205,42 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
     doc="Grouping sets via ROLLUP with grouping_id disambiguating NULL groups.",
 )
 def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ROLLUP(a, b) = GROUPING SETS ((a,b), (a), ()); the () grand-total
-    # row is restored via an explicit ungrouped aggregate union — the
-    # q_grouping_sets rule: Spark's keyed Expand aggregate drops it on
-    # empty input where SQL semantics emit it (empty-input probe, r9)
+    # ROLLUP(a, b) = GROUPING SETS ((a,b), (a), ()). Shape: ONE pass of
+    # fine-grained (a, b) partial aggregates over the fact table, then
+    # every rollup level — including the () grand total — derived from
+    # those KB-scale partials (sum/count are algebraic). The grand total
+    # is an explicit ungrouped aggregate union, NOT a grouping set:
+    # Spark's keyed Expand aggregate emits nothing on empty input where
+    # SQL semantics still emit the () row (empty-input probe, r9) — and
+    # deriving it from the partials keeps the fix to one fact scan
+    # (the r9 form re-scanned lineitem; r10 advice). Raw sums stay
+    # unrounded until the final projection so re-aggregation doesn't
+    # accumulate rounding error.
     li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("_raw_qty"), F.count("*").alias("_n")
+    )
     sets = (
-        li.groupingSets(
+        p.groupingSets(
             [["l_returnflag", "l_linestatus"], ["l_returnflag"]],
             "l_returnflag",
             "l_linestatus",
         )
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count("*").alias("n_rows"),
+            F.round(F.sum("_raw_qty"), 2).alias("sum_qty"),
+            F.sum("_n").cast("long").alias("n_rows"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
     )
-    total = li.agg(
+    total = p.agg(
         F.lit(None).cast("string").alias("l_returnflag"),
         F.lit(None).cast("string").alias("l_linestatus"),
         F.lit(3).cast("long").alias("gid"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.count("*").alias("n_rows"),
+        F.round(F.sum("_raw_qty"), 2).alias("sum_qty"),
+        # count over empty input is 0, not NULL (sum-of-counts over the
+        # empty partial set would be NULL)
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_rows"),
     )
     return sets.unionByName(total)
 
@@ -920,25 +932,33 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently losing the () row (empty-input probe, r9). The union
     # restores standard semantics on both empty and non-empty input;
     # gid=3 is GROUPING(l_returnflag, l_linestatus) for the global set.
+    # One fact scan total (r10 advice — the r9 form re-scanned
+    # lineitem for the () row): fine-grained (a, b) partial aggregates
+    # are computed once, and both the grouping-set lattice and the
+    # grand total re-aggregate those KB-scale partials (count/sum are
+    # algebraic). Raw sums stay unrounded until the final projection.
+    p = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("_raw_qty"), F.count("*").alias("_n")
+    )
     sets = (
-        li.groupingSets(
+        p.groupingSets(
             [["l_returnflag", "l_linestatus"], ["l_returnflag"]],
             "l_returnflag",
             "l_linestatus",
         )
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            F.count("*").alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("_n").cast("long").alias("n"),
+            F.round(F.sum("_raw_qty"), 2).alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     )
-    total = li.agg(
+    total = p.agg(
         F.lit(None).cast("string").alias("l_returnflag"),
         F.lit(None).cast("string").alias("l_linestatus"),
         F.lit(3).cast("long").alias("gid"),
-        F.count("*").alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+        F.round(F.sum("_raw_qty"), 2).alias("sum_qty"),
     )
     return sets.unionByName(total)
 
