@@ -2709,9 +2709,11 @@ FROM per_doc, pack
         "policy decision real pipelines make. Scale shape: the "
         "classical formulation is a global lexicographic suffix sort "
         "with adjacent-run detection; on Spark the suffix-group "
-        "exchange HASH-partitions the window content instead of "
-        "range-partitioning it — identical data movement (all window "
-        "content through one exchange, as strings, never full text), "
+        "exchange HASH-partitions a 16-byte md5 digest of the window "
+        "content instead of range-partitioning the windows themselves "
+        "— ~6x narrower shuffle than moving the raw windows (the "
+        "q_dedup_substring collision contract: 128-bit digests stand "
+        "in for content equality), and "
         "strictly better balance (no lexicographic hotspots — "
         "boilerplate-heavy corpora cluster badly under range "
         "partitioning), and canonical-pick + group-size ride ONE "
@@ -2747,10 +2749,19 @@ def q_dedup_suffix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("pos").cast("long").alias("pos"),
-            F.expr(f"substring(text, pos, {_SUB_CHUNK})").alias("wkey"),
+            # 16-byte md5 digest of the window, not the raw {100}-char
+            # string: the suffix-group exchange only needs EQUALITY, and
+            # digests cut its width ~6× (the sibling q_dedup_substring
+            # keys the same exchange class on md5 with the same accepted
+            # 128-bit collision contract). The oracle still groups on the
+            # raw window text — a deliberately STRONGER twin: it verifies
+            # the digest grouping reproduces ground-truth content groups.
+            F.expr(f"unhex(md5(substring(text, pos, {_SUB_CHUNK})))").alias(
+                "whash"
+            ),
         )
     )
-    wg = Window.partitionBy("wkey").orderBy("doc_id", "pos")
+    wg = Window.partitionBy("whash").orderBy("doc_id", "pos")
     cut = (
         wk.select(
             "doc_id", "pos", F.row_number().over(wg).alias("rn")
