@@ -97,7 +97,7 @@ def test_sweep_timings_min_across_separated_sweeps():
 
     walls = {"q_a": iter([3.0, 1.0]), "q_b": iter([0.5, 0.7])}
     loads = iter([0.3, 0.5])
-    timings, total, sweep_totals, sweep_loads = sweep_timings(
+    timings, total, sweep_totals, meta = sweep_timings(
         ["q_a", "q_b"],
         lambda n: next(walls[n]),
         on_error=lambda n, e: None,
@@ -105,7 +105,7 @@ def test_sweep_timings_min_across_separated_sweeps():
     )
     # each sweep's start load is stamped so an asymmetric pair names
     # the poisoned sweep
-    assert sweep_loads == [0.3, 0.5]
+    assert meta["loads"] == [0.3, 0.5]
     # min is taken per query ACROSS sweeps (q_a's spike-poisoned first
     # sample is discarded by its clean second-sweep sample)
     assert timings == {"q_a": 1.0, "q_b": 0.5}
@@ -157,6 +157,139 @@ def test_sweep_timings_succeed_then_throw_is_failed():
     # sweep-1 success must NOT survive a sweep-2 throw
     assert timings == {"q_x": -1.0}
     assert total == 0.0
+
+
+def _stamps(ext_per_sweep, cores=0.0):
+    """Scripted cpu_stamp pairs: each sweep consumes two stamps; the
+    pair is built so external_cores() reads the scripted value."""
+    seq = []
+    wall = 0.0
+    busy = 0.0
+    for ext in ext_per_sweep:
+        seq.append((busy, 0.0, wall))
+        wall += 10.0
+        busy += ext * 10.0
+        seq.append((busy, 0.0, wall))
+    it = iter(seq)
+    return lambda: next(it)
+
+
+def test_sweep_timings_retries_contaminated_sweep():
+    from bench import sweep_timings
+
+    walls = {"q_a": iter([4.0, 1.0, 1.1])}
+    timings, total, sweep_totals, meta = sweep_timings(
+        ["q_a"],
+        lambda n: next(walls[n]),
+        on_error=lambda n, e: None,
+        load_fn=lambda: 0.2,
+        ext_gate=1.5,
+        stamp_fn=_stamps([6.0, 0.3, 0.2]),
+    )
+    # sweep 1 measured 6 external cores -> contaminated -> two more
+    # sweeps run until 2 clean ones exist; min still spans all samples
+    assert meta["ext_cores"] == [6.0, 0.3, 0.2]
+    assert meta["clean"] == [False, True, True]
+    assert timings == {"q_a": 1.0}
+    assert sweep_totals == [4.0, 1.0, 1.1]
+
+
+def test_sweep_timings_retry_budget_bounded():
+    from bench import sweep_timings
+
+    n_runs = []
+    timings, total, sweep_totals, meta = sweep_timings(
+        ["q_a"],
+        lambda n: n_runs.append(n) or 1.0,
+        on_error=lambda n, e: None,
+        load_fn=lambda: 9.9,
+        ext_gate=1.5,
+        max_extra_sweeps=2,
+        stamp_fn=_stamps([8.0] * 10),
+    )
+    # a persistently busy box stops at passes + max_extra_sweeps sweeps
+    # and the artifact records every sweep dirty (contaminated by
+    # construction) instead of spinning forever
+    assert len(n_runs) == 4
+    assert meta["clean"] == [False, False, False, False]
+    assert timings == {"q_a": 1.0}
+
+
+def test_sweep_timings_pre_sweep_called_per_sweep():
+    from bench import sweep_timings
+
+    pre = []
+    sweep_timings(
+        ["q_a"],
+        lambda n: 0.1,
+        on_error=lambda n, e: None,
+        load_fn=lambda: 0.2,
+        ext_gate=1.5,
+        stamp_fn=_stamps([0.0, 0.0]),
+        pre_sweep=lambda: pre.append(1) or [0.1, 2.0, True],
+    )
+    assert pre == [1, 1]
+
+
+def test_external_cores_subtracts_own_tree_and_clamps():
+    from bench import external_cores
+
+    # 10s window: box burned 80 core-sec total, our tree burned 75 ->
+    # 0.5 external cores
+    assert abs(external_cores((0, 0, 0), (80, 75, 10)) - 0.5) < 1e-9
+    # sampling skew (own > busy) clamps at 0, never negative
+    assert external_cores((0, 0, 0), (10, 12, 10)) == 0.0
+    # zero-width window reads 0
+    assert external_cores((5, 5, 7), (5, 5, 7)) == 0.0
+
+
+def test_wait_for_external_idle_waits_out_contention():
+    from bench import wait_for_external_idle
+
+    stamp = _stamps([4.0, 2.0, 0.3])
+    ext, waited, ok = wait_for_external_idle(
+        1.5,
+        60,
+        sample_sec=2.0,
+        stamp_fn=stamp,
+        sleep_fn=lambda s: None,
+        on_wait=lambda e, w: None,
+    )
+    assert ok and abs(ext - 0.3) < 1e-9 and waited == 6.0
+
+
+def test_wait_for_external_idle_gives_up_and_flags():
+    from bench import wait_for_external_idle
+
+    ext, waited, ok = wait_for_external_idle(
+        1.5,
+        4.0,
+        sample_sec=2.0,
+        stamp_fn=_stamps([5.0] * 10),
+        sleep_fn=lambda s: None,
+        on_wait=lambda e, w: None,
+    )
+    assert not ok and waited == 4.0 and abs(ext - 5.0) < 1e-9
+
+
+def test_cpu_stamp_reads_real_proc():
+    """Integration smoke on the real /proc: our own busy loop must show
+    up in the TREE counter (so the subtraction actually removes our own
+    work from the external reading)."""
+    import bench
+
+    s0 = bench.cpu_stamp()
+    t0 = __import__("time").monotonic()
+    x = 0
+    while __import__("time").monotonic() - t0 < 0.3:
+        x += 1
+    s1 = bench.cpu_stamp()
+    busy_d, tree_d = s1[0] - s0[0], s1[1] - s0[1]
+    assert busy_d >= 0.0 and s1[2] > s0[2]
+    # our ~0.3s single-core spin is visible in the tree counter
+    assert tree_d >= 0.1
+    # external reading exists and is sane for a 32-core box
+    assert 0.0 <= bench.external_cores(s0, s1) <= 64.0
 
 
 def test_wait_for_idle_passes_immediately_on_idle_box():
