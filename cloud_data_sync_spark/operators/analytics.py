@@ -2321,19 +2321,22 @@ _POWER_TARGET_LIFT = 0.01  # detect a 1% relative lift
 WITH marked AS (
   SELECT value,
          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
-              AS BIGINT) % 2 AS arm
-  FROM events WHERE abs(value) <= 1000000000 OR value IS NULL
+              AS BIGINT) % 2 AS arm,
+         (abs(value) <= 1000000000 OR value IS NULL) AS valid
+  FROM events
 ),
 s AS (
   SELECT
-    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_a,
-    CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_b,
-    avg(CASE WHEN arm = 0 THEN value END) AS m_ctrl,
-    var_samp(CASE WHEN arm = 1 THEN value END) AS v_a,
-    var_samp(CASE WHEN arm = 0 THEN value END) AS v_b
+    CAST(count(CASE WHEN arm = 1 AND valid THEN 1 END) AS BIGINT) AS n_a,
+    CAST(count(CASE WHEN arm = 0 AND valid THEN 1 END) AS BIGINT) AS n_b,
+    avg(CASE WHEN arm = 0 AND valid THEN value END) AS m_ctrl,
+    var_samp(CASE WHEN arm = 1 AND valid THEN value END) AS v_a,
+    var_samp(CASE WHEN arm = 0 AND valid THEN value END) AS v_b,
+    CAST(count(CASE WHEN NOT valid THEN 1 END) AS BIGINT)
+      AS n_dropped_invalid
   FROM marked
 )
-SELECT n_a, n_b,
+SELECT n_a, n_b, n_dropped_invalid,
        round(m_ctrl, 4) AS mean_ctrl,
        round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(v_a / n_a + v_b / n_b), 4)
          AS mde_abs,
@@ -2360,7 +2363,11 @@ FROM s
         "are rounded to coarse grids on both engines so variance ulp "
         "noise (partial-merge order) cannot flip a reported digit; the "
         "required-n is reported on the same grid rather than ceil()ed, "
-        "because ceil amplifies one ulp into an off-by-one integer."
+        "because ceil amplifies one ulp into an off-by-one integer. "
+        "Values breaching the |value| <= 1e9 validity bound are "
+        "excluded from the moments but counted in n_dropped_invalid "
+        "(same single-pass aggregate), so a readout over censored "
+        "data is visibly censored."
     ).format(lift=_POWER_TARGET_LIFT),
 )
 def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2370,9 +2377,11 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recommended sample size to ~1e27 — a nonsense readout whose huge-
     # magnitude arithmetic also exposes cross-engine var_samp ulp
     # (different partial-merge orders). The q_decay_leaderboard bound.
-    marked = load_table(spark, sf_dir, "events").filter(
-        (F.abs("value") <= 1_000_000_000) | F.col("value").isNull()
-    ).select(
+    # The bound is a VALIDITY MARK, not a silent filter (r10 advice):
+    # the same single-pass aggregate counts the excluded rows and the
+    # readout carries n_dropped_invalid, so a power analysis over
+    # heavily-censored data no longer looks identical to a clean one.
+    marked = load_table(spark, sf_dir, "events").select(
         "value",
         (
             F.conv(
@@ -2382,14 +2391,19 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             % 2
         ).alias("arm"),
+        ((F.abs("value") <= 1_000_000_000) | F.col("value").isNull()).alias(
+            "valid"
+        ),
     )
     is_t = F.col("arm") == 1
+    ok = F.col("valid")
     s = marked.agg(
-        F.count(F.when(is_t, 1)).alias("n_a"),
-        F.count(F.when(~is_t, 1)).alias("n_b"),
-        F.avg(F.when(~is_t, F.col("value"))).alias("m_ctrl"),
-        F.var_samp(F.when(is_t, F.col("value"))).alias("v_a"),
-        F.var_samp(F.when(~is_t, F.col("value"))).alias("v_b"),
+        F.count(F.when(is_t & ok, 1)).alias("n_a"),
+        F.count(F.when(~is_t & ok, 1)).alias("n_b"),
+        F.avg(F.when(~is_t & ok, F.col("value"))).alias("m_ctrl"),
+        F.var_samp(F.when(is_t & ok, F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(~is_t & ok, F.col("value"))).alias("v_b"),
+        F.count(F.when(~ok, 1)).alias("n_dropped_invalid"),
     )
     z = _Z_ALPHA + _Z_BETA
     mde = z * F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
@@ -2397,6 +2411,7 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_a",
         "n_b",
+        "n_dropped_invalid",
         F.round("m_ctrl", 4).alias("mean_ctrl"),
         F.round(mde, 4).alias("mde_abs"),
         F.round(mde / F.col("m_ctrl"), 6).alias("mde_rel"),
@@ -3082,16 +3097,29 @@ _DECAY_TOPK = 10
 WITH scored AS (
   SELECT CASE WHEN json_valid(props)
               THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS item_k,
-         CAST(round(value * 1000000) AS BIGINT)
-           * (1 << ({_DECAY_MAX_WEEKS} - least(greatest(
-                  CAST(date_diff('day', CAST(ts AS DATE),
-                       DATE '{_DECAY_ANCHOR}') AS BIGINT) // 7, 0),
-                {_DECAY_MAX_WEEKS}))) AS w_micro
-  FROM events WHERE props IS NOT NULL AND abs(value) <= 1000000000
+         value,
+         CASE WHEN abs(value) <= 1000000000 THEN
+           CAST(round(value * 1000000) AS BIGINT)
+             * (1 << ({_DECAY_MAX_WEEKS} - least(greatest(
+                    CAST(date_diff('day', CAST(ts AS DATE),
+                         DATE '{_DECAY_ANCHOR}') AS BIGINT) // 7, 0),
+                  {_DECAY_MAX_WEEKS}))) END AS w_micro
+  FROM events WHERE props IS NOT NULL
+),
+g AS (
+  SELECT item_k,
+         CAST(count(w_micro) AS BIGINT) AS n_events,
+         CAST(sum(w_micro) AS BIGINT) AS decayed_micro,
+         count(CASE WHEN value IS NOT NULL
+                     AND abs(value) > 1000000000 THEN 1 END) AS nd
+  FROM scored GROUP BY item_k
+),
+pack AS (
+  SELECT CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_dropped_invalid FROM g
 )
-SELECT item_k, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(w_micro) AS BIGINT) AS decayed_micro
-FROM scored GROUP BY item_k
+SELECT item_k, n_events, decayed_micro, n_dropped_invalid
+FROM g, pack
+WHERE n_events >= 1
 ORDER BY decayed_micro DESC, item_k
 LIMIT {_DECAY_TOPK}
 """,
@@ -3114,7 +3142,12 @@ LIMIT {_DECAY_TOPK}
         "date) get full weight instead of tripping the engines' "
         "different negative-division conventions (Spark div "
         "truncates toward zero, DuckDB // floors). At 100 TB the "
-        "anchor comes from the run date and nothing else changes."
+        "anchor comes from the run date and nothing else changes. "
+        "Events breaching the |value| <= 1e9 validity bound are "
+        "excluded from scores but COUNTED: the board carries "
+        "n_dropped_invalid (a 1-row pack re-aggregated from the items-"
+        "bounded groups — no second fact scan), so heavy censoring is "
+        "visible in the readout instead of silent."
     ).format(k=_DECAY_TOPK, w=_DECAY_MAX_WEEKS),
 )
 def q_decay_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3124,23 +3157,42 @@ def q_decay_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BIGINT — a job-killing ANSI ARITHMETIC_OVERFLOW. A billion units
     # in ONE event is corrupt by contract for a leaderboard (it would
     # also dominate the ranking, which is worse than dropping it).
+    # The bound is a guarded CASE, not a silent filter (r10 advice):
+    # excluded rows are counted per item group in the SAME hash
+    # aggregate, and the board carries the global n_dropped_invalid —
+    # derived from the items-bounded groups (the grand-total-from-
+    # partials shape, one events scan), so a leaderboard over
+    # heavily-censored data is visibly censored.
     scored = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("props").isNotNull() & (F.abs("value") <= 1_000_000_000))
+        .filter(F.col("props").isNotNull())
         .selectExpr(
             "CAST(get_json_object(props, '$.k') AS BIGINT) AS item_k",
-            "CAST(round(value * 1000000) AS BIGINT)"
+            "value",
+            "CASE WHEN abs(value) <= 1000000000.0D THEN"
+            " CAST(round(value * 1000000) AS BIGINT)"
             f" * shiftleft(1, {_DECAY_MAX_WEEKS} - least(greatest("
             f"CAST(datediff(DATE '{_DECAY_ANCHOR}', CAST(ts AS DATE))"
-            f" AS BIGINT) div 7, 0), {_DECAY_MAX_WEEKS})) AS w_micro",
+            f" AS BIGINT) div 7, 0), {_DECAY_MAX_WEEKS})) END AS w_micro",
         )
     )
+    g = scored.groupBy("item_k").agg(
+        F.expr("CAST(count(w_micro) AS BIGINT) AS n_events"),
+        F.expr("CAST(sum(w_micro) AS BIGINT) AS decayed_micro"),
+        F.expr(
+            "count(CASE WHEN value IS NOT NULL"
+            " AND abs(value) > 1000000000.0D THEN 1 END) AS _nd"
+        ),
+    )
+    pack = g.agg(
+        F.coalesce(F.sum("_nd"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped_invalid")
+    )
     return (
-        scored.groupBy("item_k")
-        .agg(
-            F.expr("CAST(count(*) AS BIGINT) AS n_events"),
-            F.expr("CAST(sum(w_micro) AS BIGINT) AS decayed_micro"),
-        )
+        g.filter(F.col("n_events") >= 1)
+        .select("item_k", "n_events", "decayed_micro")
+        .crossJoin(F.broadcast(pack))
         .orderBy(F.desc("decayed_micro"), "item_k")
         .limit(_DECAY_TOPK)
     )

@@ -23,6 +23,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -98,12 +99,35 @@ def main() -> int:
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    wt = os.path.join(repo, f".ab_{args.ref[:12].replace('/', '_')}")
+    # Scratch worktree OUTSIDE the repo via mkdtemp: a fixed repo-local
+    # path derived from ref[:12] with --force add/remove could silently
+    # clobber a pre-existing directory (or a second ref sharing the
+    # 12-char prefix); mkdtemp is collision-free by construction and
+    # `worktree add` without --force errors instead of overwriting.
+    wt = os.path.join(
+        tempfile.mkdtemp(prefix="ab_worktree_"),
+        args.ref[:12].replace("/", "_"),
+    )
     subprocess.run(
-        ["git", "-C", repo, "worktree", "add", "--force", wt, args.ref],
+        ["git", "-C", repo, "worktree", "add", wt, args.ref],
         check=True,
         capture_output=True,
     )
+    # The HEAD side measures the WORKING TREE, not the HEAD commit — say
+    # so when they differ, or a dirty-tree A/B gets recorded as if it
+    # pinned the committed code.
+    dirty = subprocess.run(
+        ["git", "-C", repo, "status", "--porcelain"],
+        capture_output=True,
+        text=True,
+        check=False,
+    ).stdout.strip()
+    if dirty:
+        print(
+            "WARNING: HEAD side has uncommitted changes — this A/B "
+            f"measures the dirty working tree, not HEAD:\n{dirty}",
+            file=sys.stderr,
+        )
     try:
         results = {}
         for side, root in (("ref", wt), ("HEAD", repo)):
@@ -123,11 +147,18 @@ def main() -> int:
             print(f"{k}, {h}, {r}, {h / r:.3f}")
         return 0
     finally:
+        # --force is safe HERE: wt is a fresh mkdtemp child this process
+        # created; it only skips the clean-tree check for files Spark
+        # may have dropped into the scratch tree (spark-warehouse/)
         subprocess.run(
             ["git", "-C", repo, "worktree", "remove", "--force", wt],
             check=False,
             capture_output=True,
         )
+        try:
+            os.rmdir(os.path.dirname(wt))
+        except OSError:
+            pass  # worktree remove failed; leave the tempdir for forensics
         subprocess.run(
             ["git", "-C", repo, "worktree", "prune"],
             check=False,

@@ -98,6 +98,10 @@ BNLJ_ALLOWED = {
     # 1-row state-count pack seeding the uniform pi0 (the pagerank
     # (1-d)/N shape); every iteration joins a states-bounded aggregate
     "q_markov_stationary",
+    # 1-row global dropped-invalid-count pack (derived from the items-
+    # bounded groups, not a second fact scan) crossed onto the top-k
+    # board — constant at any corpus size (r10 validity accounting)
+    "q_decay_leaderboard",
     # 1-row step-1 count pack crossed onto the 3-row stage-count frame
     "q_funnel_steps",
     # 1-row min-date pack crossed onto the (type x day)-bounded rollup
