@@ -368,3 +368,46 @@ def test_side_effecting_materialize_prunes_superseded_generation(spark, tmp_path
         assert len(gens) == 1, f"superseded generation not pruned: {gens}"
     finally:
         spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
+# -- registry prepared-plan cache (r10) --------------------------------------
+
+
+def test_prepared_plan_cache_returns_same_plan_object(spark):
+    """Re-invoking a registered query on the same session + data vintage
+    returns the SAME DataFrame (an immutable logical plan): builders are
+    py4j-bound, and the r10 profile measured ~36s of the full registry's
+    wall in plan construction alone."""
+    from cloud_data_sync_spark.registry import all_queries
+
+    q = all_queries()["q_join_inner"]
+    assert q.fn(spark, SF_DIR) is q.fn(spark, SF_DIR)
+
+
+def test_prepared_plan_cache_misses_on_table_vintage_change(spark, tmp_path):
+    """Mutating any input table file (the gate suites rewrite tables in
+    place) must miss the cache — a stale plan would carry the old file
+    index."""
+    import os
+    import shutil
+
+    from cloud_data_sync_spark.registry import all_queries
+    from cloud_data_sync_spark.tables import TABLE_NAMES, table_path
+
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    for t in TABLE_NAMES:
+        shutil.copyfile(table_path(SF_DIR, t), table_path(d, t))
+    q = all_queries()["q_join_inner"]
+    first = q.fn(spark, d)
+    assert q.fn(spark, d) is first
+    st = os.stat(table_path(d, "lineitem"))
+    os.utime(table_path(d, "lineitem"), ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert q.fn(spark, d) is not first
+
+
+def test_prepared_plan_cache_keys_by_sf_dir(spark):
+    from cloud_data_sync_spark.registry import all_queries
+
+    q = all_queries()["q_join_inner"]
+    assert q.fn(spark, SF_DIR) is not q.fn(spark, "/root/testdata/sf0.01")
