@@ -111,22 +111,29 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=_HLL_RSD).alias("approx_supps"),
     )
-    agg = exact.join(F.broadcast(approx), "l_returnflag")
-    tol = 3 * _HLL_RSD
-    ok = (
-        F.abs(F.col("approx_parts") - F.col("exact_parts"))
-        / F.col("exact_parts")
-        <= tol
-    ) & (
-        F.abs(F.col("approx_supps") - F.col("exact_supps"))
-        / F.col("exact_supps")
-        <= tol
+    # null-SAFE join key: a NULL l_returnflag is a legitimate GROUP (SQL
+    # GROUP BY keeps it; corrupt feeds produce it) and a plain equi-join
+    # silently dropped it (adversarial fact probe, r10)
+    agg = exact.alias("e").join(
+        F.broadcast(approx).alias("a"),
+        F.expr("e.l_returnflag <=> a.l_returnflag"),
     )
+    tol = 3 * _HLL_RSD
+
+    def _ok(apx: str, exa: str):
+        # an all-NULL-key group has exact = 0: the ratio test would be
+        # an ANSI divide-by-zero job-killer; HLL also reads 0 there
+        return F.when(
+            F.col(exa) == 0, F.col(apx) == 0
+        ).otherwise(F.abs(F.col(apx) - F.col(exa)) / F.col(exa) <= tol)
+
     return agg.select(
-        "l_returnflag",
+        F.col("e.l_returnflag").alias("l_returnflag"),
         "exact_parts",
         "exact_supps",
-        ok.alias("within_tolerance"),
+        (_ok("approx_parts", "exact_parts") & _ok("approx_supps", "exact_supps")).alias(
+            "within_tolerance"
+        ),
     )
 
 

@@ -963,7 +963,8 @@ def _boot_oracle() -> str:
             else f"((u{c}_{p} >> {24 - 8 * b}) % 256)"
         )
         ws.append(
-            f"CASE WHEN {v} < {t0} THEN 0 WHEN {v} < {t1} THEN 1 "
+            f"CASE WHEN NOT valid THEN 0 "
+            f"WHEN {v} < {t0} THEN 0 WHEN {v} < {t1} THEN 1 "
             f"WHEN {v} < {t2} THEN 2 WHEN {v} < {t3} THEN 3 ELSE 4 END AS w{r}"
         )
         sums.append(f"sum(w{r} * x) AS s{r}, CAST(sum(w{r}) AS DOUBLE) AS c{r}")
@@ -972,25 +973,31 @@ def _boot_oracle() -> str:
     ss = " + ".join(f"({m} - mbar) * ({m} - mbar)" for m in means)
     return f"""
 WITH base AS (
-  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
-           AS k,
-         l_extendedprice AS x
+  SELECT coalesce(CAST(l_orderkey AS VARCHAR), '') || '-'
+           || coalesce(CAST(l_linenumber AS VARCHAR), '') AS k,
+         l_extendedprice AS x,
+         (abs(l_extendedprice) <= 1000000000) AS valid
   FROM lineitem WHERE l_extendedprice IS NOT NULL
 ),
 hashed AS (
-  SELECT x, {', '.join(f"md5(k || '#{c}') AS h{c}" for c in range(2))}
+  SELECT x, valid,
+         {', '.join(f"md5(k || '#{c}') AS h{c}" for c in range(2))}
   FROM base
 ),
-parsed AS (SELECT x, {', '.join(us)} FROM hashed),
-weighted AS (SELECT x, {', '.join(ws)} FROM parsed),
+parsed AS (SELECT x, valid, {', '.join(us)} FROM hashed),
+weighted AS (SELECT x, valid, {', '.join(ws)} FROM parsed),
 agg AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_rows, avg(x) AS mu, {', '.join(sums)}
+  SELECT CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+         CAST(count(CASE WHEN NOT valid THEN 1 END) AS BIGINT)
+           AS n_dropped_invalid,
+         avg(CASE WHEN valid THEN x END) AS mu, {', '.join(sums)}
   FROM weighted
 ),
 stats AS (SELECT *, {mbar} AS mbar FROM agg),
-bs AS (SELECT n_rows, mu, sqrt(({ss}) / {_BOOT_R - 1}.0) AS boot_sd
+bs AS (SELECT n_rows, n_dropped_invalid, mu,
+              sqrt(({ss}) / {_BOOT_R - 1}.0) AS boot_sd
        FROM stats)
-SELECT n_rows, CAST({_BOOT_R} AS BIGINT) AS n_resamples,
+SELECT n_rows, n_dropped_invalid, CAST({_BOOT_R} AS BIGINT) AS n_resamples,
        floor(mu * 10000) / 10000 AS point_est,
        floor(boot_sd * 10000) / 10000 AS boot_sd,
        floor((mu - 1.96 * boot_sd) * 10000) / 10000 AS ci_lo,
@@ -1031,9 +1038,19 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").isNotNull()
         )
     ).selectExpr(
-        "concat_ws('-', CAST(l_orderkey AS STRING),"
-        " CAST(l_linenumber AS STRING)) AS k",
+        # both key parts coalesced: the oracle's `a || '-' || b` NULLifies
+        # the key on a NULL l_orderkey while concat_ws SKIPS null elements
+        # — the same corrupt row drew different resample weights on each
+        # engine (adversarial fact probe, r10)
+        "concat_ws('-', coalesce(CAST(l_orderkey AS STRING), ''),"
+        " coalesce(CAST(l_linenumber AS STRING), '')) AS k",
         "l_extendedprice AS x",
+        # validity bound (the q_decay_leaderboard class): one corrupt
+        # +-1e12 price makes every resample sum a catastrophic-
+        # cancellation race between engine partial orders; invalid rows
+        # draw weight 0 (contributing an EXACT 0.0) and are counted in
+        # n_dropped_invalid instead of silently skewing the CI
+        "(abs(l_extendedprice) <= 1000000000.0D) AS valid",
     )
     # The wide stages are built as generated SQL TEXT (selectExpr /
     # F.expr), not per-operator Column calls: the Column form issued
@@ -1042,7 +1059,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time the query ran — as much as executing it. Text parses in a
     # handful of JVM calls; the resolved plan is identical.
     hashed = li.selectExpr(
-        "x", *[f"md5(concat(k, '#{c}')) AS h{c}" for c in range(2)]
+        "x", "valid", *[f"md5(concat(k, '#{c}')) AS h{c}" for c in range(2)]
     )
     # weights land in their own PROJECTION (mirroring the oracle's
     # `weighted` CTE) so the hash/conv/CASE work runs inside whole-stage
@@ -1055,6 +1072,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # milked for as many draws as it holds (8 parses serve 32 resamples)
     parsed = hashed.selectExpr(
         "x",
+        "valid",
         *[
             f"CAST(conv(substring(h{c}, {1 + 8 * p}, 8), 16, 10) AS BIGINT)"
             f" AS u{c}_{p}"
@@ -1072,12 +1090,19 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             else f"(shiftright(u{c}_{p}, {24 - 8 * b}) % 256)"
         )
         wexprs.append(
-            f"CASE WHEN {v} < {t0} THEN 0 WHEN {v} < {t1} THEN 1"
+            f"CASE WHEN NOT valid THEN 0"
+            f" WHEN {v} < {t0} THEN 0 WHEN {v} < {t1} THEN 1"
             f" WHEN {v} < {t2} THEN 2 WHEN {v} < {t3} THEN 3 ELSE 4 END"
             f" AS w{r}"
         )
-    weighted = parsed.selectExpr("x", *wexprs)
-    aggs = [F.expr("count(*) AS n_rows"), F.expr("avg(x) AS mu")]
+    weighted = parsed.selectExpr("x", "valid", *wexprs)
+    aggs = [
+        F.expr("CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT)"
+               " AS n_rows"),
+        F.expr("CAST(count(CASE WHEN NOT valid THEN 1 END) AS BIGINT)"
+               " AS n_dropped_invalid"),
+        F.expr("avg(CASE WHEN valid THEN x END) AS mu"),
+    ]
     for r in range(1, _BOOT_R + 1):
         aggs.append(F.expr(f"sum(w{r} * x) AS s{r}"))
         aggs.append(F.expr(f"CAST(sum(w{r}) AS DOUBLE) AS c{r}"))
@@ -1097,6 +1122,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bs.selectExpr(
         "n_rows",
+        "n_dropped_invalid",
         f"CAST({_BOOT_R} AS BIGINT) AS n_resamples",
         "floor(mu * 10000) / 10000 AS point_est",
         "floor(boot_sd_raw * 10000) / 10000 AS boot_sd",

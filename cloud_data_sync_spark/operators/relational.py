@@ -278,19 +278,28 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey,
        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
        round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3,
        round(coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
+             ORDER BY o_orderdate NULLS LAST, o_orderkey), 0.0), 2) AS prev_price
 FROM orders
 """,
-    doc="Frame analytics: running sum, 3-row moving average, lag.",
+    doc=(
+        "Frame analytics: running sum, 3-row moving average, lag. "
+        "EXPLICIT NULLS LAST in the frame order: a NULL o_orderdate "
+        "(corrupt feed) sorts FIRST on Spark and LAST on DuckDB by "
+        "default, silently shifting every running sum in its partition "
+        "(adversarial fact probe, r10); unknown-date rows sort after "
+        "dated history on both engines."
+    ),
 )
 def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
@@ -668,7 +677,8 @@ _RANKED_SUBSTRATE: dict[tuple, DataFrame] = {}
 
 def _ranked_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem prices ranked per l_returnflag (0-based) with the group
-    count broadcast-joined on — THE distributed exact-percentile substrate
+    count attached via the same partition window — THE distributed
+    exact-percentile substrate
     shared by q_agg_percentiles and q_agg_approx_quantiles' exact branch,
     materialized once per (session, lineitem vintage) so the second
     consumer scans the ranked rows instead of re-paying the sort shuffle.
@@ -678,13 +688,20 @@ def _ranked_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one sort shuffle (spillable); the per-group counts are tiny.
     """
     def _build() -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_returnflag", "l_extendedprice"
+        # NULL prices are excluded up front: quantile_cont/percentile
+        # ignore NULLs on both engines, so a NULL must not consume a
+        # rank slot. The group size rides the SAME partition window as
+        # the rank (one exchange) instead of an equi-join on
+        # l_returnflag — the join silently dropped the NULL-returnflag
+        # GROUP (NULL never equi-matches; adversarial fact probe, r10).
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice")
+            .filter(F.col("l_extendedprice").isNotNull())
         )
-        counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
         w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        return li.withColumn("rn", F.row_number().over(w) - 1).join(
-            F.broadcast(counts), "l_returnflag"
+        return li.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+            "n", F.count("*").over(Window.partitionBy("l_returnflag"))
         )
 
     return session_substrate(
@@ -1614,7 +1631,8 @@ FROM (
   SELECT c_nationkey, c_custkey, c_name,
          row_number() OVER (
            PARTITION BY c_nationkey
-           ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+           ORDER BY md5(CAST(c_custkey AS VARCHAR)) NULLS LAST,
+                    c_custkey NULLS LAST) AS rn
   FROM customer
 ) WHERE rn <= 3
 """,
@@ -1630,8 +1648,13 @@ FROM (
 )
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
+    # EXPLICIT NULLS LAST on both engines: md5(NULL) is NULL, and the
+    # engines' ascending defaults DISAGREE (Spark NULLS FIRST, DuckDB
+    # NULLS LAST) — a NULL-keyed row silently stole a sample slot on one
+    # engine only (adversarial fact probe, r10)
     w = Window.partitionBy("c_nationkey").orderBy(
-        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+        F.md5(F.col("c_custkey").cast("string")).asc_nulls_last(),
+        F.col("c_custkey").asc_nulls_last(),
     )
     return (
         cust.select("c_nationkey", "c_custkey", "c_name", F.row_number().over(w).alias("rn"))
@@ -1847,7 +1870,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH o AS (
   SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
          CAST(sum(CAST('0x' || substr(md5(
-             CAST(o_orderkey AS VARCHAR) || '|' ||
+             coalesce(CAST(o_orderkey AS VARCHAR), '') || '|' ||
              coalesce(CAST(o_custkey AS VARCHAR), '') || '|' ||
              coalesce(o_orderstatus, '') || '|' ||
              coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
@@ -1858,7 +1881,7 @@ WITH o AS (
 c AS (
   SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
          CAST(sum(CAST('0x' || substr(md5(
-             CAST(c_custkey AS VARCHAR) || '|' ||
+             coalesce(CAST(c_custkey AS VARCHAR), '') || '|' ||
              coalesce(CAST(c_nationkey AS VARCHAR), '') || '|' ||
              coalesce(c_name, '')
          ), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
@@ -1885,6 +1908,13 @@ SELECT * FROM o UNION ALL SELECT * FROM c ORDER BY table_name
     ),
 )
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EVERY field is coalesced to '' — including the primary keys: the
+    # oracle's `a || '|' || b` NULLifies the whole canon string on a
+    # NULL key (the row silently vanished from DuckDB's checksum) while
+    # Spark's concat_ws SKIPS null elements (the row hashed with the
+    # field omitted) — two different silent behaviors for the same
+    # corrupt row (adversarial fact probe, r10). With no NULLs left the
+    # two concat forms are identical.
     def row_hash(parts) -> "F.Column":
         canon = F.concat_ws("|", *parts)
         return F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
@@ -1892,7 +1922,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         row_hash(
             [
-                F.col("o_orderkey").cast("string"),
+                F.coalesce(F.col("o_orderkey").cast("string"), F.lit("")),
                 F.coalesce(F.col("o_custkey").cast("string"), F.lit("")),
                 F.coalesce(F.col("o_orderstatus"), F.lit("")),
                 F.coalesce(
@@ -1909,7 +1939,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         row_hash(
             [
-                F.col("c_custkey").cast("string"),
+                F.coalesce(F.col("c_custkey").cast("string"), F.lit("")),
                 F.coalesce(F.col("c_nationkey").cast("string"), F.lit("")),
                 F.coalesce(F.col("c_name"), F.lit("")),
             ]

@@ -417,3 +417,120 @@ def test_matches_oracle_on_adversarial_vectors_events(
     orows = orel.fetchall()
     assert sorted(scols) == sorted(ocols)
     assert _norm(srows, scols) == _norm(orows, ocols)
+
+
+# -- adversarial FACT tables (r10) --------------------------------------------
+#
+# The documents/embeddings/events corpora above never exercised the TPC-H
+# readers: the corrupt-value probe class that caught q_decay_leaderboard's
+# BIGINT overflow had no fact-table twin (r9 verdict gap). This vintage
+# mutates lineitem/orders/customer with the failure classes a 100 TB
+# ingest actually serves: corrupt magnitudes (±1e12 prices/balances),
+# NULL join keys (including a NULL primary key), NULL dates, NULL
+# group-by dimensions, out-of-domain rates, and exact duplicate rows.
+# Enrollment is DYNAMIC: every oracle-bearing key whose SQL references a
+# TPC-H table runs here, so new fact readers auto-enroll.
+
+_FACT_TABLES = ("lineitem", "orders", "customer", "supplier", "part",
+                "nation", "region")
+
+
+def _fact_keys():
+    import re
+
+    pat = re.compile(r"\b(" + "|".join(_FACT_TABLES) + r")\b")
+    return sorted(
+        k
+        for k, s in all_queries().items()
+        if s.oracle and pat.search(s.oracle)
+    )
+
+
+FACT_KEYS = _fact_keys()
+
+
+def _mutate(tbl: pa.Table, edits: dict[int, dict[str, object]]) -> pa.Table:
+    cols = {name: tbl.column(name).to_pylist() for name in tbl.schema.names}
+    for i, kv in edits.items():
+        for c, v in kv.items():
+            cols[c][i] = v
+    return pa.table(
+        {n: pa.array(cols[n], tbl.schema.field(n).type)
+         for n in tbl.schema.names}
+    )
+
+
+@pytest.fixture(scope="module")
+def adv_fact_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("adv_fact_sf"))
+    for name in TABLE_NAMES:
+        if name in ("lineitem", "orders", "customer"):
+            continue
+        shutil.copyfile(table_path(SF_SRC, name), table_path(d, name))
+
+    li = pq.read_table(table_path(SF_SRC, "lineitem"))
+    dup = {c: li.column(c).to_pylist()[8] for c in li.schema.names}
+    li = _mutate(li, {
+        0: {"l_extendedprice": 1.0e12},          # corrupt magnitude +
+        1: {"l_extendedprice": -1.0e12},         # corrupt magnitude -
+        2: {"l_orderkey": None},                  # NULL join key
+        3: {"l_partkey": None, "l_suppkey": None},
+        4: {"l_shipdate": None},                  # NULL date
+        5: {"l_quantity": None, "l_discount": None, "l_tax": None},
+        6: {"l_returnflag": None, "l_linestatus": None},
+        7: dup,                                   # exact duplicate of row 8
+        9: {"l_discount": 1.5, "l_tax": -0.2},    # out-of-domain rates
+    })
+    pq.write_table(li, table_path(d, "lineitem"))
+
+    od = pq.read_table(table_path(SF_SRC, "orders"))
+    odup = {c: od.column(c).to_pylist()[7] for c in od.schema.names}
+    od = _mutate(od, {
+        0: {"o_totalprice": 1.0e12},
+        1: {"o_totalprice": -1.0e12},
+        2: {"o_custkey": None},                   # NULL join key
+        3: {"o_orderdate": None},                 # NULL date
+        4: {"o_orderstatus": None},               # NULL group-by dim
+        5: {"o_orderpriority": None},
+        6: odup,                                  # exact duplicate of row 7
+    })
+    pq.write_table(od, table_path(d, "orders"))
+
+    cu = pq.read_table(table_path(SF_SRC, "customer"))
+    cu = _mutate(cu, {
+        0: {"c_acctbal": 1.0e12},
+        1: {"c_acctbal": -1.0e12},
+        2: {"c_nationkey": None},                 # NULL join key
+        3: {"c_mktsegment": None},                # NULL group-by dim
+        4: {"c_name": None},
+        5: {"c_custkey": None},                   # NULL primary key
+    })
+    pq.write_table(cu, table_path(d, "customer"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def adv_fact_duck(adv_fact_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{table_path(adv_fact_dir, t)}')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", FACT_KEYS)
+def test_matches_oracle_on_adversarial_fact_tables(
+    spark, adv_fact_dir, adv_fact_duck, key
+):
+    spec = all_queries()[key]
+    sdf = spec.fn(spark, adv_fact_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    orel = adv_fact_duck.execute(spec.oracle)
+    ocols = [d[0] for d in orel.description]
+    orows = orel.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert _norm(srows, scols) == _norm(orows, ocols)
