@@ -39,6 +39,15 @@ from cloud_data_sync_spark.tables import (
 N_PERM = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_PERM // N_BANDS
+AUG_OFFSET = 1 << 42
+
+# Augmentation branch offset: 2^42. Branch k adds k*AUG_OFFSET to the base
+# doc_id, so augmented ids stay unique and modulo-recoverable for any
+# corpus with max(doc_id) < 2^42 (~4.4e12 documents — far beyond a 100 TB
+# crawl's ~1e11). Replaces the r9 1M offsets, whose guard hard-failed the
+# whole dedup family at id scales a larger corpus legitimately reaches
+# (r10 advice); the guard below now only fires at a ceiling no real
+# corpus hits.
 
 # -- augmented corpus (identical construction in Spark and oracle SQL) -------
 
@@ -51,8 +60,8 @@ def guard_augment_id_space(spark: SparkSession, sf_dir: str) -> None:
 
     Several consumers of the augmented corpus classify or recover rows
     through the deterministic branch offsets — q_dedup_cross_source and
-    q_dedup_band_sweep via ``doc_id % 1_000_000``, the streaming crawl
-    (streaming/crawl.py) via ``doc_id >= 1_000_000`` batch membership —
+    q_dedup_band_sweep via ``doc_id % AUG_OFFSET``, the streaming crawl
+    (streaming/crawl.py) via ``doc_id >= AUG_OFFSET`` batch membership —
     and every one silently mis-attributes the moment an original id
     collides with the offset space; the DuckDB oracles share the
     assumption, so the dual-engine gate cannot catch it. This is a
@@ -73,13 +82,13 @@ def guard_augment_id_space(spark: SparkSession, sf_dir: str) -> None:
         return
     docs = load_table(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
-    if mx is not None and mx >= 1_000_000:
+    if mx is not None and mx >= AUG_OFFSET:
         raise ValueError(
-            f"augment id-space guard: max(doc_id)={mx} >= 1_000_000 — the "
-            "augmentation branch offsets (1M/2M/3M) would collide with "
-            "original ids; offset-based base-id recovery and crawl-batch "
-            "membership would mis-attribute. Raise the offsets before "
-            "running dedup at this id scale"
+            f"augment id-space guard: max(doc_id)={mx} >= {AUG_OFFSET} "
+            "(2^42) — the augmentation branch offsets (k * 2^42) would "
+            "collide with original ids; offset-based base-id recovery "
+            "and crawl-batch membership would mis-attribute. Raise "
+            "AUG_OFFSET before running dedup at this id scale"
         )
     _AUG_ID_GUARD[key] = True
 
@@ -108,15 +117,15 @@ def augment_docs(docs: DataFrame) -> DataFrame:
     mis-attributes rows once original ids reach the 1M branch offset."""
     carry = [c for c in docs.columns if c not in ("doc_id", "text")]
     exact = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text", *carry
+        (F.col("doc_id") + 2 * AUG_OFFSET).alias("doc_id"), "text", *carry
     )
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + AUG_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra trailing tokens appended")).alias("text"),
         *carry,
     )
     reorder = docs.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
+        (F.col("doc_id") + 3 * AUG_OFFSET).alias("doc_id"),
         F.array_join(F.array_sort(F.split(F.trim(F.col("text")), r"\s+")), " ").alias(
             "text"
         ),
@@ -136,12 +145,14 @@ def _aug_sql(extra_cols: str = "") -> str:
 aug AS (
   SELECT doc_id, text{extra_cols} FROM documents
   UNION ALL
-  SELECT doc_id + 2000000, text{extra_cols} FROM documents WHERE doc_id % 7 = 0
+  SELECT doc_id + {2 * AUG_OFFSET}, text{extra_cols} FROM documents
+  WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id + 1000000, text || ' extra trailing tokens appended'{extra_cols}
+  SELECT doc_id + {AUG_OFFSET},
+         text || ' extra trailing tokens appended'{extra_cols}
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 3000000,
+  SELECT doc_id + {3 * AUG_OFFSET},
          array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' '){extra_cols}
   FROM documents WHERE doc_id % 9 = 0
 )
@@ -1043,8 +1054,8 @@ lab AS (
   SELECT least(da.source, db.source) AS src_a,
          greatest(da.source, db.source) AS src_b
   FROM dup d
-  JOIN documents da ON da.doc_id = d.doc_a % 1000000
-  JOIN documents db ON db.doc_id = d.doc_b % 1000000
+  JOIN documents da ON da.doc_id = d.doc_a % {AUG_OFFSET}
+  JOIN documents db ON db.doc_id = d.doc_b % {AUG_OFFSET}
 )
 SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
        (src_a = src_b) AS is_intra
@@ -1061,7 +1072,7 @@ FROM lab GROUP BY src_a, src_b
         "(ids only) against the documents projection, co-partitioned on "
         "doc_id at scale, and the final aggregate is sources²-bounded. "
         "Augmented copies map to their base doc's source via the "
-        "deterministic id offset (augmented_documents: base + 1M/2M/3M)."
+        "deterministic id offset (augmented_documents: base + k*2^42)."
     ),
 )
 def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,8 +1083,8 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = srcs.select(F.col("base").alias("base_a"), F.col("source").alias("sa"))
     b = srcs.select(F.col("base").alias("base_b"), F.col("source").alias("sb"))
     lab = (
-        pairs.withColumn("base_a", F.col("doc_a") % 1000000)
-        .withColumn("base_b", F.col("doc_b") % 1000000)
+        pairs.withColumn("base_a", F.col("doc_a") % AUG_OFFSET)
+        .withColumn("base_b", F.col("doc_b") % AUG_OFFSET)
         .join(a, "base_a")
         .join(b, "base_b")
         .select(
@@ -1955,8 +1966,8 @@ WITH {_AUG_SQL},
 {_ORACLE_SIG_CTES},
 bsamp AS (
   SELECT * FROM sig
-  WHERE (doc_id % 1000000) % {_AUDIT_MOD} = 0
-    AND doc_id % 1000000 < {_BAND_CAP}
+  WHERE (doc_id % {AUG_OFFSET}) % {_AUDIT_MOD} = 0
+    AND doc_id % {AUG_OFFSET} < {_BAND_CAP}
 ),
 bp AS (
   SELECT ({_MINHASH_MATCHES}) AS m,
@@ -2014,7 +2025,7 @@ tot AS (
     ),
 )
 def q_dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = F.col("doc_id") % 1_000_000
+    base = F.col("doc_id") % AUG_OFFSET
     samp = (
         corpus_signatures(spark, sf_dir)
         .filter((base % _AUDIT_MOD == 0) & (base < _BAND_CAP))
@@ -3114,7 +3125,8 @@ def q_dedup_sentence_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_AUG_SQL},
 idx AS (SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents),
 batch AS (
-  SELECT doc_id, md5(lower(trim(text))) AS h FROM aug WHERE doc_id >= 1000000
+  SELECT doc_id, md5(lower(trim(text))) AS h FROM aug
+  WHERE doc_id >= {AUG_OFFSET}
 ),
 marked AS (
   SELECT b.doc_id, (i.h IS NOT NULL) AS in_index,
@@ -3152,7 +3164,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = (
         augmented_documents(spark, sf_dir)
-        .filter(F.col("doc_id") >= 1000000)
+        .filter(F.col("doc_id") >= AUG_OFFSET)
         .select("doc_id", content_hash.alias("h"))
     )
     w = Window.partitionBy("h")
@@ -3175,7 +3187,7 @@ WITH {_AUG_SQL},
 {_ORACLE_SIG_CTES},
 cross_cand AS (
   SELECT c.doc_a, c.doc_b FROM cand c
-  WHERE c.doc_a < 1000000 AND c.doc_b >= 1000000
+  WHERE c.doc_a < {AUG_OFFSET} AND c.doc_b >= {AUG_OFFSET}
 ),
 est AS (
   SELECT c.doc_b AS doc_id, c.doc_a AS cand_id,
@@ -3192,7 +3204,7 @@ best AS (
     FROM est)
   WHERE rk = 1
 ),
-batch AS (SELECT doc_id FROM sig WHERE doc_id >= 1000000)
+batch AS (SELECT doc_id FROM sig WHERE doc_id >= {AUG_OFFSET})
 SELECT b.doc_id,
        CASE WHEN bst.e >= 0.5 THEN 'near_dup' ELSE 'novel' END AS status,
        CAST(coalesce(CASE WHEN bst.e >= 0.5 THEN bst.cand_id END, -1)
@@ -3220,7 +3232,7 @@ FROM batch b LEFT JOIN best bst ON bst.doc_id = b.doc_id
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = corpus_signatures(spark, sf_dir).select("doc_id", "sig")
     pairs = lsh_candidate_pairs(sigs).filter(
-        (F.col("doc_a") < 1_000_000) & (F.col("doc_b") >= 1_000_000)
+        (F.col("doc_a") < AUG_OFFSET) & (F.col("doc_b") >= AUG_OFFSET)
     )
     est = pairs.select(
         F.col("doc_b").alias("doc_id"),
@@ -3231,7 +3243,7 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("doc_id").orderBy(F.desc("e"), "cand_id")
     )
     best = est.withColumn("rk", rk).filter(F.col("rk") == 1).drop("rk")
-    batch = sigs.filter(F.col("doc_id") >= 1_000_000).select("doc_id")
+    batch = sigs.filter(F.col("doc_id") >= AUG_OFFSET).select("doc_id")
     hit = F.col("e") >= 0.5
     return batch.join(best, "doc_id", "left").select(
         "doc_id",

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloud_data_sync_spark.operators.dedup import AUG_OFFSET
 from cloud_data_sync_spark.registry import register
 from cloud_data_sync_spark.tables import load_table
 
@@ -273,12 +274,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_dedup",
-    oracle="""
+    oracle=f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   -- re-uploaded copies: same bytes, new ids (the dup class this catches)
-  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+  SELECT doc_id + {2 * AUG_OFFSET}, text FROM documents WHERE doc_id % 7 = 0
 ),
 meta AS (
   SELECT doc_id, md5(text) AS content_md5,
@@ -307,7 +308,7 @@ HAVING count(*) > 1
 def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = binary_table(spark, sf_dir)
     copies = base.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 2000000
+        "doc_id", F.col("doc_id") + 2 * AUG_OFFSET
     )
     # media_type derives from the NEW doc_id, matching the oracle's CASE
     bt = base.unionByName(copies).withColumn(

@@ -45,6 +45,7 @@ from cloud_data_sync_spark.operators.dedup import (
     _AUG_SQL,
     _MINHASH_MATCHES,
     _ORACLE_SIG_CTES,
+    AUG_OFFSET,
     N_BANDS,
     N_PERM,
     ROWS_PER_BAND,
@@ -180,7 +181,7 @@ def _crawl_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     from cloud_data_sync_spark.streaming.runner import drained_family
 
     # same fail-loudly offset-collision gate as the batch dedup family:
-    # the crawl verdict classifies batch membership by doc_id >= 1M, so
+    # the crawl verdict classifies batch membership by doc_id >= AUG_OFFSET, so
     # an original id in the offset space would silently mis-classify on
     # both engines (checked on the batch table BEFORE any stream builds —
     # streaming frames can't run the control-plane max)
@@ -224,7 +225,7 @@ WITH {_AUG_SQL},
 {_ORACLE_SIG_CTES},
 cross_cand AS (
   SELECT c.doc_a, c.doc_b FROM cand c
-  WHERE c.doc_a < 1000000 AND c.doc_b >= 1000000
+  WHERE c.doc_a < {AUG_OFFSET} AND c.doc_b >= {AUG_OFFSET}
 ),
 est AS (
   SELECT c.doc_b AS doc_id, c.doc_a AS cand_id,
@@ -241,7 +242,7 @@ best AS (
     FROM est)
   WHERE rk = 1
 ),
-batch AS (SELECT doc_id FROM sig WHERE doc_id >= 1000000)
+batch AS (SELECT doc_id FROM sig WHERE doc_id >= {AUG_OFFSET})
 SELECT b.doc_id,
        CASE WHEN bst.e >= 0.5 THEN 'near_dup' ELSE 'novel' END AS status,
        CAST(coalesce(CASE WHEN bst.e >= 0.5 THEN bst.cand_id END, -1)
@@ -259,7 +260,7 @@ FROM batch b LEFT JOIN best bst ON bst.doc_id = b.doc_id
         "from every earlier batch — candidate pairs with estimated "
         "Jaccard emerge incrementally, per batch, instead of from a "
         "corpus re-list. Each crawl document (the augmented copy rows, "
-        "doc_id >= 1M) then reports its best historical match and a "
+        "doc_id >= AUG_OFFSET) then reports its best historical match and a "
         "near_dup/novel verdict at the 0.5 threshold, the incremental "
         "algebra verbatim — so the oracle IS the batch-equivalent "
         "q_dedup_minhash_incremental SQL (stream and batch provably "
@@ -273,10 +274,11 @@ FROM batch b LEFT JOIN best bst ON bst.doc_id = b.doc_id
 def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     results, _ = _crawl_family(spark, sf_dir)
     pairs = results["pairs"]
-    # cross pairs only: historical index (< 1M) vs crawl batch (>= 1M) —
-    # the batch algebra; same-side pairs are the full-dedup family's job
+    # cross pairs only: historical index (< AUG_OFFSET) vs crawl batch
+    # (>= AUG_OFFSET) — the batch algebra; same-side pairs are the
+    # full-dedup family's job
     cross = pairs.filter(
-        (F.col("doc_a") < 1_000_000) & (F.col("doc_b") >= 1_000_000)
+        (F.col("doc_a") < AUG_OFFSET) & (F.col("doc_b") >= AUG_OFFSET)
     )
     est = cross.select(
         F.col("doc_b").alias("doc_id"),
@@ -287,7 +289,7 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("doc_id").orderBy(F.desc("e"), "cand_id")
     )
     best = est.withColumn("rk", rk).filter(F.col("rk") == 1).drop("rk")
-    batch = results["docs"].filter(F.col("doc_id") >= 1_000_000)
+    batch = results["docs"].filter(F.col("doc_id") >= AUG_OFFSET)
     hit = F.col("e") >= 0.5
     return batch.join(best, "doc_id", "left").select(
         "doc_id",

@@ -11,18 +11,22 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_incremental_dedup_statuses(spark):
+    from cloud_data_sync_spark.operators.dedup import AUG_OFFSET
+
     rows = all_queries()["q_dedup_incremental"].fn(spark, SF).collect()
     assert rows
     by_status: dict[str, int] = {}
     for r in rows:
         by_status[r.status] = by_status.get(r.status, 0) + 1
-        assert r.doc_id >= 1000000
+        assert r.doc_id >= AUG_OFFSET
     assert set(by_status) <= {"novel", "dup_index", "dup_batch"}
-    # exact copies (+2M, every 7th base doc) hash-match the index verbatim
-    exact = [r for r in rows if 2000000 <= r.doc_id < 3000000]
+    # exact copies (+2*OFF, every 7th base doc) hash-match the index
+    exact = [
+        r for r in rows if 2 * AUG_OFFSET <= r.doc_id < 3 * AUG_OFFSET
+    ]
     assert exact and all(r.status == "dup_index" for r in exact)
-    # near copies (+1M) append tokens, so they can never match the index
-    near = [r for r in rows if 1000000 <= r.doc_id < 2000000]
+    # near copies (+OFF) append tokens, so they can never match the index
+    near = [r for r in rows if AUG_OFFSET <= r.doc_id < 2 * AUG_OFFSET]
     assert near and all(r.status != "dup_index" for r in near)
 
 

@@ -301,7 +301,10 @@ def test_winnow_guarantee_and_density(spark):
     """Winnowing invariants: density in (0, 1]; near the 2/(w+1)
     expectation on prose docs; exact copies in the augmented corpus
     share ALL their fingerprints with their originals."""
-    from cloud_data_sync_spark.operators.dedup import q_dedup_winnow
+    from cloud_data_sync_spark.operators.dedup import (
+        AUG_OFFSET,
+        q_dedup_winnow,
+    )
 
     rows = {r.doc_id: r for r in q_dedup_winnow(spark, SF_DIR).collect()}
     assert rows
@@ -311,7 +314,9 @@ def test_winnow_guarantee_and_density(spark):
     assert 0.2 < avg_d < 0.6  # expected 2/(w+1) = 0.4
     for did, r in rows.items():
         assert 0 < r.n_fp <= r.n_grams
-        if 2_000_000 <= did < 3_000_000 and (did - 2_000_000) in rows:
+        if 2 * AUG_OFFSET <= did < 3 * AUG_OFFSET and (
+            did - 2 * AUG_OFFSET
+        ) in rows:
             # exact copy: every fingerprint is shared
             assert r.n_shared_fp == r.n_fp
 

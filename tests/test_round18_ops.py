@@ -109,31 +109,36 @@ def test_augment_docs_carries_extra_columns(spark):
         [(0, "a b", "s1"), (7, "c d", "s2")],
         "doc_id long, text string, source string",
     )
+    from cloud_data_sync_spark.operators.dedup import AUG_OFFSET
+
     rows = {r.doc_id: r.source for r in augment_docs(df).collect()}
     # 0: %7 exact twin, %10 near twin, %9 reorder twin; 7: %7 exact twin
     assert rows == {
         0: "s1",
         7: "s2",
-        1000000: "s1",
-        2000000: "s1",
-        2000007: "s2",
-        3000000: "s1",
+        AUG_OFFSET: "s1",
+        2 * AUG_OFFSET: "s1",
+        2 * AUG_OFFSET + 7: "s2",
+        3 * AUG_OFFSET: "s1",
     }
 
 
-def test_augmented_documents_guards_1m_id_space(spark, tmp_path):
-    """Original ids at/above the 1M branch offset must fail LOUDLY: the
-    modulo base-id recovery downstream (cross_source, band_sweep) would
-    silently mis-attribute, and the oracles share the assumption so the
+def test_augmented_documents_guards_offset_id_space(spark, tmp_path):
+    """Original ids at/above the branch offset (2^42 since r10 — a
+    ceiling no real corpus hits) must fail LOUDLY: the modulo base-id
+    recovery downstream (cross_source, band_sweep) would silently
+    mis-attribute, and the oracles share the assumption so the
     dual-engine gate cannot catch it (r8 ADVICE)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    from cloud_data_sync_spark.operators.dedup import AUG_OFFSET
 
     t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
     shifted = t.set_column(
         t.schema.get_field_index("doc_id"),
         "doc_id",
-        pc.add(t["doc_id"], 1_000_000),
+        pc.add(t["doc_id"], AUG_OFFSET),
     )
     pq.write_table(shifted, str(tmp_path / "documents.parquet"))
 

@@ -121,8 +121,8 @@ def test_gapfill_excludes_unselected_users(spark, tmp_path):
 
 def test_decontaminate_flags_planted_copy(spark, tmp_path):
     # doc 0 is eval (0 % 97 == 0) AND 0 % 7 == 0, so the augmented corpus
-    # plants exact copy 2000000 in train; it must be flagged with every
-    # 8-gram shared. 10 tokens → 3 distinct 8-grams.
+    # plants exact copy 2*AUG_OFFSET in train; it must be flagged with
+    # every 8-gram shared. 10 tokens → 3 distinct 8-grams.
     toks = " ".join(f"w{i}" for i in range(10))
     filler = " ".join(f"z{i}" for i in range(10))
     sf = _write_docs(
@@ -131,7 +131,8 @@ def test_decontaminate_flags_planted_copy(spark, tmp_path):
         [(0, toks, "en", "s", len(toks)), (1, filler, "en", "s", len(filler))],
     )
     from cloud_data_sync_spark.operators.corpus import q_decontaminate
+    from cloud_data_sync_spark.operators.dedup import AUG_OFFSET
 
     rows = {r.doc_id: r.n_shared for r in q_decontaminate(spark, sf).collect()}
-    assert rows[2000000] == 3  # exact copy shares all 3 8-grams
+    assert rows[2 * AUG_OFFSET] == 3  # exact copy shares all 3 8-grams
     assert 1 not in rows  # unrelated doc untouched

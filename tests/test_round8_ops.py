@@ -67,17 +67,19 @@ def test_exact_jaccard_pairs_finds_exact_copies(spark):
         (r.doc_a, r.doc_b): r.jaccard
         for r in exact_jaccard_pairs(spark, SF, docs=docs).collect()
     }
+    from cloud_data_sync_spark.operators.dedup import AUG_OFFSET
+
     base_ids = [
         r.doc_id
         for r in docs.filter(
-            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 1_000_000)
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < AUG_OFFSET)
         ).collect()
         # copies of docs with <3 tokens produce no shingles; skip those
         if len(r.text.split()) >= 3
     ]
     assert base_ids, "fixture corpus should contain %7 copies in the subset"
     for b in base_ids:
-        assert pairs.get((b, b + 2_000_000)) == 1.0
+        assert pairs.get((b, b + 2 * AUG_OFFSET)) == 1.0
 
 
 def test_ivf_recall_bounds_and_consistency(spark):
