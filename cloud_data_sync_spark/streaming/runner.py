@@ -100,7 +100,9 @@ def read_events_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = (
         # file source wants a directory; select just the events table
-        reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        # events*.parquet (not an exact name): multi-batch tests split the
+        # stream into events_000/_001... files, mirroring the crawl source
+        reader.option("pathGlobFilter", "events*.parquet").parquet(sf_dir)
     )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 

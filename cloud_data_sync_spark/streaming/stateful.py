@@ -100,6 +100,9 @@ def _stateful_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
             .dropDuplicates(["user_id", "event_type"])
         )
 
+    def asof() -> DataFrame:
+        return asof_join_stream(read_events_stream(spark, sf_dir))
+
     return drained_family(
         spark,
         sf_dir,
@@ -109,6 +112,7 @@ def _stateful_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
             "totals": (totals, "update"),
             "pertype": (pertype, "update"),
             "keys": (keys, "append"),
+            "asof": (asof, "update"),
             "upsert": (
                 lambda: build_upsert_member(spark, sf_dir),
                 "custom",
@@ -340,4 +344,135 @@ def q_stream_per_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         F.round("total_value", 2).alias("total_value"),
+    )
+
+
+# -- streaming as-of join (r10) -----------------------------------------------
+
+ASOF_OUT_SCHEMA = (
+    "purchase_id long, user_id long, purchase_ts_us long, "
+    "click_id long, click_ts_us long"
+)
+# best click seen so far: max by (ts, event_id) — the union-and-sweep
+# winner rule of the batch twin (relational.q_join_asof)
+ASOF_STATE_SCHEMA = "click_id long, click_ts_us long"
+
+
+def _asof_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user as-of sweep over one micro-batch: replay the batch's
+    click/purchase rows in (ts, is_p, event_id) order — clicks sort
+    before purchases at the same instant, matching the batch twin's
+    window order — seeding the running 'latest click' from group state,
+    so purchases in THIS batch attribute to clicks from any earlier
+    batch. State stores only (click_id, click_ts_us): two longs per
+    user, the minimal as-of cursor."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if batch.empty:
+        return
+    cur_id, cur_ts = tuple(state.get) if state.exists else (None, None)
+    batch = batch.sort_values(["ts_us", "is_p", "event_id"])
+    pid, pts, cid_out, cts_out = [], [], [], []
+    for eid, tus, isp in zip(
+        batch["event_id"], batch["ts_us"], batch["is_p"]
+    ):
+        if isp:
+            pid.append(int(eid))
+            pts.append(int(tus))
+            cid_out.append(cur_id)
+            cts_out.append(cur_ts)
+        else:
+            c_id, c_ts = int(eid), int(tus)
+            if cur_ts is None or (c_ts, c_id) > (cur_ts, cur_id):
+                cur_id, cur_ts = c_id, c_ts
+    if cur_id is not None:
+        state.update((int(cur_id), int(cur_ts)))
+    if pid:
+        yield pd.DataFrame(
+            {
+                "purchase_id": pid,
+                "user_id": [key[0]] * len(pid),
+                "purchase_ts_us": pts,
+                "click_id": cid_out,
+                "click_ts_us": cts_out,
+            }
+        )
+
+
+def asof_join_stream(events: DataFrame) -> DataFrame:
+    """Streaming as-of attribution: purchases matched to the user's most
+    recent click at-or-before them, across micro-batches."""
+    from pyspark.sql import functions as F
+
+    tagged = events.filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _asof_fn,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "q_stream_asof_join",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+         CASE WHEN event_type = 'click' THEN ts END AS c_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
+),
+attributed AS (
+  SELECT event_id, user_id, ts, is_p,
+         last_value(c_id IGNORE NULLS) OVER w AS click_id,
+         last_value(c_ts IGNORE NULLS) OVER w AS click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us,
+       CAST(click_id AS BIGINT) AS click_id,
+       CAST(epoch_us(click_ts) AS BIGINT) AS click_ts_us
+FROM attributed WHERE is_p = 1
+""",
+    doc=(
+        "STREAMING as-of join — the streaming twin of q_join_asof "
+        "(union-and-sweep attribution), the r9-verdict-sketched next "
+        "key: each arriving purchase is matched to the user's most "
+        "recent click at-or-before it, where 'most recent' spans every "
+        "earlier micro-batch via two longs of applyInPandasWithState "
+        "group state (the as-of cursor — compare the trades-and-quotes "
+        "enrichment every market-data pipeline runs). In-batch, rows "
+        "replay in the batch twin's exact window order (ts, is_p, "
+        "event_id), so stream and batch provably agree when batches "
+        "arrive time-ordered (the file source's one-file drain here is "
+        "exact by construction; the cross-batch path is pinned by a "
+        "two-file time-split fixture in tests/test_streaming.py). "
+        "Timestamps ride as epoch-µs longs on both engines — no tz or "
+        "collection-layer variance. State is O(users) x 16 bytes; with "
+        "unbounded keys the production form adds a watermark + "
+        "EventTimeTimeout eviction, the standard state-bounding lever."
+    ),
+)
+def q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drains with the stateful family (one concurrent availableNow pass
+    per session+vintage); update-mode re-emissions across a replayed
+    batch resolve by keep_first on the purchase key (rows are identical
+    by construction — attribution is final in the purchase's batch)."""
+    out = _stateful_family(spark, sf_dir)[0]["asof"]
+    return keep_first(out, ["purchase_id"], ["user_id"]).select(
+        "purchase_id", "user_id", "purchase_ts_us", "click_id", "click_ts_us"
     )

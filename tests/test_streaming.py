@@ -710,3 +710,72 @@ def test_streaming_minhash_probes_state_across_batches(spark, tmp_path):
     )
     # 10 shared trigram shingles of 11; most minhash lanes agree
     assert rows[(1, 2_000_001)] >= 0.5
+
+
+def test_stream_asof_attributes_across_batches(spark, tmp_path):
+    """CROSS-BATCH as-of state: with maxFilesPerTrigger=1 and two
+    time-ordered event files, a purchase arriving in batch 2 must
+    attribute to a click that arrived in batch 1 — only the (click_id,
+    click_ts) group-state cursor can connect them — while a later
+    in-batch click must win over the state cursor for the second
+    purchase (the in-batch sweep)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from cloud_data_sync_spark.streaming.runner import run_available_now
+    from cloud_data_sync_spark.streaming.stateful import asof_join_stream
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def _t(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    older = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [_t(0), _t(5)],
+            "user_id": [10, 10],
+            "event_type": ["click", "click"],
+            "value": [1.0, 1.0],
+            "props": ["{}"] * 2,
+        }
+    )
+    newer = pd.DataFrame(
+        {
+            "event_id": [3, 4, 5],
+            "ts": [_t(10), _t(12), _t(15)],
+            "user_id": [10, 10, 10],
+            "event_type": ["purchase", "click", "purchase"],
+            "value": [9.0, 1.0, 9.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    sf = tmp_path / "asof"
+    sf.mkdir()
+    # the fixed stream schema requires TIMESTAMP(MICROS); pandas defaults
+    # to ns precision, which the vectorized reader refuses to convert
+    older["ts"] = older["ts"].astype("datetime64[us]")
+    newer["ts"] = newer["ts"].astype("datetime64[us]")
+    older.to_parquet(sf / "events_000.parquet", index=False)
+    newer.to_parquet(sf / "events_001.parquet", index=False)
+    # file source orders batches by modification time: make it explicit
+    m0 = (sf / "events_000.parquet").stat().st_mtime
+    os.utime(sf / "events_001.parquet", (m0 + 10, m0 + 10))
+
+    out = run_available_now(
+        asof_join_stream(
+            read_events_stream(spark, str(sf), max_files_per_trigger=1)
+        ),
+        "t_asof_xbatch",
+        output_mode="update",
+        drain_partitions=4,
+        no_data_batch=False,
+    )
+    rows = {r.purchase_id: r for r in out.collect()}
+    assert set(rows) == {3, 5}
+    # purchase 3 (batch 2) → click 2 from BATCH 1, via group state
+    assert rows[3].click_id == 2
+    assert rows[3].click_ts_us == int(_t(5).timestamp() * 1_000_000)
+    # purchase 5 → click 4 from its own batch (in-batch sweep beats state)
+    assert rows[5].click_id == 4
