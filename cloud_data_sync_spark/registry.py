@@ -72,7 +72,22 @@ class QuerySpec:
 # so a rewritten/mutated input file misses the cache instead of serving
 # a stale plan (the gate suites rewrite tables in place); entries of
 # stopped sessions are purged on miss.
+#
+# Callers get a CLONE (a one-py4j-call `SELECT *` over the cached
+# analyzed plan), never the cached handle itself: an EXECUTED Dataset
+# pins its whole AQE execution state JVM-side (broadcast relations,
+# shuffle-stage references, metrics) until the handle is GC'd, and a
+# cache that handed out the base object accumulated 255 executed plans'
+# state for the session's life — measured as a 1 GiB-heap OOM 188 keys
+# into the sf0.1 vanilla oracle gate. With the clone, the cached base is
+# never executed (it holds only the analyzed tree; re-analysis of the
+# clone short-circuits on the resolved child) and each execution's
+# state dies with its transient clone — the pre-cache lifetime.
 _PREPARED: dict[tuple, DataFrame] = {}
+
+
+def _clone(df: DataFrame) -> DataFrame:
+    return df.selectExpr("*")
 
 
 def _prepared_key(spark: SparkSession, sf_dir: str, name: str):
@@ -107,13 +122,13 @@ def register(
                 return fn(spark, sf_dir)
             hit = _PREPARED.get(key)
             if hit is not None:
-                return hit
+                return _clone(hit)
             from cloud_data_sync_spark import tables
 
             tables.purge_dead_sessions(_PREPARED)
             df = fn(spark, sf_dir)
             _PREPARED[key] = df
-            return df
+            return _clone(df)
 
         prepared.__name__ = fn.__name__
         prepared.__doc__ = fn.__doc__

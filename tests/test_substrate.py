@@ -373,15 +373,43 @@ def test_side_effecting_materialize_prunes_superseded_generation(spark, tmp_path
 # -- registry prepared-plan cache (r10) --------------------------------------
 
 
-def test_prepared_plan_cache_returns_same_plan_object(spark):
-    """Re-invoking a registered query on the same session + data vintage
-    returns the SAME DataFrame (an immutable logical plan): builders are
-    py4j-bound, and the r10 profile measured ~36s of the full registry's
-    wall in plan construction alone."""
+def _prepared_entry(name: str, sf_dir: str):
+    from cloud_data_sync_spark import registry
+
+    hits = [
+        (k, v)
+        for k, v in registry._PREPARED.items()
+        if k[2] == name and k[1] == __import__("os").path.realpath(sf_dir)
+    ]
+    assert len(hits) <= 1
+    return hits[0] if hits else (None, None)
+
+
+def test_prepared_plan_cache_serves_cached_base(spark):
+    """A second invocation must be served from the cache, not rebuilt:
+    builders are py4j-bound (the r10 profile measured ~36s of the full
+    registry's wall in plan construction alone). Proven by swapping the
+    cached base for a sentinel frame and observing the next invocation
+    return a clone of the sentinel. Callers must get a CLONE, not the
+    base itself — an executed Dataset pins its AQE execution state
+    JVM-side, and handing out the base OOM'd the 1 GiB vanilla gate."""
+    from cloud_data_sync_spark import registry
     from cloud_data_sync_spark.registry import all_queries
 
     q = all_queries()["q_join_inner"]
-    assert q.fn(spark, SF_DIR) is q.fn(spark, SF_DIR)
+    base_out = q.fn(spark, SF_DIR)
+    key, cached = _prepared_entry("q_join_inner", SF_DIR)
+    assert key is not None
+    # the handle handed to callers is a clone, never the cached base
+    assert base_out is not cached
+    sentinel = spark.range(3).toDF("sentinel_col")
+    registry._PREPARED[key] = sentinel
+    try:
+        out = q.fn(spark, SF_DIR)
+        assert out.columns == ["sentinel_col"]  # served from cache
+        assert out is not sentinel  # and cloned
+    finally:
+        registry._PREPARED[key] = cached
 
 
 def test_prepared_plan_cache_misses_on_table_vintage_change(spark, tmp_path):
@@ -391,6 +419,7 @@ def test_prepared_plan_cache_misses_on_table_vintage_change(spark, tmp_path):
     import os
     import shutil
 
+    from cloud_data_sync_spark import registry
     from cloud_data_sync_spark.registry import all_queries
     from cloud_data_sync_spark.tables import TABLE_NAMES, table_path
 
@@ -399,15 +428,24 @@ def test_prepared_plan_cache_misses_on_table_vintage_change(spark, tmp_path):
     for t in TABLE_NAMES:
         shutil.copyfile(table_path(SF_DIR, t), table_path(d, t))
     q = all_queries()["q_join_inner"]
-    first = q.fn(spark, d)
-    assert q.fn(spark, d) is first
+    q.fn(spark, d)
+    key, cached = _prepared_entry("q_join_inner", d)
+    assert key is not None
+    # swap in a sentinel: a vintage change must BYPASS it (fresh build)
+    registry._PREPARED[key] = spark.range(3).toDF("sentinel_col")
     st = os.stat(table_path(d, "lineitem"))
     os.utime(table_path(d, "lineitem"), ns=(st.st_atime_ns, st.st_mtime_ns + 1))
-    assert q.fn(spark, d) is not first
+    out = q.fn(spark, d)
+    assert "sentinel_col" not in out.columns
+    registry._PREPARED.pop(key, None)
 
 
 def test_prepared_plan_cache_keys_by_sf_dir(spark):
     from cloud_data_sync_spark.registry import all_queries
 
     q = all_queries()["q_join_inner"]
-    assert q.fn(spark, SF_DIR) is not q.fn(spark, "/root/testdata/sf0.01")
+    q.fn(spark, SF_DIR)
+    q.fn(spark, "/root/testdata/sf0.01")
+    k1, _ = _prepared_entry("q_join_inner", SF_DIR)
+    k2, _ = _prepared_entry("q_join_inner", "/root/testdata/sf0.01")
+    assert k1 is not None and k2 is not None and k1 != k2
