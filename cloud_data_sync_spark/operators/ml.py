@@ -218,11 +218,22 @@ def _trade_fact(spark: SparkSession, sf_dir: str):
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # both nation keys resolve through the nation TABLE (broadcast, 25
+    # rows), exactly like _EDGE_SQL's `JOIN nation cn/sn`: a corrupt row
+    # with a NULL (or dangling) nationkey must DROP from the edge list —
+    # emitting the raw fact keys instead let a NULL-dst edge deflate its
+    # src's normalized out-weights on Spark only (adversarial dim-table
+    # probe, r10)
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    cn = F.broadcast(nat.withColumnRenamed("n_nationkey", "c_nationkey"))
+    sn = F.broadcast(nat.withColumnRenamed("n_nationkey", "s_nationkey"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .select("c_nationkey", "s_nationkey")
+        .join(cn, "c_nationkey")
+        .join(sn, "s_nationkey")
     )
 
 
@@ -1366,17 +1377,23 @@ WITH folds AS (
   SELECT o_orderpriority AS cat,
          CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
               AS BIGINT) % {_TE_FOLDS} AS fold,
-         o_totalprice AS y
+         o_totalprice AS y,
+         (abs(o_totalprice) <= 1000000000 OR o_totalprice IS NULL) AS valid
   FROM orders
 ),
 cell AS (
-  SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_rows, sum(y) AS s
+  SELECT cat, fold,
+         CAST(count(CASE WHEN valid THEN 1 END) AS BIGINT) AS n_rows,
+         sum(CASE WHEN valid
+                  THEN CAST(round(y * 100) AS BIGINT) END) AS s_cents,
+         count(CASE WHEN NOT valid THEN 1 END) AS nd
   FROM folds GROUP BY cat, fold
 )
 SELECT cat, fold, n_rows,
-       floor((sum(s) OVER (PARTITION BY cat) - s)
-             / (sum(n_rows) OVER (PARTITION BY cat) - n_rows) * 10000)
-         / 10000 AS encoded
+       floor(((sum(s_cents) OVER (PARTITION BY cat) - s_cents) * 100)
+             / (sum(n_rows) OVER (PARTITION BY cat) - n_rows))
+         / 10000 AS encoded,
+       CAST(sum(nd) OVER (PARTITION BY cat) AS BIGINT) AS n_dropped_invalid
 FROM cell
 ORDER BY cat, fold
 """,
@@ -1395,6 +1412,14 @@ ORDER BY cat, fold
     ),
 )
 def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # validity bound |y| <= 1e9 with per-category dropped accounting (the
+    # decay-leaderboard convention; NULL targets stay — they count toward
+    # the fold sizes but not the sums, the pre-bound semantics): ONE
+    # corrupt 1e12 target dominates its category's mean and puts the
+    # 1e-4-grid floored encoding inside float-summation-order noise —
+    # observed as a FLAKY cross-engine mismatch under the adversarial
+    # fact corpus (engines disagree run-to-run, both internally
+    # nondeterministic at that magnitude mix).
     folds = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("cat"),
         (
@@ -1406,9 +1431,26 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _TE_FOLDS
         ).alias("fold"),
         F.col("o_totalprice").alias("y"),
+        (
+            (F.abs("o_totalprice") <= 1_000_000_000)
+            | F.col("o_totalprice").isNull()
+        ).alias("valid"),
     )
+    # target sums ride as EXACT integer cents (the table_checksum /
+    # attribution convention): a float sum's last-ulp order noise flips
+    # the 1e-4-grid floor whenever a LOFO mean lands exactly on the grid
+    # (observed flaking run-to-run on cents-valued targets) — with an
+    # exact BIGINT numerator the encoding is one deterministic IEEE
+    # division on both engines.
     cell = folds.groupBy("cat", "fold").agg(
-        F.count("*").alias("n_rows"), F.sum("y").alias("s")
+        F.count(F.when(F.col("valid"), 1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("valid"),
+                F.round(F.col("y") * 100).cast("long"),
+            )
+        ).alias("s_cents"),
+        F.count(F.when(~F.col("valid"), 1)).alias("_nd"),
     )
     w = Window.partitionBy("cat")
     return (
@@ -1420,13 +1462,16 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             # no out-of-fold observations — the leave-one-out denominator
             # is 0, a job-killing ANSI error on plain '/' while DuckDB's
             # double /0 is NULL (no evidence -> NULL encoding)
-            floor_ratio(
-                F.try_divide(
-                    F.sum("s").over(w) - F.col("s"),
-                    F.sum("n_rows").over(w) - F.col("n_rows"),
-                ),
-                4,
+            (
+                F.floor(
+                    F.try_divide(
+                        (F.sum("s_cents").over(w) - F.col("s_cents")) * 100,
+                        F.sum("n_rows").over(w) - F.col("n_rows"),
+                    )
+                )
+                / 10000
             ).alias("encoded"),
+            F.sum("_nd").over(w).cast("long").alias("n_dropped_invalid"),
         )
         .orderBy("cat", "fold")
     )

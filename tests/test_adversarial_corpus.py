@@ -464,10 +464,42 @@ def _mutate(tbl: pa.Table, edits: dict[int, dict[str, object]]) -> pa.Table:
 @pytest.fixture(scope="module")
 def adv_fact_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("adv_fact_sf"))
+    mutated = ("lineitem", "orders", "customer",
+               "supplier", "part", "nation", "region")
     for name in TABLE_NAMES:
-        if name in ("lineitem", "orders", "customer"):
+        if name in mutated:
             continue
         shutil.copyfile(table_path(SF_SRC, name), table_path(d, name))
+
+    su = pq.read_table(table_path(SF_SRC, "supplier"))
+    su = _mutate(su, {
+        0: {"s_acctbal": 1.0e12},
+        1: {"s_nationkey": None},                 # NULL join key
+        2: {"s_name": None},
+    })
+    pq.write_table(su, table_path(d, "supplier"))
+
+    pt = pq.read_table(table_path(SF_SRC, "part"))
+    pt = _mutate(pt, {
+        0: {"p_retailprice": 1.0e12},
+        1: {"p_retailprice": -1.0e12},
+        2: {"p_partkey": None},                   # NULL primary key
+        3: {"p_brand": None},
+        4: {"p_type": None},
+        5: {"p_size": None},
+    })
+    pq.write_table(pt, table_path(d, "part"))
+
+    na = pq.read_table(table_path(SF_SRC, "nation"))
+    na = _mutate(na, {
+        0: {"n_name": None},
+        1: {"n_regionkey": None},                 # NULL join key
+    })
+    pq.write_table(na, table_path(d, "nation"))
+
+    rg = pq.read_table(table_path(SF_SRC, "region"))
+    rg = _mutate(rg, {0: {"r_name": None}})
+    pq.write_table(rg, table_path(d, "region"))
 
     li = pq.read_table(table_path(SF_SRC, "lineitem"))
     dup = {c: li.column(c).to_pylist()[8] for c in li.schema.names}
