@@ -476,3 +476,69 @@ def q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_first(out, ["purchase_id"], ["user_id"]).select(
         "purchase_id", "user_id", "purchase_ts_us", "click_id", "click_ts_us"
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour, the q_join_asof_tolerance window
+
+
+@register(
+    "q_stream_asof_tolerance",
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+         CASE WHEN event_type = 'click' THEN ts END AS c_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
+),
+attributed AS (
+  SELECT event_id, user_id, ts, is_p,
+         last_value(c_id IGNORE NULLS) OVER w AS click_id,
+         last_value(c_ts IGNORE NULLS) OVER w AS click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us,
+       CAST(CASE WHEN epoch_us(click_ts) >= epoch_us(ts) - {_ASOF_TOL_US}
+                 THEN click_id END AS BIGINT) AS click_id,
+       CAST(CASE WHEN epoch_us(click_ts) >= epoch_us(ts) - {_ASOF_TOL_US}
+                 THEN epoch_us(click_ts) END AS BIGINT) AS click_ts_us,
+       (click_ts IS NOT NULL
+        AND epoch_us(click_ts) >= epoch_us(ts) - {_ASOF_TOL_US})
+         AS attributed
+FROM attributed WHERE is_p = 1
+""",
+    doc=(
+        "STREAMING as-of join with a match tolerance — the streaming twin "
+        "of q_join_asof_tolerance, completing the as-of family symmetry "
+        "(batch and stream each ship the plain and the windowed form): a "
+        "purchase only attributes to a click within the trailing hour; "
+        "older matches null out rather than attach stale context. "
+        "Exactly like its batch twin, the tolerance is a STATELESS "
+        "map-side CASE after the sweep, so it rides the SAME drained "
+        "family member as q_stream_asof_join — no second stream, no "
+        "extra state, zero additional drains; epoch-µs integer "
+        "comparisons keep both engines bit-identical. At scale the "
+        "tolerance also bounds what state MUST remember: with a "
+        "watermark, a cursor older than the tolerance can be evicted "
+        "(EventTimeTimeout), making state size O(active users) instead "
+        "of O(all users)."
+    ),
+)
+def q_stream_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    out = _stateful_family(spark, sf_dir)[0]["asof"]
+    swept = keep_first(out, ["purchase_id"], ["user_id"])
+    fresh = F.col("click_ts_us") >= F.col("purchase_ts_us") - _ASOF_TOL_US
+    return swept.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts_us",
+        F.when(fresh, F.col("click_id")).alias("click_id"),
+        F.when(fresh, F.col("click_ts_us")).alias("click_ts_us"),
+        (F.col("click_ts_us").isNotNull() & fresh).alias("attributed"),
+    )

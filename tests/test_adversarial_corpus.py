@@ -350,6 +350,7 @@ VEC_EVENT_KEYS = [
     "q_stream_join",
     "q_stream_left_join",
     "q_stream_asof_join",
+    "q_stream_asof_tolerance",
     "q_stream_session_native",
     "q_stream_sliding",
     "q_stream_stateful_dedup",
