@@ -24,7 +24,11 @@ from cloud_data_sync_spark.session import get_spark  # noqa: E402
 
 
 def build_inline_line(
-    timings: dict[str, float], total: float, sf: float, budget: int = 1900
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    budget: int = 1900,
+    extras: dict | None = None,
 ) -> str:
     """Build the one-line stdout payload, dropping the cheapest *successful*
     queries until it fits the driver's bounded tail buffer.
@@ -46,6 +50,8 @@ def build_inline_line(
             "queries": q,
             "sf": sf,
         }
+        if extras:
+            payload.update(extras)
         if n_failed:
             payload["failed_queries"] = n_failed
         if omitted:
@@ -422,6 +428,21 @@ def main() -> None:
                 {
                     "metric": "total_query_wall_sec",
                     "value": round(total, 3),
+                    # r10 verdict item 4: make the artifact self-describing —
+                    # `value` is the sum over queries of each query's
+                    # MIN-of-sweeps wall (per-query min, then sum), which is
+                    # why it can undercut every entry of sweep_totals;
+                    # min_sweep_total is the best SINGLE coherent sweep,
+                    # the number to quote when comparing whole runs.
+                    "value_semantics": "sum of per-query min-of-sweeps walls",
+                    "min_sweep_total": (
+                        round(min(sweep_totals), 3) if sweep_totals else None
+                    ),
+                    # r10 ADVICE: a SPARK_GRAFT_BENCH_ONLY debug subset must
+                    # be visible in the artifact itself — a filtered run
+                    # was previously distinguishable from a full one only
+                    # by counting keys. null ⇒ full registry.
+                    "bench_only": sorted(keys) if only else None,
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf,
@@ -471,7 +492,24 @@ def main() -> None:
     # Inline: compact separators, 2-decimal walls, and if needed drop the
     # cheapest successful queries until the line fits — heavy hitters and
     # failures always survive (see build_inline_line).
-    print(build_inline_line(timings, total, sf))
+    print(
+        build_inline_line(
+            timings,
+            total,
+            sf,
+            extras={
+                # self-describing semantics (r10 verdict item 4): `value`
+                # is the sum of per-query min-of-sweeps walls; the best
+                # single coherent sweep rides alongside for whole-run
+                # comparisons, and a debug subset stamps itself.
+                "value_semantics": "sum of per-query min-of-sweeps walls",
+                "min_sweep_total": (
+                    round(min(sweep_totals), 3) if sweep_totals else None
+                ),
+                **({"bench_only": sorted(keys)} if only else {}),
+            },
+        )
+    )
 
 
 if __name__ == "__main__":

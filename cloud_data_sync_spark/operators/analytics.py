@@ -3146,7 +3146,7 @@ pack AS (
 SELECT item_k, n_events, decayed_micro, n_dropped_invalid
 FROM g, pack
 WHERE n_events >= 1
-ORDER BY decayed_micro DESC, item_k
+ORDER BY decayed_micro DESC, item_k NULLS LAST
 LIMIT {_DECAY_TOPK}
 """,
     doc=(
@@ -3219,7 +3219,7 @@ def q_decay_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.filter(F.col("n_events") >= 1)
         .select("item_k", "n_events", "decayed_micro")
         .crossJoin(F.broadcast(pack))
-        .orderBy(F.desc("decayed_micro"), "item_k")
+        .orderBy(F.desc("decayed_micro"), F.col("item_k").asc_nulls_last())
         .limit(_DECAY_TOPK)
     )
 

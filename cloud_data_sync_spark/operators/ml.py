@@ -1461,11 +1461,27 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             # try_divide: a category whose ONLY rows sit in this fold has
             # no out-of-fold observations — the leave-one-out denominator
             # is 0, a job-killing ANSI error on plain '/' while DuckDB's
-            # double /0 is NULL (no evidence -> NULL encoding)
+            # double /0 is NULL (no evidence -> NULL encoding).
+            # The numerator rides as DECIMAL(38,0), not BIGINT: each valid
+            # row contributes up to 1e11 cents, so a BIGINT (S - s) * 100
+            # overflows 2^63 at ~9.2e5 near-bound rows per category — an
+            # ANSI job-kill on Spark while DuckDB's HUGEINT sum sails
+            # through. In decimal the *100 is exact to 1e38 (HUGEINT's own
+            # ceiling); the single cast to double afterwards rounds the
+            # SAME exact integer on both engines, so the grid floor stays
+            # deterministic.
             (
                 F.floor(
                     F.try_divide(
-                        (F.sum("s_cents").over(w) - F.col("s_cents")) * 100,
+                        (
+                            (
+                                F.sum(
+                                    F.col("s_cents").cast("decimal(38,0)")
+                                ).over(w)
+                                - F.col("s_cents").cast("decimal(38,0)")
+                            )
+                            * 100
+                        ).cast("double"),
                         F.sum("n_rows").over(w) - F.col("n_rows"),
                     )
                 )

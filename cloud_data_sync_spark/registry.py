@@ -99,10 +99,10 @@ def _prepared_key(spark: SparkSession, sf_dir: str, name: str):
         app = spark.sparkContext.applicationId
     except Exception:  # noqa: BLE001 - stopped/odd session: don't cache
         return None
-    vintage = tuple(
-        tables._file_vintage(tables.table_path(sf_dir, t))
-        for t in tables.TABLE_NAMES
-    )
+    # Glob-aware vintages (one scandir): split-file fixtures
+    # (events_000.parquet, ...) must miss the cache when they change, not
+    # hash to a constant () the way a single-file stat would (r10 ADVICE)
+    vintage = tables.all_table_vintages(sf_dir)
     return (app, os.path.realpath(sf_dir), name, vintage)
 
 
@@ -126,6 +126,13 @@ def register(
             from cloud_data_sync_spark import tables
 
             tables.purge_dead_sessions(_PREPARED)
+            # Bound the cache: a miss with the same (app, sf_dir, name) but
+            # a different vintage means the inputs were rewritten in-session
+            # (the gate suites do this constantly) — the superseded entry
+            # can never hit again, so drop it instead of accumulating one
+            # dead plan per rewrite (r10 verdict item 2).
+            for stale in [k for k in _PREPARED if k[:3] == key[:3]]:
+                _PREPARED.pop(stale, None)
             df = fn(spark, sf_dir)
             _PREPARED[key] = df
             return _clone(df)

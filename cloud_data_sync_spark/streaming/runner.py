@@ -358,15 +358,18 @@ def drained_family(
     import zlib
 
     from cloud_data_sync_spark.tables import (
-        _file_vintage,
         _session_key,
-        table_path,
+        table_files_vintage,
     )
 
     # ``vintage_table`` names the family's input table (events for the
     # window/join/stateful families, documents for the crawl family) so
-    # the cache keys on the right file's vintage
-    vintage = _file_vintage(table_path(sf_dir, vintage_table))
+    # the cache keys on the right file's vintage. Glob-aware: the stream
+    # reader's pathGlobFilter is <table>*.parquet, so the vintage must
+    # cover split-file fixtures (events_000.parquet, ...) too — a
+    # single-file stat would hand every such dir the constant () vintage
+    # and serve stale drains after an in-session rewrite (r10 ADVICE).
+    vintage = table_files_vintage(sf_dir, vintage_table)
     base = (_session_key(spark), sf_dir, tag)
     key = base + (vintage,)
     cached = _FAMILY_CACHE.get(key)

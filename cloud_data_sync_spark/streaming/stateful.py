@@ -37,7 +37,13 @@ STATE_SCHEMA = "min_id long"
 def _first_event_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    # Materialize first: pd.concat of an EMPTY list raises ValueError, so
+    # the emptiness guard must run before concat — Spark hands an empty
+    # iterator on timeout-only invocations (the state-eviction path).
+    _dfs = list(pdfs)
+    if not _dfs:
+        return
+    batch = pd.concat(_dfs, ignore_index=True)
     if batch.empty:
         return
     cand = batch.loc[batch["event_id"].idxmin()]
@@ -103,6 +109,9 @@ def _stateful_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     def asof() -> DataFrame:
         return asof_join_stream(read_events_stream(spark, sf_dir))
 
+    def asofevict() -> DataFrame:
+        return asof_join_stream_evict(read_events_stream(spark, sf_dir))
+
     return drained_family(
         spark,
         sf_dir,
@@ -113,6 +122,7 @@ def _stateful_family(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
             "pertype": (pertype, "update"),
             "keys": (keys, "append"),
             "asof": (asof, "update"),
+            "asofevict": (asofevict, "update"),
             "upsert": (
                 lambda: build_upsert_member(spark, sf_dir),
                 "custom",
@@ -185,7 +195,13 @@ _NULL_TYPE = "\x00<null>"
 def _per_type_totals_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    # Materialize first: pd.concat of an EMPTY list raises ValueError, so
+    # the emptiness guard must run before concat — Spark hands an empty
+    # iterator on timeout-only invocations (the state-eviction path).
+    _dfs = list(pdfs)
+    if not _dfs:
+        return
+    batch = pd.concat(_dfs, ignore_index=True)
     if batch.empty:
         return
     m = dict(state.get[0] or {}) if state.exists else {}
@@ -245,7 +261,13 @@ TOTALS_STATE_SCHEMA = "n long, total double, n_vals long"
 def _running_totals_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    # Materialize first: pd.concat of an EMPTY list raises ValueError, so
+    # the emptiness guard must run before concat — Spark hands an empty
+    # iterator on timeout-only invocations (the state-eviction path).
+    _dfs = list(pdfs)
+    if not _dfs:
+        return
+    batch = pd.concat(_dfs, ignore_index=True)
     if batch.empty:
         return
     n, total, n_vals = (state.get if state.exists else (0, 0.0, 0))
@@ -368,7 +390,13 @@ def _asof_fn(
     so purchases in THIS batch attribute to clicks from any earlier
     batch. State stores only (click_id, click_ts_us): two longs per
     user, the minimal as-of cursor."""
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    # Materialize first: pd.concat of an EMPTY list raises ValueError, so
+    # the emptiness guard must run before concat — Spark hands an empty
+    # iterator on timeout-only invocations (the state-eviction path).
+    _dfs = list(pdfs)
+    if not _dfs:
+        return
+    batch = pd.concat(_dfs, ignore_index=True)
     if batch.empty:
         return
     cur_id, cur_ts = tuple(state.get) if state.exists else (None, None)
@@ -532,6 +560,169 @@ def q_stream_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     out = _stateful_family(spark, sf_dir)[0]["asof"]
+    swept = keep_first(out, ["purchase_id"], ["user_id"])
+    fresh = F.col("click_ts_us") >= F.col("purchase_ts_us") - _ASOF_TOL_US
+    return swept.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts_us",
+        F.when(fresh, F.col("click_id")).alias("click_id"),
+        F.when(fresh, F.col("click_ts_us")).alias("click_ts_us"),
+        (F.col("click_ts_us").isNotNull() & fresh).alias("attributed"),
+    )
+
+
+# -- watermarked as-of cursor with state eviction (r11) -----------------------
+
+
+def _asof_evict_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The _asof_fn sweep plus the production state bound: the cursor
+    carries an EventTimeTimeout at click_ts + tolerance, so a user idle
+    past the tolerance horizon has their 16-byte cursor REMOVED when the
+    watermark passes it — state is O(users active within the tolerance),
+    not O(all users ever seen). Result-neutral by construction: eviction
+    fires only when watermark > click_ts + tol, and any purchase still
+    admitted by the watermark is newer than that, so the evicted cursor
+    would have been nulled by the tolerance CASE anyway — the oracle is
+    literally q_stream_asof_tolerance's."""
+    if state.hasTimedOut:
+        # timeout-only invocation (empty iterator): the cursor aged past
+        # the tolerance under the current watermark — drop it
+        state.remove()
+        return
+    _dfs = list(pdfs)
+    if not _dfs:
+        return
+    batch = pd.concat(_dfs, ignore_index=True)
+    if batch.empty:
+        return
+    cur_id, cur_ts = tuple(state.get) if state.exists else (None, None)
+    batch = batch.sort_values(["ts_us", "is_p", "event_id"])
+    pid, pts, cid_out, cts_out = [], [], [], []
+    for eid, tus, isp in zip(
+        batch["event_id"], batch["ts_us"], batch["is_p"]
+    ):
+        if isp:
+            pid.append(int(eid))
+            pts.append(int(tus))
+            cid_out.append(cur_id)
+            cts_out.append(cur_ts)
+        else:
+            c_id, c_ts = int(eid), int(tus)
+            if cur_ts is None or (c_ts, c_id) > (cur_ts, cur_id):
+                cur_id, cur_ts = c_id, c_ts
+    if cur_id is not None:
+        state.update((int(cur_id), int(cur_ts)))
+        # evict when the watermark passes the cursor's tolerance horizon.
+        # Spark rejects a timeout at-or-below the current watermark, so a
+        # cursor already out of tolerance gets watermark+1 — evicted on
+        # the next watermark advance (its answers are nulled by the
+        # tolerance CASE in the meantime).
+        expiry_ms = cur_ts // 1000 + _ASOF_TOL_US // 1000 + 1
+        state.setTimeoutTimestamp(
+            max(expiry_ms, state.getCurrentWatermarkMs() + 1)
+        )
+    if pid:
+        yield pd.DataFrame(
+            {
+                "purchase_id": pid,
+                "user_id": [key[0]] * len(pid),
+                "purchase_ts_us": pts,
+                "click_id": cid_out,
+                "click_ts_us": cts_out,
+            }
+        )
+
+
+def asof_join_stream_evict(events: DataFrame) -> DataFrame:
+    """Streaming as-of attribution with watermark-driven cursor eviction
+    (EventTimeTimeout). Watermark delay 0: the availableNow fixtures are
+    time-split across files, so no in-order row is ever late; production
+    sets the delay to its ingestion skew."""
+    from pyspark.sql import functions as F
+
+    tagged = (
+        events.withWatermark("ts", "0 seconds")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            # the watermarked column itself must survive the projection —
+            # EventTimeTimeout requires the stateful operator's input to
+            # carry it (the µs long rides alongside for exact arithmetic)
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        )
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _asof_evict_fn,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+@register(
+    "q_stream_asof_evict",
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+         CASE WHEN event_type = 'click' THEN ts END AS c_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
+),
+attributed AS (
+  SELECT event_id, user_id, ts, is_p,
+         last_value(c_id IGNORE NULLS) OVER w AS click_id,
+         last_value(c_ts IGNORE NULLS) OVER w AS click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us,
+       CAST(CASE WHEN epoch_us(click_ts) >= epoch_us(ts) - {_ASOF_TOL_US}
+                 THEN click_id END AS BIGINT) AS click_id,
+       CAST(CASE WHEN epoch_us(click_ts) >= epoch_us(ts) - {_ASOF_TOL_US}
+                 THEN epoch_us(click_ts) END AS BIGINT) AS click_ts_us,
+       (click_ts IS NOT NULL
+        AND epoch_us(click_ts) >= epoch_us(ts) - {_ASOF_TOL_US})
+         AS attributed
+FROM attributed WHERE is_p = 1
+""",
+    doc=(
+        "STREAMING as-of join with watermarked STATE EVICTION — the "
+        "production form of q_stream_asof_tolerance the r10 verdict asked "
+        "for (item 3): the per-user cursor carries an EventTimeTimeout at "
+        "click_ts + tolerance, so once the watermark passes that horizon "
+        "an idle user's 16-byte state row is physically removed "
+        "(state.remove() on the timeout invocation), bounding state to "
+        "O(users active within the tolerance window) instead of O(all "
+        "users ever seen) — at 100 TB the difference between a state "
+        "store that fits executor memory and one that grows without "
+        "bound. Eviction is provably result-neutral: a timeout fires "
+        "only when watermark > click_ts + tol, and the watermark admits "
+        "only purchases newer than itself, so every purchase an evicted "
+        "cursor could have answered is already outside the tolerance — "
+        "the oracle is byte-identical to q_stream_asof_tolerance's. The "
+        "eviction itself is pinned by a two-file time-split test that "
+        "advances the watermark past an idle user and asserts the state "
+        "row count drops (tests/test_streaming.py)."
+    ),
+)
+def q_stream_asof_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    out = _stateful_family(spark, sf_dir)[0]["asofevict"]
     swept = keep_first(out, ["purchase_id"], ["user_id"])
     fresh = F.col("click_ts_us") >= F.col("purchase_ts_us") - _ASOF_TOL_US
     return swept.select(

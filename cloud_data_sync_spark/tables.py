@@ -56,6 +56,52 @@ def _file_vintage(path: str) -> tuple:
         return ()
 
 
+def table_files_vintage(sf_dir: str, name: str) -> tuple:
+    """Vintage over ALL files matching ``<name>*.parquet`` — the streaming
+    file source's pathGlobFilter convention (multi-batch fixtures split
+    events into events_000.parquet, ...). A single-file stat of
+    <name>.parquet returns a constant () for such dirs, so adding or
+    rewriting split files in the same session would silently serve stale
+    cached drains / prepared plans (r10 ADVICE). One scandir, sorted
+    (filename, size, mtime_ns) tuples; fnmatch mirrors the reader's glob
+    exactly."""
+    import fnmatch
+
+    base = sf_dir.replace("file://", "").replace("file:", "")
+    try:
+        out = []
+        with os.scandir(base) as it:
+            for e in it:
+                if fnmatch.fnmatchcase(e.name, f"{name}*.parquet"):
+                    st = e.stat()
+                    out.append((e.name, st.st_size, st.st_mtime_ns))
+        return tuple(sorted(out))
+    except OSError:
+        return ()
+
+
+def all_table_vintages(sf_dir: str) -> tuple:
+    """Per-TABLE_NAMES glob vintages in ONE scandir pass — the prepared-plan
+    cache key calls this once per query invocation, so it must not cost ten
+    directory walks. Same glob semantics as table_files_vintage."""
+    import fnmatch
+
+    base = sf_dir.replace("file://", "").replace("file:", "")
+    buckets: dict[str, list] = {t: [] for t in TABLE_NAMES}
+    try:
+        with os.scandir(base) as it:
+            for e in it:
+                if not e.name.endswith(".parquet"):
+                    continue
+                for t in TABLE_NAMES:
+                    if fnmatch.fnmatchcase(e.name, f"{t}*.parquet"):
+                        st = e.stat()
+                        buckets[t].append((e.name, st.st_size, st.st_mtime_ns))
+    except OSError:
+        pass
+    return tuple(tuple(sorted(buckets[t])) for t in TABLE_NAMES)
+
+
 def purge_dead_sessions(cache: dict) -> None:
     """Drop cache entries whose DataFrame belongs to a stopped session.
 

@@ -609,7 +609,7 @@ def test_family_eviction_drops_stale_sink_views(spark, tmp_path):
     import zlib
 
     from cloud_data_sync_spark.streaming import runner as R
-    from cloud_data_sync_spark.tables import _file_vintage, table_path
+    from cloud_data_sync_spark.tables import table_files_vintage
 
     t = dt.datetime(2024, 1, 1, 10, 0, 0)
     sf = _write_events(tmp_path, [(1, t, 7), (2, t + dt.timedelta(hours=2), 9)])
@@ -623,7 +623,7 @@ def test_family_eviction_drops_stale_sink_views(spark, tmp_path):
 
     members = {"probe": (build, "append")}
     R.drained_family(spark, sf, "evictview", members)
-    v1 = _file_vintage(table_path(sf, "events"))
+    v1 = table_files_vintage(sf, "events")
     sfx1 = zlib.crc32(repr((sf, v1)).encode()) & 0xFFFFFFFF
     view1 = f"t_evictview_probe_{sfx1:08x}"
     assert spark.catalog.tableExists(view1)
