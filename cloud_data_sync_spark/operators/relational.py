@@ -1406,6 +1406,60 @@ def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_percentiles_adaptive",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       'exact' AS mode
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "SF-adaptive exact->sketch percentile swap: the builder reads the "
+        "table's parquet FOOTER row count (no scan) and picks the branch — "
+        "exact interpolated percentiles over the distributed rank substrate "
+        "below 2M rows, approx_percentile's fixed-state mergeable t-digest-"
+        "style sketch above. Both SFs the gates run sit below the cutoff, "
+        "so the oracle hash-certifies the exact branch and hard-codes "
+        "mode='exact'; the sketch branch is certified by the tolerance "
+        "audit q_agg_approx_quantiles carries over the same sketch+column, "
+        "plus a forced-sketch unit test (<=1% of exact). This is the "
+        "production policy for percentiles at 100 TB: exact sorting is fine "
+        "while a group's values fit one spillable sort, and past that the "
+        "sketch's bounded state is the only shape that doesn't O(n log n) "
+        "the cluster — the swap point rides the data, not the code."
+    ),
+)
+def q_percentiles_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from cloud_data_sync_spark.tables import table_num_rows
+
+    cutoff = int(_os.environ.get("SPARK_GRAFT_ADAPTIVE_EXACT_ROWS", 2_000_000))
+    if table_num_rows(sf_dir, "lineitem") <= cutoff:
+        return _ranked_prices(spark, sf_dir).groupBy("l_returnflag").agg(
+            F.round(_interp(0.5), 4).alias("p50"),
+            F.round(_interp(0.9), 4).alias("p90"),
+        ).select("l_returnflag", "p50", "p90", F.lit("exact").alias("mode"))
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .filter(F.col("l_extendedprice").isNotNull())
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        ).alias("ap")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("ap")[0], 4).alias("p50"),
+        F.round(F.col("ap")[1], 4).alias("p90"),
+        F.lit("sketch").alias("mode"),
+    )
+
+
+@register(
     "q_window_distribution",
     oracle="""
 SELECT c_custkey,

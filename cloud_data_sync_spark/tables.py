@@ -80,6 +80,33 @@ def table_files_vintage(sf_dir: str, name: str) -> tuple:
         return ()
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTERS over ``<name>*.parquet`` — one
+    metadata read per file, no data scan. This is the input to
+    sf-adaptive plan choices (q_percentiles_adaptive): the decision is
+    re-made exactly when the prepared-plan cache's vintage key changes,
+    so a rewritten table re-decides instead of serving a stale branch.
+    Missing dir/files count as 0 (the degenerate gates' empty vintages
+    take the small-data branch, which handles empty inputs)."""
+    import fnmatch
+
+    import pyarrow.parquet as _pq
+
+    base = sf_dir.replace("file://", "").replace("file:", "")
+    total = 0
+    try:
+        with os.scandir(base) as it:
+            for e in it:
+                if fnmatch.fnmatchcase(e.name, f"{name}*.parquet"):
+                    try:
+                        total += _pq.ParquetFile(e.path).metadata.num_rows
+                    except Exception:  # noqa: BLE001 - unreadable: treat as 0
+                        pass
+    except OSError:
+        return 0
+    return total
+
+
 def all_table_vintages(sf_dir: str) -> tuple:
     """Per-TABLE_NAMES glob vintages in ONE scandir pass — the prepared-plan
     cache key calls this once per query invocation, so it must not cost ten
