@@ -1,28 +1,34 @@
-"""Empirical scaling sweep: run the heaviest registry keys at three data
-scales (sf0.01 / sf0.1 / self-generated sf1, 10x apart by construction)
+"""Empirical scaling sweep: run registry keys at several data scales
+(sf0.01 / sf0.1 / self-generated sf1 and sf10, 10x apart by construction)
 and record per-key scaling exponents — wall ∝ rows^alpha, so
 alpha = log10(wall_hi / wall_lo) per decade step.
 
-    python tools/gen_scale_vintage.py          # once, mints .scale/sf1
-    python tools/scale_sweep.py [key ...]      # default: the heavy set
+    python tools/gen_scale_vintage.py                      # mints .scale/sf1
+    python tools/gen_scale_vintage.py --replicas 100 --out /root/repo/.scale/sf10
+    python tools/scale_sweep.py [key ... | ALL]            # default: heavy set
+        [--sfs sf0.01=/root/testdata/sf0.01,...]           # SF points
+        [--n 3] [--out /root/repo/.scale/sweep.json]
 
 Methodology notes (the exponents are only as honest as these):
 - Each (key, sf) is timed like bench.py times it: build + collect, on a
-  warmed session; N_SWEEPS passes, min taken (noise filter). The
-  prepared-plan cache is BYPASSED by calling the spec fn directly would
-  still hit the registry wrapper — so we clear the cache between passes?
-  No: we let pass 1 pay plan build and take the min over passes 2..N,
-  i.e. the EXECUTION wall, which is what scales with data. Pass-1 walls
-  ride along in the artifact as build+exec for reference.
+  warmed session; N passes, min of passes 2..N taken — pass 1 pays plan
+  build (prepared-plan cache miss), so the min over the rest is the
+  EXECUTION wall, which is what scales with data. Pass-1 walls ride
+  along in the artifact as build+exec for reference.
 - The sf0.01 -> sf0.1 step is floor-dominated (scheduling/launch ~0.1 s
-  dwarfs tiny data), so the HEADLINE exponent is the sf0.1 -> sf1 step;
-  both ride in the artifact.
+  dwarfs tiny data), so the HEADLINE exponent is the largest-SF step;
+  all steps ride in the artifact.
 - Exponent ~1.0 = linear, <1 = sublinear (floor or logarithmic terms),
   >1.2 = superlinear — investigate (SCALE.md records the adjudication).
+- ALL mode skips q_stream_* keys: their drains are served from the
+  per-(session, events-vintage) family cache after the first invocation,
+  so passes 2..N measure a cached-table read, not the drain — a fresh
+  session per pass would be needed for an honest stream exponent.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import math
 import sys
@@ -59,48 +65,95 @@ HEAVY = [
     "q_sim_range",
 ]
 
-SFS = [
-    ("sf0.01", "/root/testdata/sf0.01"),
-    ("sf0.1", "/root/testdata/sf0.1"),
-    ("sf1", "/root/repo/.scale/sf1"),
-]
-N_SWEEPS = 3
+DEFAULT_SFS = (
+    "sf0.01=/root/testdata/sf0.01,"
+    "sf0.1=/root/testdata/sf0.1,"
+    "sf1=/root/repo/.scale/sf1"
+)
+
+
+def _sf_value(name: str) -> float:
+    return float(name.removeprefix("sf"))
 
 
 def main() -> None:
-    keys = sys.argv[1:] or HEAVY
-    spark = get_spark("scale-sweep")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*", help="key names, or ALL for full registry")
+    ap.add_argument("--sfs", default=DEFAULT_SFS)
+    ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("--out", default="/root/repo/.scale/sweep.json")
+    a = ap.parse_args()
+
+    sfs = []
+    for part in a.sfs.split(","):
+        name, _, sf_dir = part.partition("=")
+        sfs.append((name, sf_dir))
     qs = all_queries()
+    if a.keys == ["ALL"]:
+        keys = sorted(k for k in qs if not k.startswith("q_stream_"))
+        skipped = sorted(k for k in qs if k.startswith("q_stream_"))
+        print(f"ALL: {len(keys)} keys ({len(skipped)} q_stream_* skipped: "
+              "family-cached drains, see module docstring)")
+    else:
+        keys = a.keys or HEAVY
+
+    # One session sweeps SEVERAL sf_dirs, and session substrates pin one
+    # checkpoint per (session, sf_dir, vintage): with localCheckpoint
+    # those all share executor storage and the default 8g heap OOM'd
+    # holding sf1's + sf10's ranked substrates at once. The reliable
+    # disk checkpoint (the documented cluster switch) bounds memory.
+    spark = get_spark(
+        "scale-sweep",
+        extra_conf={
+            "spark.cloud_data_sync.checkpoint_dir": "/tmp/cds_scale_ckpt"
+        },
+    )
     out: dict[str, dict] = {}
     for key in keys:
         spec = qs[key]
         row: dict[str, object] = {}
-        for sf_name, sf_dir in SFS:
+        ok = True
+        for sf_name, sf_dir in sfs:
             walls = []
-            for i in range(N_SWEEPS):
-                t0 = time.monotonic()
-                spec.fn(spark, sf_dir).collect()
-                walls.append(time.monotonic() - t0)
+            try:
+                for i in range(a.n):
+                    t0 = time.monotonic()
+                    spec.fn(spark, sf_dir).collect()
+                    walls.append(time.monotonic() - t0)
+            except Exception as exc:  # noqa: BLE001 - record, keep sweeping
+                row[f"{sf_name}_err"] = str(exc).splitlines()[0][:200]
+                ok = False
+                break
             # pass 1 pays plan build (cache miss); min over the rest is
             # the execution wall that scales with data
-            row[sf_name] = round(min(walls[1:]), 4)
+            row[sf_name] = round(min(walls[1:]) if len(walls) > 1 else walls[0], 4)
             row[f"{sf_name}_first"] = round(walls[0], 4)
-        e01 = math.log10(row["sf0.1"] / row["sf0.01"]) if row["sf0.01"] > 0 else None
-        e1 = math.log10(row["sf1"] / row["sf0.1"]) if row["sf0.1"] > 0 else None
-        row["exp_001_01"] = round(e01, 3)
-        row["exp_01_1"] = round(e1, 3)
+        line = f"{key:28s}"
+        if ok:
+            for (lo, _), (hi, _) in zip(sfs, sfs[1:]):
+                decades = math.log10(_sf_value(hi) / _sf_value(lo))
+                wl, wh = row[lo], row[hi]
+                e = (
+                    round(math.log10(wh / wl) / decades, 3)
+                    if wl and wl > 0 and wh and wh > 0
+                    else None
+                )
+                row[f"exp_{lo}_{hi}"] = e
+            for sf_name, _ in sfs:
+                line += f" {row[sf_name]:8.3f}"
+            top_lo, top_hi = sfs[-2][0], sfs[-1][0]
+            e_top = row.get(f"exp_{top_lo}_{top_hi}")
+            flag = " <== SUPERLINEAR" if e_top and e_top > 1.2 else ""
+            line += f"  exp({top_lo}->{top_hi})={e_top}{flag}"
+        else:
+            line += "  ERR " + str(row)
+        print(line, flush=True)
         out[key] = row
-        flag = " <== SUPERLINEAR" if e1 and e1 > 1.2 else ""
-        print(
-            f"{key:28s} {row['sf0.01']:7.3f} {row['sf0.1']:7.3f} "
-            f"{row['sf1']:8.3f}  exp(0.1->1)={e1:5.2f}{flag}",
-            flush=True,
-        )
         # keep the prepared-plan cache bounded across the sweep
         registry._PREPARED.clear()
-    with open("/root/repo/.scale/sweep.json", "w") as f:
+    with open(a.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print("wrote /root/repo/.scale/sweep.json")
+    print(f"wrote {a.out}")
 
 
 if __name__ == "__main__":
