@@ -101,11 +101,29 @@ def main() -> int:
         spark = SparkSession.builder.master("local[8]").getOrCreate()
     else:
         spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
-        )
+    def fresh_oracle_con():
+        # An in-memory duckdb has NO temp_directory, so spilling is
+        # disabled and any larger-than-memory oracle intermediate is a
+        # hard OOM — at the self-generated sf1 vintage several dedup
+        # oracles (readable reference SQL, not scale-designed) exceed
+        # the buffer limit, and their unspillable operators OOM even
+        # with a spill dir. Configure spilling anyway (helps the
+        # spillable ones), and let the caller REBUILD the connection
+        # after any oracle error: a saturated buffer pool otherwise
+        # fails every later allocation, poisoning the rest of the gate
+        # (observed: 1 genuine OOM -> 194 cascade failures at sf1).
+        c = duckdb.connect()
+        c.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+        c.execute("SET memory_limit='48GB'")
+        c.execute("SET preserve_insertion_order=false")
+        for t in TABLE_NAMES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{table_path(sf_dir, t)}')"
+            )
+        return c
+
+    con = fresh_oracle_con()
 
     failures = 0
     for name, spec in sorted(specs.items()):
@@ -148,6 +166,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            con = fresh_oracle_con()
             continue
 
         sc, slines = canon_rows(scols, srows)
