@@ -2056,44 +2056,64 @@ def chargram_langid(documents: DataFrame) -> DataFrame:
     # where Spark's sequence(1, 0) yields a DESCENDING [1, 0] (spurious
     # bigrams, incl. a substr at pos 0) while DuckDB's range(1, 1) is
     # empty. The filter makes the empty case explicit on both engines.
-    grams = docs.filter(F.length("h") >= 2).select(
-        "doc_id",
-        "lang",
-        "split",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(h) - 1), i -> substr(h, i, 2))"
-            )
-        ).alias("bg"),
+    with_bg = docs.filter(F.length("h") >= 2).withColumn(
+        "bgs",
+        F.expr("transform(sequence(1, length(h) - 1), i -> substr(h, i, 2))"),
+    )
+    # profile build: only the TRAIN split explodes (the test split scores
+    # against per-doc arrays below — r11, guide §2.3/§2.4: half the
+    # explode, and the test side never shuffles bigram rows at all)
+    grams = with_bg.filter(F.col("split") == 0).select(
+        "lang", F.explode("bgs").alias("bg")
     )
     w = Window.partitionBy("lang").orderBy(
         F.desc("cnt"), F.asc("bg")
     )
     profile = (
-        grams.filter(F.col("split") == 0)
-        .groupBy("lang", "bg")
+        grams.groupBy("lang", "bg")
         .agg(F.count("*").alias("cnt"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _CG_PROFILE_K)
         .select(F.col("lang").alias("cand_lang"), "bg")
     )
-    test_bg = (
-        grams.filter(F.col("split") == 1)
-        .select("doc_id", "lang", "bg")
-        .distinct()
+    # r11 rework (guide §8: decide with small rows): the per-language
+    # profiles pack into ONE broadcast row of (cand_lang, bigram-set)
+    # structs (≤ langs × K entries — config-bounded at any corpus size),
+    # and scoring is MAP-SIDE: hits = |distinct doc bigrams ∩ profile
+    # set| via array_intersect (distinct by definition, matching the
+    # old DISTINCT test_bg ⋈ profile counting), argmax via array_min
+    # over (-hits, cand_lang) structs — the exact (hits DESC, cand_lang
+    # ASC) tie-break of the old rank window. Zero-hit docs yield an
+    # empty candidate array (array_min → NULL) and drop, matching the
+    # old inner join. Replaces the test-side explode, the
+    # (doc, lang, bg) distinct exchange, the profile hash join, the
+    # (doc, lang, cand) aggregate exchange and the per-doc rank window
+    # with one projection — the only post-profile exchange left is the
+    # final per-language rollup.
+    pack = profile.groupBy("cand_lang").agg(
+        F.collect_list("bg").alias("pbgs")
+    ).agg(
+        F.collect_list(F.struct("cand_lang", "pbgs")).alias("prof")
     )
-    scores = (
-        test_bg.join(F.broadcast(profile), "bg")
-        .groupBy("doc_id", "lang", "cand_lang")
-        .agg(F.count("*").alias("hits"))
-    )
-    wp = Window.partitionBy("doc_id").orderBy(
-        F.desc("hits"), F.asc("cand_lang")
+    best = F.array_min(
+        F.filter(
+            F.transform(
+                F.col("prof"),
+                lambda p: F.struct(
+                    (-F.size(F.array_intersect(F.col("bgs"), p["pbgs"])))
+                    .alias("neg"),
+                    p["cand_lang"].alias("cand_lang"),
+                ),
+            ),
+            lambda s: s["neg"] < 0,
+        )
     )
     pred = (
-        scores.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", F.col("cand_lang").alias("pred_lang"))
+        with_bg.filter(F.col("split") == 1)
+        .crossJoin(F.broadcast(pack))
+        .withColumn("best", best)
+        .filter(F.col("best").isNotNull())
+        .select("doc_id", "lang", F.col("best.cand_lang").alias("pred_lang"))
     )
     return pred.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

@@ -191,6 +191,10 @@ BNLJ_ALLOWED = {
     # 1-row corpus-total pack x 1-row leak-count pack over the 2-row
     # per-split aggregate — constant size at any corpus scale
     "q_split_assign",
+    # 1-row language-profile pack (≤ langs × K bigram entries, a config
+    # cardinality) cross-joined into the map-side scoring projection —
+    # the k-means centroid-pack shape (r11)
+    "q_langid_chargram",
 }
 
 # Global (unpartitioned) windows are forbidden — a single-partition sort of
