@@ -2027,7 +2027,12 @@ FROM pred GROUP BY lang
     ),
 )
 def q_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chargram_langid(load_table(spark, sf_dir, "documents"))
+    # spread(): the bigram fanout and map-side scoring are CPU-bound and
+    # the local parquet arrives in ~3 splits — round-robin to cores
+    # (no-op at real scale where the scan already yields >= cores splits)
+    from cloud_data_sync_spark.tables import spread
+
+    return chargram_langid(spread(load_table(spark, sf_dir, "documents")))
 
 
 def chargram_langid(documents: DataFrame) -> DataFrame:
@@ -2056,15 +2061,25 @@ def chargram_langid(documents: DataFrame) -> DataFrame:
     # where Spark's sequence(1, 0) yields a DESCENDING [1, 0] (spurious
     # bigrams, incl. a substr at pos 0) while DuckDB's range(1, 1) is
     # empty. The filter makes the empty case explicit on both engines.
-    with_bg = docs.filter(F.length("h") >= 2).withColumn(
-        "bgs",
-        F.expr("transform(sequence(1, length(h) - 1), i -> substr(h, i, 2))"),
-    )
+    #
     # profile build: only the TRAIN split explodes (the test split scores
-    # against per-doc arrays below — r11, guide §2.3/§2.4: half the
-    # explode, and the test side never shuffles bigram rows at all)
-    grams = with_bg.filter(F.col("split") == 0).select(
-        "lang", F.explode("bgs").alias("bg")
+    # against per-doc arrays below), and the explode fans out the INT
+    # position sequence with substr(h, i, 2) as a codegen projection —
+    # NOT a transform(...) HOF array. Two reasons, both measured at
+    # sf0.1 (r11): the HOF lambda runs interpreted (no whole-stage
+    # codegen), and exploding a PROJECTED HOF array triggers
+    # InferFiltersFromGenerate to clone the whole transform into the
+    # pushed filter as size(transform(..)) > 0 AND isnotnull(transform
+    # (..)) — three interpreted evaluations per row, 0.57 s -> 3.2 s on
+    # the gram stage (the guide §4.4 duplication class, for expressions
+    # instead of UDFs).
+    grams = (
+        docs.filter((F.length("h") >= 2) & (F.col("split") == 0))
+        .select(
+            "lang", "h",
+            F.explode(F.sequence(F.lit(1), F.length("h") - 1)).alias("i"),
+        )
+        .select("lang", F.expr("substr(h, i, 2)").alias("bg"))
     )
     w = Window.partitionBy("lang").orderBy(
         F.desc("cnt"), F.asc("bg")
@@ -2108,9 +2123,15 @@ def chargram_langid(documents: DataFrame) -> DataFrame:
             lambda s: s["neg"] < 0,
         )
     )
+    test = docs.filter((F.length("h") >= 2) & (F.col("split") == 1)).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "transform(sequence(1, length(h) - 1), i -> substr(h, i, 2))"
+        ).alias("bgs"),
+    )
     pred = (
-        with_bg.filter(F.col("split") == 1)
-        .crossJoin(F.broadcast(pack))
+        test.crossJoin(F.broadcast(pack))
         .withColumn("best", best)
         .filter(F.col("best").isNotNull())
         .select("doc_id", "lang", F.col("best.cand_lang").alias("pred_lang"))
