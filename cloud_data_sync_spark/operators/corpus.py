@@ -1156,7 +1156,16 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(tri)).alias("g")
     )
     first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("fs"))
-    mx = grams.agg(F.max("doc_id").alias("m"))
+    # A doc appears in `grams` iff its trigram array is non-empty, i.e.
+    # size(toks) >= 3 — so the max-doc scalar and the per-cut doc counts
+    # read the DOC table, not the exploded gram stream. Before r11 both
+    # re-ran the whole trigram explode (three explode passes per
+    # invocation); the filter is the same predicate the explode applies
+    # implicitly, and .distinct() stays because the degenerate gates
+    # feed duplicate-doc_id vintages (guide §2.4: remove repeated
+    # passes outright).
+    tri_docs = docs.filter(F.size("toks") >= 3).select("doc_id")
+    mx = tri_docs.agg(F.max("doc_id").alias("m"))
     # Shape decision, MEASURED (r8 verdict item 3 asked for "one
     # conditional aggregate" instead of this 10-row broadcast fanout;
     # three single-aggregate shapes were implemented and A/B'd at sf0.1,
@@ -1186,7 +1195,7 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c"),
     )
     docs_per_cut = (
-        grams.select("doc_id")
+        tri_docs
         .distinct()
         .crossJoin(F.broadcast(cuts))
         .filter(F.col("doc_id") <= F.col("c"))
