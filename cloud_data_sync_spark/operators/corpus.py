@@ -1016,18 +1016,22 @@ def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (bucket16(F.col("w")) % _DSIR_BUCKETS).alias("b"),
     )
-    raw = b.groupBy("b").agg(F.count("*").alias("rc"))
-    tgt = (
-        b.filter(F.expr(_DSIR_TARGET))
-        .groupBy("b")
-        .agg(F.count("*").alias("tc"))
+    # ONE bucket-frame aggregate carries both LMs (raw count + target
+    # count per bucket) and the totals derive from the 256-row frame —
+    # r11: the raw/tgt/tot trio was three logical passes over the token
+    # stream (two distinct aggregate subtrees + a third global fold);
+    # fused, the only token-stream aggregation is this one, and the
+    # totals fold reads 256 rows. tc = 0 where the old left join gave
+    # NULL; the coalesce below then yields the identical value.
+    bucket_counts = b.groupBy("b").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.when(F.expr(_DSIR_TARGET), 1).otherwise(0)).alias("tc"),
     )
-    tot = b.agg(
-        F.sum(F.when(F.expr(_DSIR_TARGET), 1).otherwise(0)).alias("nt"),
-        F.count("*").alias("nr"),
+    tot = bucket_counts.agg(
+        F.sum("tc").alias("nt"), F.sum("rc").alias("nr")
     )
     lr = (
-        raw.join(F.broadcast(tgt), "b", "left")
+        bucket_counts
         .crossJoin(F.broadcast(tot))
         .select(
             "b",

@@ -118,16 +118,29 @@ def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.kn", "p.kv")
     keycnt = pairs.groupBy("kn", "kv").agg(F.count("*").alias("c"))
-    exact = keycnt.groupBy("kn").agg(
-        F.sum("c").cast("long").alias("n_rows"),
-        F.count("*").alias("n_keys"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
-        F.max("c").cast("long").alias("max_key_rows"),
-        F.max(F.col("c") * F.col("c")).cast("long").alias("max_key_f2"),
-    )
+    # r11: exact and est both reduce off ONE (col, bucket) frame — the
+    # exact moments are integer sums/maxes, so folding them bucket-wise
+    # first is exact (sum of per-bucket sum(c²) = Σc²; max of per-bucket
+    # max = global max). The old shape aggregated keycnt twice (the
+    # exact branch straight to kn, the hist branch via buckets); fused,
+    # the per-key frame is consumed once and everything downstream is
+    # bounded by col × bucket cardinality.
     hist = keycnt.groupBy(
         "kn", (bucket16(F.col("kv")) % N_HIST_BUCKETS).alias("b")
-    ).agg(F.sum("c").alias("cb"), F.count("*").alias("db"))
+    ).agg(
+        F.sum("c").alias("cb"),
+        F.count("*").alias("db"),
+        F.sum(F.col("c") * F.col("c")).alias("f2b"),
+        F.max("c").alias("mxc"),
+        F.max(F.col("c") * F.col("c")).alias("mxf2"),
+    )
+    exact = hist.groupBy("kn").agg(
+        F.sum("cb").cast("long").alias("n_rows"),
+        F.sum("db").alias("n_keys"),
+        F.sum("f2b").cast("long").alias("f2_exact"),
+        F.max("mxc").cast("long").alias("max_key_rows"),
+        F.max("mxf2").cast("long").alias("max_key_f2"),
+    )
     est = hist.groupBy("kn").agg(
         F.sum(
             F.floor(F.col("cb").cast("double") * F.col("cb") / F.col("db"))
