@@ -1031,12 +1031,17 @@ FROM bs
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0, t1, t2, t3 = _POIS8
     # spread(): the per-row hash/conv pipeline is CPU-bound and the local
-    # parquet arrives in 3 splits — round-robin to cores (no-op at real
-    # scale where the scan already yields >= cores splits)
+    # parquet arrives in 3 splits — hash-spread on the natural line key
+    # to cores (no-op at real scale where the scan already yields >=
+    # cores splits). Keyed, not round-robin: the keyless form pays a
+    # local sort of its input before the exchange (sortBeforeRepartition)
+    # — measured 0.97s vs 0.58s for this exchange at sf0.1 (r11).
     li = spread(
         load_table(spark, sf_dir, "lineitem").filter(
             F.col("l_extendedprice").isNotNull()
-        )
+        ),
+        "l_orderkey",
+        "l_linenumber",
     ).selectExpr(
         # both key parts coalesced: the oracle's `a || '-' || b` NULLifies
         # the key on a NULL l_orderkey while concat_ws SKIPS null elements

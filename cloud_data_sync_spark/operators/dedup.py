@@ -289,7 +289,7 @@ def minhash_signatures(
     """
     # spread_input=False for streaming inputs: ``spread`` probes the batch
     # file listing, and micro-batch parallelism is the trigger's business
-    hs = _with_shingles(_spread(docs) if spread_input else docs).withColumn(
+    hs = _with_shingles(_spread(docs, "doc_id") if spread_input else docs).withColumn(
         "hs", F.transform("sh", F.md5)
     ).filter(F.size("hs") > 0)
     # one parsed text expression per signature (the _win(h, i) window at
@@ -1343,7 +1343,7 @@ def _embedding_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
         res[~valid] = pd.NA
         return res
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -1764,7 +1764,7 @@ def exact_jaccard_pairs(
             )
         else:
             shl = (
-                _with_shingles(_spread(docs))
+                _with_shingles(_spread(docs, "doc_id"))
                 .select("doc_id", F.explode("sh").alias("sh"))
                 .select("doc_id", F.xxhash64("sh").alias("sh"))
             )
@@ -2410,7 +2410,7 @@ def substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead work per invocation; r7 ADVICE.)"""
 
     def build() -> DataFrame:
-        docs = _spread(load_table(spark, sf_dir, "documents")).select(
+        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
             "doc_id", "text"
         )
         pos = F.explode(
@@ -2741,7 +2741,7 @@ def q_dedup_suffix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window is '' — a degenerate suffix group that cuts 0 chars but
     # skews the wkey window partition (every empty doc lands in it)
     wk = (
-        _spread(docs)
+        _spread(docs, "doc_id")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select(
             "doc_id",

@@ -669,16 +669,25 @@ FROM cand WHERE s_acctbal = min_bal
         "lineitem shipments; ties kept, as Q2 keeps min-cost ties). "
         "The correlated min becomes a window on the partkey partition "
         "of the already-joined candidate set — same exchange, no "
-        "second pass. Distinct (part, supp) pairs shrink the fact "
-        "stream BEFORE any dim attaches; parts and EU suppliers "
-        "broadcast."
+        "second pass. The broadcast p_size filter attaches BEFORE the "
+        "(part, supp) distinct so only matching fact rows reach the "
+        "exchange, and that single p_partkey-keyed exchange serves the "
+        "distinct AND the window; parts and EU suppliers broadcast."
     ),
 )
 def q_tpch_minsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eligible = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
-        .distinct()
+    # The p_size=15 broadcast filter attaches BEFORE the (part, supp)
+    # distinct: only ~2% of fact rows survive it, so the distinct's
+    # exchange shrinks ~50x (r11; was: distinct over the full fact
+    # stream, then the dim join). Repartitioning by p_partkey lets that
+    # ONE exchange also serve the min-balance window (hash(p_partkey)
+    # satisfies both the distinct's and the window's clustering), so the
+    # window's second exchange disappears. Same result set: p_partkey is
+    # unique in part, p_name is determined by it, and the inner join
+    # drops NULL/non-size-15 part keys on either side of the distinct.
+    eligible = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
     )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -701,12 +710,16 @@ def q_tpch_minsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    cand = (
+    pairs = (
         eligible.join(F.broadcast(parts), eligible.partkey == parts.p_partkey)
-        .join(F.broadcast(sup), eligible.suppkey == sup.s_suppkey)
-        .withColumn(
-            "min_bal", F.min("s_acctbal").over(Window.partitionBy("p_partkey"))
-        )
+        .select("p_partkey", "p_name", "suppkey")
+        .repartition("p_partkey")
+        .distinct()
+    )
+    cand = pairs.join(
+        F.broadcast(sup), pairs.suppkey == sup.s_suppkey
+    ).withColumn(
+        "min_bal", F.min("s_acctbal").over(Window.partitionBy("p_partkey"))
     )
     return cand.filter(F.col("s_acctbal") == F.col("min_bal")).select(
         "p_partkey", "p_name", "s_name", "s_acctbal"
@@ -865,21 +878,34 @@ LIMIT 10
         "flag — the exists/not-exists pair over sibling lines is the "
         "shape being kept, expressed as per-order window counts over "
         "the (order, supplier) flag aggregate instead of two "
-        "correlated self-joins of the fact table). One (order, supp) "
-        "agg exchange + one orderkey window exchange — both fact-"
-        "sized but id+flag-narrow; supplier broadcasts; the top-10 "
-        "compiles to TakeOrderedAndProject."
+        "correlated self-joins of the fact table). ONE orderkey-keyed "
+        "fact exchange serves both the (order, supp) aggregate and the "
+        "per-order window (id+flag-narrow); supplier broadcasts; the "
+        "top-10 compiles to TakeOrderedAndProject."
     ),
 )
 def q_tpch_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    # ONE exchange serves both the (order, supp) aggregate and the
+    # per-order window: hash(orderkey) satisfies the aggregate's
+    # ClusteredDistribution([orderkey, suppkey]) (subset rule) and the
+    # window's ClusteredDistribution([orderkey]), so repartitioning by
+    # orderkey FIRST removes the second fact-sized exchange the
+    # agg-then-window shape otherwise pays (r11; was: hash(orderkey,
+    # suppkey) for the agg + hash(orderkey) for the window). The R-flag
+    # CASE is projected before the shuffle so the exchange carries
+    # (long, long, int), not the returnflag string.
     flags = (
         load_table(spark, sf_dir, "lineitem")
-        .groupBy(
-            F.col("l_orderkey").alias("orderkey"), F.col("l_suppkey").alias("suppkey")
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r_flag"),
         )
-        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
+        .repartition("orderkey")
+        .groupBy("orderkey", "suppkey")
+        .agg(F.max("r_flag").alias("has_r"))
     )
     w = Window.partitionBy("orderkey")
     per_order = flags.withColumn("n_supp", F.count("*").over(w)).withColumn(

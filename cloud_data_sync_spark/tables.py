@@ -455,9 +455,10 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     return splits
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the cluster's parallelism when the
-    input arrives in fewer splits than there are cores.
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    in fewer splits than there are cores — keyed by ``cols`` when given,
+    round-robin otherwise.
 
     Pure per-row pipelines (shingle/md5/signature, hyperplane buckets) are
     bounded by input split count; a small local table is one parquet file
@@ -465,11 +466,24 @@ def spread(df: DataFrame) -> DataFrame:
     minhash signature stage at sf0.1). At real scale the scan already
     yields >= cores splits and this is a no-op — no shuffle is added.
 
+    Prefer passing the row's natural unique key: a keyless round-robin
+    repartition first pays a LOCAL SORT of its input (sortBeforeRepartition,
+    on by default since SPARK-23207 so retried tasks reproduce the same
+    row-to-partition assignment), while hash partitioning on a
+    deterministic key needs no such sort AND is retry-safe for free
+    (measured r11: the q_bootstrap_ci exchange 0.97s round-robin vs 0.58s
+    keyed on the same window). A unique id hashes uniformly, so the
+    spread quality is the same.
+
     The split count comes from the file listing (cached per session), not
     ``df.rdd.getNumPartitions()`` — the RDD probe forced physical planning
     per query build (r3 verdict finding).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if _estimated_scan_splits(df) < target:
+        if cols:
+            from pyspark.sql import functions as F
+
+            return df.repartition(target, *[F.col(c) for c in cols])
         return df.repartition(target)
     return df
