@@ -289,7 +289,7 @@ def minhash_signatures(
     """
     # spread_input=False for streaming inputs: ``spread`` probes the batch
     # file listing, and micro-batch parallelism is the trigger's business
-    hs = _with_shingles(_spread(docs, "doc_id") if spread_input else docs).withColumn(
+    hs = _with_shingles(_spread(docs) if spread_input else docs).withColumn(
         "hs", F.transform("sh", F.md5)
     ).filter(F.size("hs") > 0)
     # one parsed text expression per signature (the _win(h, i) window at
@@ -1343,7 +1343,7 @@ def _embedding_candidate_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
         res[~valid] = pd.NA
         return res
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -1764,7 +1764,7 @@ def exact_jaccard_pairs(
             )
         else:
             shl = (
-                _with_shingles(_spread(docs, "doc_id"))
+                _with_shingles(_spread(docs))
                 .select("doc_id", F.explode("sh").alias("sh"))
                 .select("doc_id", F.xxhash64("sh").alias("sh"))
             )
@@ -2372,10 +2372,15 @@ GROUP BY c.doc_id
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = substring_chunks(spark, sf_dir)
+    # "seen in >= 2 distinct docs" == min(doc_id) != max(doc_id): the
+    # count_distinct form plans as an Expand + TWO exchanges ((h, doc_id)
+    # then (h)); min/max is ONE h-keyed exchange with map-side partials.
+    # NULL doc_ids behave identically (both forms skip them; an all-NULL
+    # or single-doc group fails either predicate). (r11, guide §2.4)
     shared = (
         chunks.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
         .select("h", F.lit(1).alias("is_shared"))
     )
     # no broadcast hint: unlike the decontamination eval set, the shared-span
@@ -2410,7 +2415,7 @@ def substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead work per invocation; r7 ADVICE.)"""
 
     def build() -> DataFrame:
-        docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        docs = _spread(load_table(spark, sf_dir, "documents")).select(
             "doc_id", "text"
         )
         pos = F.explode(
@@ -2441,10 +2446,12 @@ def _span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     least 2 strides (= one chunk width), so consecutive runs' char
     extents are disjoint by construction."""
     chunks = substring_chunks(spark, sf_dir)
+    # min != max == ">= 2 distinct docs" — one exchange, no Expand; see
+    # q_dedup_substring's shared CTE for the equivalence argument (r11).
     shared = (
         chunks.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
         .select("h")
     )
     marked = chunks.join(shared, "h").select("doc_id", "pos")
@@ -2741,7 +2748,7 @@ def q_dedup_suffix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window is '' — a degenerate suffix group that cuts 0 chars but
     # skews the wkey window partition (every empty doc lands in it)
     wk = (
-        _spread(docs, "doc_id")
+        _spread(docs)
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select(
             "doc_id",
@@ -2901,10 +2908,12 @@ GROUP BY s.doc_id
 )
 def q_dedup_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = sentence_segments(spark, sf_dir).select("doc_id", "h")
+    # min != max == ">= 2 distinct docs" — one exchange, no Expand; see
+    # q_dedup_substring's shared CTE for the equivalence argument (r11).
     shared = (
         segs.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
         .select("h", F.lit(1).alias("is_shared"))
     )
     hit = F.coalesce("is_shared", F.lit(0))
@@ -3074,10 +3083,12 @@ FROM per_doc, pack
 )
 def q_dedup_sentence_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = sentence_segments(spark, sf_dir)
+    # min != max == ">= 2 distinct docs" — one exchange, no Expand; see
+    # q_dedup_substring's shared CTE for the equivalence argument (r11).
     shared = (
         segs.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
         .select("h")
     )
     dropped = (
@@ -3351,8 +3362,12 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "g", F.min("gh").over(w).alias("fp")
     )
     fps = wmin.select("doc_id", "g", "fp").distinct()
+    # Only "appears in >= 2 distinct docs" is consumed downstream, and
+    # min != max answers it in ONE fp-keyed exchange (the countDistinct
+    # form planned an Expand + two exchanges); NULL doc_ids behave
+    # identically under both forms (r11, guide §2.4).
     share = fps.groupBy("fp").agg(
-        F.countDistinct("doc_id").alias("nd")
+        (F.min("doc_id") != F.max("doc_id")).alias("shared2")
     )
     return (
         fps.join(share, "fp")
@@ -3365,7 +3380,7 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.any_value("g") - (_WINNOW_W - 1)).cast("double"),
                 6,
             ).alias("fp_density"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            F.sum(F.when(F.col("shared2"), 1).otherwise(0))
             .cast("long")
             .alias("n_shared_fp"),
         )

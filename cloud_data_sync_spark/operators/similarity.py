@@ -70,7 +70,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to the raw embeddings rather than recomputing norms per query."""
 
     def _build() -> DataFrame:
-        emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        emb = spread(load_table(spark, sf_dir, "embeddings")).select(
             "vec_id",
             "label",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -2032,7 +2032,7 @@ def q_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (no-op at real scale where the scan already yields >= cores splits)
     from cloud_data_sync_spark.tables import spread
 
-    return chargram_langid(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
+    return chargram_langid(spread(load_table(spark, sf_dir, "documents")))
 
 
 def chargram_langid(documents: DataFrame) -> DataFrame:

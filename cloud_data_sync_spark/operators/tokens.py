@@ -38,7 +38,7 @@ def toks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloud_data_sync_spark.tables import load_table, session_substrate, spread
 
     def _build() -> DataFrame:
-        docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        docs = spread(load_table(spark, sf_dir, "documents"))
         return docs.withColumn("toks", low_toks())
 
     return session_substrate(

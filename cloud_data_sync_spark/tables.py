@@ -466,14 +466,18 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     minhash signature stage at sf0.1). At real scale the scan already
     yields >= cores splits and this is a no-op — no shuffle is added.
 
-    Prefer passing the row's natural unique key: a keyless round-robin
-    repartition first pays a LOCAL SORT of its input (sortBeforeRepartition,
-    on by default since SPARK-23207 so retried tasks reproduce the same
-    row-to-partition assignment), while hash partitioning on a
-    deterministic key needs no such sort AND is retry-safe for free
-    (measured r11: the q_bootstrap_ci exchange 0.97s round-robin vs 0.58s
-    keyed on the same window). A unique id hashes uniformly, so the
-    spread quality is the same.
+    Pass the row's natural unique key ONLY when the input is fine-grained
+    (many rows per core): a keyless round-robin repartition first pays a
+    LOCAL SORT of its input (sortBeforeRepartition, on by default since
+    SPARK-23207 so retried tasks reproduce the same row-to-partition
+    assignment), while hash partitioning on a deterministic key needs no
+    such sort and is retry-safe for free — measured r11 on the 600k-row
+    q_bootstrap_ci exchange: 0.97s round-robin vs 0.58s keyed. But for a
+    COARSE table (the 5k-doc corpus feeding CPU-heavy per-row pipelines)
+    the multinomial spread of a hash leaves ~10-20% partition imbalance
+    where round-robin is exactly even, and the measured A/B regressed
+    7-17% (q_dedup_simhash/suffix/langid, r11) — those sites stay
+    keyless; the tiny local sort of a 5k-row input is the cheaper side.
 
     The split count comes from the file listing (cached per session), not
     ``df.rdd.getNumPartitions()`` — the RDD probe forced physical planning
