@@ -62,6 +62,17 @@ _DEFAULTS: dict[str, str] = {
     # alongside the flag (documented at tables.materialize).
     "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Whole-stage codegen for wide operators (the 32-resample bootstrap
+    # projection+aggregate, 60+-buffer aggs) emits methods past HotSpot's
+    # 8 KB bytecode JIT ceiling; the JVM then runs them in its BYTECODE
+    # INTERPRETER — silently (no Spark-side fallback or warning), 10-50x
+    # slower. -XX:-DontCompileHugeMethods lifts the ceiling. Measured r11
+    # A/B over a 28-key basket at sf0.1: 0.85x total, q_bootstrap_ci
+    # 0.36x, no regression beyond noise. Applies at JVM LAUNCH, so it
+    # lives in the session defaults; local mode puts executors in the
+    # driver JVM, and cluster submits get the executor twin below.
+    "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+    "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
 }
 
 
