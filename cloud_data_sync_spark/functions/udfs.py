@@ -103,10 +103,19 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # force an Expand that triplicates every input row WITH the HLL buffers
     # riding along (measured 2-4x slower at sf0.1). Split, each branch keeps
     # its partial-agg map-side combine; the join is a broadcast over ~3 rows.
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_suppkey").alias("exact_supps"),
+    # ...and the exact branch itself splits per distinct column: two
+    # distinct columns in one agg still Expand the scan 2x; two
+    # single-distinct branches each plan the no-Expand two-level form
+    # and rejoin null-safely over ~3 groups (r11).
+    e_parts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
     )
+    e_supps = li.groupBy(F.col("l_returnflag").alias("rf2")).agg(
+        F.countDistinct("l_suppkey").alias("exact_supps")
+    )
+    exact = e_parts.join(
+        F.broadcast(e_supps), F.expr("l_returnflag <=> rf2")
+    ).select("l_returnflag", "exact_parts", "exact_supps")
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=_HLL_RSD).alias("approx_supps"),

@@ -424,17 +424,33 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_p = load_table(spark, sf_dir, "orders").select(
         pseudonym(F.col("o_custkey")).alias("opid"), "o_orderkey"
     )
-    return (
+    # The key-audit distincts are per-CUSTOMER facts: computing them on
+    # the joined frame made the two-distinct-column aggregate Expand 3x
+    # the 150k-row join output; computed on the 15k-row customer side
+    # they Expand 3x of 15k instead, and the order-count branch
+    # aggregates the join with no distincts at all. countDistinct over
+    # the left-joined frame equals countDistinct over c_p (a left join
+    # keeps every customer >= once and dedup collapses the fanout), so
+    # the split is result-identical; the two per-segment aggregates
+    # rejoin null-safely (a NULL segment is a legitimate group). (r11)
+    audit = c_p.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_raw_keys"),
+        F.countDistinct("pid").alias("n_pseudonyms"),
+        (F.countDistinct("c_custkey") - F.countDistinct("pid"))
+        .cast("long")
+        .alias("collisions"),
+    )
+    orders_joined = (
         c_p.join(o_p, c_p.pid == o_p.opid, "left")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.countDistinct("c_custkey").alias("n_raw_keys"),
-            F.countDistinct("pid").alias("n_pseudonyms"),
-            (F.countDistinct("c_custkey") - F.countDistinct("pid"))
-            .cast("long")
-            .alias("collisions"),
-            F.count("o_orderkey").alias("n_orders_joined"),
-        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count("o_orderkey").alias("n_orders_joined"))
+    )
+    return audit.join(
+        F.broadcast(orders_joined),
+        F.expr("c_mktsegment <=> seg"),
+    ).select(
+        "c_mktsegment", "n_raw_keys", "n_pseudonyms", "collisions",
+        "n_orders_joined",
     )
 
 

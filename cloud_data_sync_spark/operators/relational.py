@@ -181,15 +181,22 @@ FROM lineitem GROUP BY l_returnflag
     doc="Exact distinct aggregation (expand + two-phase agg under the hood).",
 )
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supps"),
-            F.count("*").alias("n_rows"),
-        )
+    # One branch per distinct column: TWO distinct columns in one agg
+    # plan an Expand that triplicates the 600k-row scan through the
+    # exchange; single-distinct branches each plan the two-level
+    # partial-distinct form (no Expand), and the per-flag results rejoin
+    # null-safely over ~3 groups. (r11, the q_profile_columns lesson)
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
     )
+    supps = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps")
+    )
+    return parts.join(
+        F.broadcast(supps), F.expr("l_returnflag <=> rf")
+    ).select("l_returnflag", "n_parts", "n_supps", "n_rows")
 
 
 @register(
