@@ -1,11 +1,18 @@
 """Dump the formatted physical plan of registered queries to files.
 
-    python tools/dump_plans.py --out plans/r11/open [--sf DIR] [key ...]
+    python tools/dump_plans.py --out plans/r11/open [--sf DIR] [--executed] [key ...]
 
 Default: every registered key (streaming drains excluded unless named —
 their first invocation runs the drain to build the family result, which
 is expensive and stateful; the batch-twin plan is what the files are
 for). One file per key: <out>/<key>.txt, containing explain("formatted").
+
+``--executed`` runs each query into the noop sink FIRST and dumps the
+plan after the action: with AQE the dump then shows the FINAL adaptive
+plan (``AdaptiveSparkPlan isFinalPlan=true``) including runtime join
+rewrites and AQEShuffleRead coalescing — the evidence `explain` before
+execution cannot provide (r11 verdict item 3: static after-plans left
+the claimed SMJ→SHJ conversions unverifiable).
 
 Used by the optimization rounds to commit before/after plan evidence
 (plans/r11/<key>_before.txt / _after.txt are copies of these dumps).
@@ -26,6 +33,7 @@ def main() -> None:
     argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.1"
     out_dir = "plans/r11/open"
+    executed = False
     names: list[str] = []
     i = 0
     while i < len(argv):
@@ -35,6 +43,9 @@ def main() -> None:
         elif argv[i] == "--out":
             out_dir = argv[i + 1]
             i += 2
+        elif argv[i] == "--executed":
+            executed = True
+            i += 1
         else:
             names.append(argv[i])
             i += 1
@@ -56,6 +67,12 @@ def main() -> None:
         fn = spec.plan_fn or spec.fn
         try:
             df = fn(spark, sf_dir)
+            if executed:
+                # run THIS DataFrame's own QueryExecution (a noop write
+                # would execute a separate write-command QueryExecution
+                # and leave this one unexecuted / isFinalPlan=false);
+                # JVM-side RDD count moves no rows to Python
+                df._jdf.queryExecution().executedPlan().execute().count()
             txt = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
                 df._jdf.queryExecution(), "formatted"
             )
