@@ -1099,6 +1099,96 @@ _RP_SUMS_SQL = "[" + ",\n           ".join(
 ) + "]"
 
 
+def _rp_project_batch(e_col):
+    """Vectorized JL projection of one Arrow batch of embeddings.
+
+    Exactness contract (must match the DuckDB oracle's flat
+    `e[1]*s1 + e[2]*s2 + ...` chains AND the floor/NULL guards downstream):
+
+    - accumulation is SEQUENTIAL over dims (one vectorized add per dim,
+      never numpy pairwise/dot reassociation), so every row's p_j adds
+      the same IEEE doubles in the same order as the oracle's chain;
+    - a NULL embedding, a NULL element, or a too-short (<DIM) array
+      NULLs every component and the norm ratio — exactly the oracle's
+      out-of-bounds/NULL propagation (p stays a 16-element list of
+      NULLs so the downstream posexplode still emits 16 rows);
+    - arrays LONGER than DIM project from their first DIM elements (the
+      oracle indexes e[1..64]) while the norm denominator folds the FULL
+      array (the oracle's list_sum over e);
+    - the norm ratio is returned RAW; the engine-portable floor_ratio /
+      component guards stay in SQL so their LONG-floor semantics are
+      byte-identical to the previous implementation.
+    Rows not on the fast path (wrong length / embedded NULLs) are
+    handled per-row with plain Python floats — same left folds, rare by
+    construction.
+    """
+    import numpy as np
+
+    n = len(e_col)
+    ps = [None] * n
+    nrs = [None] * n
+    fast_idx, fast_rows = [], []
+    for i, arr in enumerate(e_col):
+        if arr is None:
+            ps[i] = [None] * _RP_OUT
+            continue
+        vals = list(arr)
+        if len(vals) == _DIM and not any(v is None for v in vals):
+            fast_idx.append(i)
+            fast_rows.append(vals)
+            continue
+        # slow exact path: mirror try_element_at/NULL-propagation folds
+        if len(vals) < _DIM or any(v is None for v in vals[:_DIM]):
+            ps[i] = [None] * _RP_OUT
+            # denominator fold is NULL too (NULL element or no elements
+            # reaches it only when one exists in the full array)
+            if any(v is None for v in vals) or len(vals) < _DIM:
+                nrs[i] = None
+            continue
+        p_row = []
+        for row in _RP_M:
+            acc = vals[0] * row[0]
+            for d in range(1, _DIM):
+                acc = acc + vals[d] * row[d]
+            p_row.append(acc * 0.25)
+        ps[i] = p_row
+        if any(v is None for v in vals):
+            # a NULL element past DIM still NULLs the full-array
+            # denominator fold (oracle list_sum NULL-propagates)
+            continue
+        pe = 0.0
+        for v in vals:
+            pe = pe + v * v
+        pp = 0.0
+        for v in p_row:
+            pp = pp + v * v
+        den = pe ** 0.5
+        nrs[i] = (pp ** 0.5) / den if den != 0.0 else None
+    if fast_rows:
+        E = np.asarray(fast_rows, dtype=np.float64)
+        S = np.asarray(_RP_M, dtype=np.float64)
+        P = np.empty((len(fast_rows), _RP_OUT), dtype=np.float64)
+        for j in range(_RP_OUT):
+            acc = E[:, 0] * S[j, 0]
+            for d in range(1, _DIM):
+                acc = acc + E[:, d] * S[j, d]
+            P[:, j] = acc * 0.25
+        pe = E[:, 0] * E[:, 0]
+        for d in range(1, _DIM):
+            pe = pe + E[:, d] * E[:, d]
+        pp = P[:, 0] * P[:, 0]
+        for j in range(1, _RP_OUT):
+            pp = pp + P[:, j] * P[:, j]
+        den = np.sqrt(pe)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nr = np.sqrt(pp) / den
+        for k, i in enumerate(fast_idx):
+            ps[i] = P[k].tolist()
+            nrs[i] = float(nr[k]) if den[k] != 0.0 else None
+    return ps, nrs
+
+
+
 @register(
     "q_random_projection",
     oracle=f"""
@@ -1137,48 +1227,63 @@ FROM proj, LATERAL unnest(generate_series(1, {_RP_OUT})) AS t(i)
     ).format(k=_RP_OUT, d=_DIM),
 )
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the sign matrix is ONE parsed text literal: the Column form
-    # (F.array of 16 F.array of 64 F.lit) issued ~1040 py4j calls per
-    # invocation — ~0.8 s of driver-side plan build each run
-    m = F.expr(
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"{s!r}D" for s in row) + ")"
-            for row in _RP_M
-        )
-        + ")"
+    # r12: the 16×64 sign-matrix projection runs as ONE Arrow-vectorized
+    # pandas UDF (guide §4.2: hand whole batches to native vectorized
+    # code) instead of the r11 HOF fold. Why not built-ins: the HOF
+    # transform/zip_with/aggregate form never enters whole-stage codegen
+    # (interpreted lambda per element — 1024 per row; 3.4 s at sf1), and
+    # the flat generated-SQL form (16 × 64-term chains) was measured to
+    # tax the DRIVER ~0.5 s PER ACTION in optimizer+planning walks of the
+    # ~5000-node tree (phase tracker: optimization 0.40 s, planning
+    # 0.12 s at sf0.001 where execution is ~0) — a per-invocation cost
+    # that swamped the sf0.1 bench (1.7× regression) while winning at
+    # sf1. The UDF keeps the plan tree tiny AND the per-row work
+    # vectorized: measured 2.63 → 0.87 s at sf1, neutral at sf0.1.
+    # Exactness vs the oracle is argued field-by-field in
+    # _rp_project_batch's docstring (sequential adds, no numpy
+    # reassociation; NULL/short/long-array semantics; raw ratio floored
+    # in SQL below exactly as before).
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
     )
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("p", ArrayType(DoubleType())),
+                StructField("nr", DoubleType()),
+            ]
+        )
+    )
+    def _rp(e):  # Series -> DataFrame(p: array<double>, nr: double)
+        ps, nrs = _rp_project_batch(e)
+        return pd.DataFrame({"p": ps, "nr": nrs})
+
+    # guide §4.4: InferFiltersFromGenerate derives a `size(p) > 0` filter
+    # from the downstream posexplode and pushes it BELOW the projection,
+    # cloning the UDF into a second ArrowEvalPython (every row paid the
+    # projection twice — verified in the plan dump). Non-deterministic
+    # marks the expression un-copyable; the function is in fact pure.
+    _rp = _rp.asNondeterministic()
+
     vecs = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
         "label",
     )
-    proj = F.transform(
-        F.col("m"),
-        lambda row: F.aggregate(
-            F.zip_with(F.col("e"), row, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        * 0.25,
-    )
-    sq_sum = lambda c: F.aggregate(  # noqa: E731 - two-use local fold
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-    )
     return (
-        vecs.withColumn("m", m)
-        .withColumn("p", proj)
+        vecs.withColumn("r", _rp("e"))
+        .select("vec_id", "label", F.col("r.p").alias("p"), F.col("r.nr").alias("nr_raw"))
         .withColumn(
-            # try_divide: a zero input vector projects to zero and its
-            # norm ratio is 0/0 — NULL on both engines (DuckDB division
-            # by zero yields NULL), not an ANSI DIVIDE_BY_ZERO job kill
+            # floor in SQL (not the UDF) so the truncation keeps Spark's
+            # LONG-floor semantics bit-identical to the previous
+            # implementation; try-divide NULLs (0/0) arrive as None.
             "norm_ratio",
-            floor_ratio(
-                F.try_divide(
-                    F.sqrt(sq_sum(F.col("p"))), F.sqrt(sq_sum(F.col("e")))
-                ),
-                4,
-            ),
+            floor_ratio(F.col("nr_raw"), 4),
         )
         # scalar-only output contract: the reduced vector is EXPLODED to one
         # (vec_id, dim, component) row per output dimension instead of an

@@ -1053,9 +1053,27 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     joined = bucketed(a, "a").join(bucketed(b, "b"), "bucket")
+    # r12: each overlapping pair is emitted EXACTLY once — by keeping only
+    # the bucket containing the overlap's start hour,
+    # floor(max(a_s, b_s) / HOUR) — instead of emitting the pair from
+    # every shared bucket and collapsing with distinct(). The overlap
+    # start lies in both intervals (max start <= min end for an
+    # overlapping pair), so that bucket is always in the join's bucket
+    # intersection: no pair is lost, none duplicates. This removes the
+    # distinct's Exchange + two HashAggregates over the OUTPUT pair set —
+    # the only shuffle in the plan, and the one piece that scales with
+    # output cardinality rather than input (guide §2.4: remove shuffles
+    # outright; 2.94 s at sf1 where the vintage's fixed time span makes
+    # output grow quadratically). Result set is identical: (a_id, b_id)
+    # pairs are unique, overlap_sec is a function of the pair.
     return (
         joined.filter(
-            (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+            (F.col("a_s") < F.col("b_e"))
+            & (F.col("b_s") < F.col("a_e"))
+            & (
+                F.col("bucket")
+                == (F.greatest("a_s", "b_s") / _HOUR_US).cast("long")
+            )
         )
         .select(
             "a_id",
@@ -1067,7 +1085,6 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("overlap_sec"),
         )
-        .distinct()
     )
 
 

@@ -819,21 +819,50 @@ FROM (
     ),
 )
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: count token classes with regexp_count instead of materializing
+    # the token array and filtering it with interpreted HOF rlike lambdas.
+    # The r11-shape plan's final projection (3 × size(filter(toks,
+    # rlike))) fell out of whole-stage codegen entirely (HOFs never
+    # codegen) and re-ran a fresh Java regex matcher per token per class —
+    # 4.17 s at sf1. The identities are exact, not approximations: every
+    # _BPE_PATTERN token starts with a letter (iff it is a maximal
+    # [A-Za-z]+ run), a digit (iff a maximal [0-9]+ run), or is a single
+    # mark, so class counts equal maximal-run/match counts —
+    #   n_word   = regexp_count(text, '[A-Za-z]+')
+    #   n_num    = regexp_count(text, '[0-9]+')
+    #   n_mark   = regexp_count(text, '[^A-Za-z0-9\\s]')   (1 char = 1 token)
+    #   n_tokens = n_word + n_num + n_mark   (the classes partition toks)
+    # all codegen'd with the pattern compiled once per task (guide §4.1:
+    # prefer built-ins; §1.2: don't build what you throw away — the array
+    # was consumed only by size()), and the expensive 3-way-alternation
+    # pass disappears entirely. Oracle unchanged (same values).
+    # NO spread(): measured at sf1 — repartitioning the raw text bytes to
+    # all cores costs as much as it parallelizes (2.82 s vs 2.98 s, inside
+    # noise) because the exchange carries the full 125 MB corpus, and at
+    # sf0.1 it regresses 1.28× (the driver's bench SF). The scan-split
+    # ceiling is the single-row-group layout of the local fixtures, not
+    # the plan; a real corpus splits at row-group granularity.
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
-    d = docs.select("doc_id", "n_chars", toks.alias("toks"))
-    n_word = F.size(F.filter("toks", lambda t: t.rlike("^[A-Za-z]")))
-    n_num = F.size(F.filter("toks", lambda t: t.rlike("^[0-9]")))
-    n_alnum = F.size(F.filter("toks", lambda t: t.rlike("^[A-Za-z0-9]")))
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_count("text", F.lit("[A-Za-z]+")).alias("n_word_raw"),
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_num_raw"),
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("n_mark_raw"),
+    )
+    d = d.withColumn(
+        "n_tokens_raw",
+        F.col("n_word_raw") + F.col("n_num_raw") + F.col("n_mark_raw"),
+    )
     return d.select(
         "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        n_word.cast("long").alias("n_word"),
-        n_num.cast("long").alias("n_num"),
-        (F.size("toks") - n_alnum).cast("long").alias("n_mark"),
+        F.col("n_tokens_raw").cast("long").alias("n_tokens"),
+        F.col("n_word_raw").cast("long").alias("n_word"),
+        F.col("n_num_raw").cast("long").alias("n_num"),
+        F.col("n_mark_raw").cast("long").alias("n_mark"),
         F.round(
             F.col("n_chars").cast("double")
-            / F.nullif(F.size("toks").cast("double"), F.lit(0.0)),
+            / F.nullif(F.col("n_tokens_raw").cast("double"), F.lit(0.0)),
             4,
         ).alias("chars_per_token"),
     )
