@@ -3324,7 +3324,16 @@ GROUP BY f.doc_id
     ),
 )
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = augmented_documents(spark, sf_dir)
+    # spread(): the trigram build + per-gram md5 is the wall (measured at
+    # sf1: 5.5 s of the 6.3 s total runs in the gram projection) and the
+    # augmented union arrives in ~4-8 scan splits locally, leaving most
+    # cores idle through the most expensive map stage. Round-robin per
+    # the r11 corpus lesson (hash on coarse doc keys leaves 10-20%
+    # per-partition text-byte imbalance). No-op at real scale where the
+    # scan yields >= cores splits.
+    from cloud_data_sync_spark.tables import spread
+
+    docs = spread(augmented_documents(spark, sf_dir))
     take = "greatest(size(toks) - 2, 0)"
     tri = (
         f"zip_with(zip_with(slice(toks, 1, {take}), slice(toks, 2, {take}),"
@@ -3362,15 +3371,22 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "g", F.min("gh").over(w).alias("fp")
     )
     fps = wmin.select("doc_id", "g", "fp").distinct()
-    # Only "appears in >= 2 distinct docs" is consumed downstream, and
-    # min != max answers it in ONE fp-keyed exchange (the countDistinct
-    # form planned an Expand + two exchanges); NULL doc_ids behave
-    # identically under both forms (r11, guide §2.4).
-    share = fps.groupBy("fp").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("shared2")
-    )
+    # r12: the sharing signal rides a WINDOW over the fp partition instead
+    # of a (groupBy(fp) agg → broadcast → join back onto fps): the r11
+    # shape made fps a two-consumer subtree, and the whole gram pipeline
+    # (explode + 6M md5 + doc_id exchange + sort + sliding-window min +
+    # distinct) was planned — and executed — TWICE, once under each
+    # consumer, plus a ~1M-row broadcast of the share table (sf1 plan
+    # dump: operators 1-26 and 27-53 are the same pipeline). With the
+    # window the pipeline runs once and only (doc_id, g, fp) rows move:
+    # one fp-keyed exchange replaces the duplicated subtree AND the
+    # broadcast build. min != max over the unbounded fp partition is the
+    # same "appears in >= 2 distinct docs" predicate as the r11 aggregate
+    # (NULL doc_ids behave identically). Guide §2.4/§1.2.
+    w_fp = Window.partitionBy("fp")
+    shared2 = F.min("doc_id").over(w_fp) != F.max("doc_id").over(w_fp)
     return (
-        fps.join(share, "fp")
+        fps.withColumn("shared2", shared2)
         .groupBy("doc_id")
         .agg(
             F.any_value("g").cast("long").alias("n_grams"),
