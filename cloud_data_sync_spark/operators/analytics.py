@@ -100,9 +100,18 @@ def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # r12: same class as q_tpch_volume — the static estimate made the
+    # planner BROADCAST the lineitem branch (BuildRight over the fact
+    # scan in the sf1 plan dump). Pin the fact⋈fact join to SHUFFLE_HASH
+    # (the orderkey exchange the doc always described); AQE still
+    # upgrades to broadcast at runtime from real sizes when the filtered
+    # side genuinely fits.
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .hint("shuffle_hash"),
+            li.l_orderkey == orders.o_orderkey,
+        )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -146,9 +155,25 @@ def q_tpch_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # r12: the planner BROADCAST THE 6 M-ROW FACT TABLE — `orders.join(li)`
+    # makes the orders⋈customer subtree the stream side because the
+    # static size ESTIMATE of a join output exceeds lineitem's pruned
+    # scan estimate, and lineitem sat under the 64 MB threshold (sf1 plan
+    # dump: BroadcastExchange over the full lineitem scan, a ~200 MB
+    # hashed relation rebuilt per invocation; 4.17 s at sf1, and the
+    # exact wrong side at 100 TB). Static join-order flips don't fix it
+    # (the estimate still favors the fact side), so the fact join is
+    # pinned to SHUFFLE_HASH: both sides exchange on orderkey — the
+    # plan the docstring always claimed — and AQE may still upgrade to a
+    # broadcast join at runtime from REAL sizes (estimate-robust in both
+    # directions; guide §3.1 "check which one you got / check the build
+    # side").
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .hint("shuffle_hash"),
+            li.l_orderkey == orders.o_orderkey,
+        )
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),

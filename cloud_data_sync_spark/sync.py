@@ -86,8 +86,18 @@ def sync_diff(src: DataFrame, tgt: DataFrame, state: DataFrame) -> DataFrame:
     # reference's UploadObject(..., contentType) + ObjectInfo.Metadata
     # contract (gcp/client.go:107-138; interfaces/provider.go:16).
     carried = [c for c in ("content_type", "metadata") if c in src.columns]
+    # r12: both diff joins are listing⋈listing — FACT-sized on both sides
+    # at any real object count — yet the static planner broadcast the
+    # state/src side (sf1 plan dump: two 1.5M-row string-keyed
+    # HashedRelations, each rebuilding its md5 etags into a broadcast per
+    # run; q_sync_incremental 3.2 s at sf1). SHUFFLE_HASH pins the
+    # scale-correct shape (one object_name exchange per side, no sort —
+    # the diff is a hash lookup, exactly the reference's point-lookup
+    # loop); AQE still converts to broadcast at runtime when a listing
+    # side is genuinely small, from real sizes instead of estimates
+    # (guide §3.1).
     upserts = (
-        src.join(st, on=keys, how="left")
+        src.join(st.hint("shuffle_hash"), on=keys, how="left")
         .withColumn("reason", reason)
         .select(
             *keys,
@@ -101,7 +111,7 @@ def sync_diff(src: DataFrame, tgt: DataFrame, state: DataFrame) -> DataFrame:
             *carried,
         )
     )
-    deletes = tgt.join(src, on=keys, how="left_anti").select(
+    deletes = tgt.join(src.hint("shuffle_hash"), on=keys, how="left_anti").select(
         *keys,
         F.lit(ACTION_DELETE).alias("action"),
         F.lit("removed_from_source").alias("reason"),
@@ -129,6 +139,11 @@ def sync_counts(plan: DataFrame) -> DataFrame:
 
 
 def _base_catalog(orders: DataFrame) -> DataFrame:
+    # Measured and rejected (r12): spread(orders, "o_orderkey") before
+    # the md5/object-name projection — 0.78× at sf1 (the catalog hashes
+    # are split-bound locally) but 1.6-2.1× WORSE at sf0.1 across two
+    # idle windows (the extra exchange + stage waves swamp the 150k-row
+    # hash work). The listing scan splits fine at real scale.
     k = F.col("o_orderkey")
     return orders.select(
         k.alias("k"),
