@@ -3219,9 +3219,23 @@ def q_decay_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derived from the items-bounded groups (the grand-total-from-
     # partials shape, one events scan), so a leaderboard over
     # heavily-censored data is visibly censored.
+    # spread(): the JSON parse + exact-micro CASE is the per-row wall and
+    # the events parquet arrives in ONE split locally, serializing the
+    # scoring pass on one core. Keyed on the natural unique key; no-op at
+    # real scale. Row-count-adaptive (the q_percentiles_adaptive footer
+    # pattern): the aggregate here feeds two consumers, so the spread
+    # exchange materializes twice at small SFs and measured 1.23× WORSE
+    # at sf0.1 while winning 0.52× at sf1 — spread only past ~500k
+    # events (exact footer count, re-decided per vintage).
+    from cloud_data_sync_spark.tables import spread, table_num_rows
+
+    ev0 = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    if table_num_rows(sf_dir, "events") > 500_000:
+        ev0 = spread(ev0, "event_id")
     scored = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("props").isNotNull())
+        ev0
         .selectExpr(
             "CAST(get_json_object(props, '$.k') AS BIGINT) AS item_k",
             "value",

@@ -369,8 +369,21 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    blen = F.octet_length(F.encode("text", "UTF-8"))
-    stride = F.greatest(blen.cast("long") / F.lit(17), F.lit(1)).cast("long")
+    # r12: blen/stride are PRE-PROJECTED columns. Inlining the
+    # expressions into the sampling lambda made Spark re-encode the whole
+    # text to UTF-8 bytes INSIDE the per-sample closure — the sf1 plan
+    # showed `octet_length(Encode(text))` twice per sample, i.e. ~34
+    # full-payload encodes per document for 17 one-byte probes (2.9 s at
+    # sf1 for what the docstring calls "strided probes, never a full
+    # byte scan"). As attribute references they evaluate once per row.
+    # Guide §1.2 (per-task work) — same values, same oracle.
+    blen_once = F.octet_length(F.encode("text", "UTF-8")).cast("long")
+    base = docs.select(
+        "doc_id", "text", blen_once.alias("blen")
+    ).withColumn(
+        "stride",
+        F.greatest(F.col("blen") / F.lit(17), F.lit(1)).cast("long"),
+    )
     # position clamped to >= 1: for an empty text least(1, blen) is 0, and
     # substr-position-0 semantics diverge between engines (r3 advice) —
     # Spark ascii('') is 0 and the oracle CASE-guards blen = 0 to 0, so
@@ -380,14 +393,17 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.ascii(
             F.expr("text").substr(
                 F.greatest(
-                    F.least(F.lit(1) + i.cast("long") * stride, blen.cast("long")),
+                    F.least(
+                        F.lit(1) + i.cast("long") * F.col("stride"),
+                        F.col("blen"),
+                    ),
                     F.lit(1),
                 ).cast("int"),
                 F.lit(1),
             )
         ),
     )
-    sig = docs.select("doc_id", samples.alias("s"))
+    sig = base.select("doc_id", samples.alias("s"))
     bits = F.concat_ws(
         "",
         F.transform(

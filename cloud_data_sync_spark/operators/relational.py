@@ -436,7 +436,15 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TRY_CAST) — DuckDB's json_extract_string RAISES on malformed
     # input, and a metadata column at corpus scale always carries some
     # garbage rows; extraction must degrade per-row, not kill the job.
-    ev = load_table(spark, sf_dir, "events").withColumn(
+    # spread(): the JSON parse is the per-row wall and the events parquet
+    # arrives in ONE split locally (12 MB compressed at sf1), so the
+    # whole 1M-row Jackson pass ran on one core. Keyed on the natural
+    # unique key (fine-grained input — the r11 spread rule). Measured at
+    # sf1: 2.35 → 0.82 s. No-op at real scale (scan yields >= cores
+    # splits).
+    from cloud_data_sync_spark.tables import spread
+
+    ev = spread(load_table(spark, sf_dir, "events"), "event_id").withColumn(
         "k", F.get_json_object("props", "$.k").try_cast("long")
     )
     return ev.groupBy("event_type").agg(
