@@ -3426,7 +3426,15 @@ FROM beta ORDER BY event_type
     ),
 )
 def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feat = load_table(spark, sf_dir, "events").selectExpr(
+    # spread(): the 10 DECIMAL(38) moment accumulators run on BigDecimal
+    # per row — the per-row wall — and the events parquet is one split
+    # locally, so the whole moment pass ran on one core (2.2 s at sf1).
+    # Keyed on the natural unique key (r11 rule); no-op at real scale.
+    from cloud_data_sync_spark.tables import spread
+
+    feat = spread(
+        load_table(spark, sf_dir, "events"), "event_id"
+    ).selectExpr(
         "event_type",
         "CAST(hour(ts) AS BIGINT) AS x1",
         "CAST(weekday(ts) + 1 AS BIGINT) AS x2",

@@ -3462,11 +3462,24 @@ def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1_000_000 recovery, which silently mis-attributes sources the
     # moment original doc_ids reach the augmentation's 1M id offset at
     # larger scale factors (r8 ADVICE).
+    # spread(): tokenize + two full-text md5 per augmented row are the
+    # per-row wall on a 1-2 split local scan (the winnow gram-stage
+    # class). Keyed on the unique post-augmentation doc_id; no-op at
+    # real scale. Row-count-adaptive (exact footer count, the
+    # q_percentiles_adaptive pattern): the two dedup windows re-shuffle
+    # right after, so at wave-floor sizes the extra exchange measured
+    # 1.8× WORSE (sf0.1) while 0.59× at sf1 — spread only past 20k
+    # documents.
+    from cloud_data_sync_spark.tables import spread, table_num_rows
+
     aug = augment_docs(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "source"
         )
-    ).select(
+    )
+    if table_num_rows(sf_dir, "documents") > 20_000:
+        aug = spread(aug, "doc_id")
+    aug = aug.select(
         "doc_id",
         "source",
         F.size(toks_col).alias("n_toks"),

@@ -1774,7 +1774,13 @@ JOIN customer c ON levenshtein(p.probe, c.c_name) <= 2
     ),
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
+    # spread(): 4 levenshtein evaluations per customer row are the wall
+    # (BroadcastNestedLoopJoin over the probe set) and the customer
+    # parquet is one split locally — the edit-distance pass ran on one
+    # core. Keyed on the unique key (r11 rule); no-op at real scale.
+    from cloud_data_sync_spark.tables import spread
+
+    cust = spread(load_table(spark, sf_dir, "customer"), "c_custkey")
     probes = cust.sparkSession.createDataFrame(
         [
             ("Customer#000000001",),

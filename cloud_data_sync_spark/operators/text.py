@@ -1395,6 +1395,10 @@ FROM sampled
     ),
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured and rejected (r12): spread before the tokenize/md5
+    # projection — 1.15× at sf1 AND 2.64× at sf0.1 (the dedup/shard
+    # windows shuffle right after, so the extra exchange only adds
+    # waves). Left on the raw scan.
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -2226,8 +2230,14 @@ FROM scored GROUP BY lang
     ),
 )
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread(): three regex passes per document are the per-row wall and
+    # the documents parquet is 1-2 splits locally (the q_token_bpe /
+    # q_ols_regression split-bound class). Keyed on the unique doc_id
+    # (r11 rule); no-op at real scale.
+    from cloud_data_sync_spark.tables import spread
+
     feats = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
         .filter(
             F.col("text").isNotNull()
             & (F.length(F.trim(F.col("text"))) > 0)
