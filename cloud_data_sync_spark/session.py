@@ -43,6 +43,24 @@ _DEFAULTS: dict[str, str] = {
     # same guard applies per partition, and AQE's skew-join splitting
     # covers SHJ since Spark 3.2.
     "spark.sql.join.preferSortMergeJoin": "false",
+    # r12, the r11 SHJ evidence gap closed with artifacts + a measured
+    # negative: the static SHJ guard rides size ESTIMATES, and a
+    # stats-less scan (localCheckpoint substrates report
+    # defaultSizeInBytes) can never pass it — the committed EXECUTED
+    # plans (plans/r12/executed_sf0.1) show q_sim_range/q_pagerank still
+    # running SortMergeJoin at runtime while q_join_full really runs
+    # ShuffledHashJoin. The r11 A/B's claimed wins on the two SMJ keys
+    # were window noise. The AQE escape hatch
+    # (spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m,
+    # runtime sizes instead of estimates) was measured and REJECTED:
+    # q_pagerank 1.81×, q_sim_range 1.33×, q_split_assign 1.26× at
+    # sf0.1; 0.89/1.01/1.13 at sf1 — converting small sorted partitions
+    # to per-partition hash builds loses. Failure-mode note for 100 TB:
+    # SHJ's build side cannot spill; the planner guard
+    # (canBuildLocalHashMap: estimated size < autoBroadcastJoinThreshold
+    # × shuffle partitions, AND 3× smaller than the other side) degrades
+    # oversized or stats-less builds to sort-merge rather than OOM —
+    # the stats-less substrate case above is that degradation working.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
