@@ -407,7 +407,14 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > 6000)
         .select("c_custkey")
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # spread(): d=3 md5 bit probes per order row, map-only, on a 1-2
+    # split local scan (the split-bound class). Keyed on the unique key;
+    # no-op at real scale.
+    from cloud_data_sync_spark.tables import spread
+
+    orders = spread(
+        load_table(spark, sf_dir, "orders"), "o_orderkey"
+    ).select("o_orderkey", "o_custkey")
     i_col = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_D - 1))).alias("i")
 
     def bit_of(i_expr, key):

@@ -559,7 +559,13 @@ FROM aug
     ),
 )
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread(): four full-text regex passes + an md5 per row, map-only,
+    # on a 1-2 split local scan (the split-bound class — q_text_
+    # readability's twin). Keyed on the unique doc_id; no-op at real
+    # scale.
+    from cloud_data_sync_spark.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     aug = F.concat(
         F.col("text"),
         F.when(
