@@ -542,7 +542,13 @@ GROUP BY e.event_type, m.med, d.mad
     ),
 )
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # spread(): the exact-percentile partial buffers collect every value
+    # map-side, and the events parquet is one split locally — both
+    # median passes built their buffers on one core. Keyed; no-op at
+    # real scale.
+    from cloud_data_sync_spark.tables import spread
+
+    ev = spread(load_table(spark, sf_dir, "events"), "event_id")
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )

@@ -211,8 +211,16 @@ SELECT * FROM grouped WHERE group_size > 1
     doc="Near-dup via order-insensitive token-set hash (catches reorderings).",
 )
 def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # adaptive spread: tokenize + sort + md5 per augmented row is the
+    # map wall on a few local splits (the q_dup_inflation class, same
+    # gating: past 20k footer documents; no-op at real scale).
+    from cloud_data_sync_spark.tables import spread, table_num_rows
+
     toks_col = low_toks()
-    hashed = augmented_documents(spark, sf_dir).select(
+    aug = augmented_documents(spark, sf_dir)
+    if table_num_rows(sf_dir, "documents") > 20_000:
+        aug = spread(aug, "doc_id")
+    hashed = aug.select(
         "doc_id",
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks_col)), " ")).alias(
             "tokenset_hash"

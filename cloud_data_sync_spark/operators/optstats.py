@@ -103,7 +103,15 @@ FROM exact e JOIN est s ON e.kn = s.kn
     ),
 )
 def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread(): the 3-way explode + per-pair partial aggregation is the
+    # map wall and the lineitem parquet is ONE split locally (110 MB,
+    # single row group) — the 18M-pair stage ran on one core. Keyed on
+    # the natural fine-grained key (r11 rule); no-op at real scale.
+    from cloud_data_sync_spark.tables import spread
+
+    li = spread(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber"
+    )
     pairs = li.select(
         F.explode(
             F.array(

@@ -84,8 +84,17 @@ GROUP BY c.c_custkey, c.c_name
     doc="Left outer join preserving customers with zero orders.",
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: LeftOuter forces BuildRight and the static planner BROADCAST
+    # the 1.5M-row orders fact at sf1 (plan dump). Adaptive strategy on
+    # the exact footer row count (q_percentiles_adaptive pattern):
+    # shuffle-hash past 500k orders, broadcast under (the measured
+    # crossover class of q_pseudonymize). Guide §3.1.
+    from cloud_data_sync_spark.tables import table_num_rows
+
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    if table_num_rows(sf_dir, "orders") > 500_000:
+        orders = orders.hint("shuffle_hash")
     return (
         customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
         .groupBy("c_custkey", "c_name")
@@ -509,7 +518,12 @@ SELECT k, etag, last_synced, sync_status FROM merged WHERE rn = 1
     doc="Latest-wins upsert rewrite of INSERT..ON CONFLICT DO UPDATE (database.go:346-364): union + window-dedup.",
 )
 def q_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # spread(): the md5 etag projection and the map-side
+    # WindowGroupLimit sort both run before the key exchange, on the
+    # 1-split local orders scan. Keyed; no-op at real scale.
+    from cloud_data_sync_spark.tables import spread
+
+    orders = spread(load_table(spark, sf_dir, "orders"), "o_orderkey")
     k = F.col("o_orderkey")
     old = orders.select(
         k.alias("k"),

@@ -231,9 +231,12 @@ def q_tpch_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # r12: the static planner BROADCAST the 1.5M-row orders fact (sf1
+    # plan dump, the q_tpch_volume estimate class). SHUFFLE_HASH pins the
+    # orderkey exchange; AQE downgrades to broadcast from real sizes.
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
@@ -298,7 +301,10 @@ def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        # r12: the static planner broadcast the orders fact (the
+        # q_tpch_volume estimate class); pin the orderkey exchange, AQE
+        # may downgrade from real sizes.
+        .join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .withColumn("amount", amount)
         .groupBy("nation", "o_year")
